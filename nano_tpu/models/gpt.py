@@ -1,0 +1,424 @@
+"""Nano GPT — Llama-2-style decoder-only Transformer, TPU-native.
+
+Capability parity with the reference model (reference: model.py:325-503):
+RMSNorm + RoPE (interleaved real-pair) + GQA + SwiGLU + weight tying,
+optional learned positional embeddings (use_rope=False), optional global
+(non-causal) attention, per-token SFT loss mask, LoRA adapters on
+wq/wk/wv/wo.
+
+Architecture is idiomatic JAX, not a translation:
+  * Layer parameters are STACKED along a leading (n_layer,) axis and the
+    forward pass is a single `lax.scan` over layers — one compiled block
+    body regardless of depth, fast compile, XLA-schedulable.
+  * GQA is computed by einsum over grouped heads — KV heads are never
+    materialized n_rep times (the reference expands them via repeat_kv,
+    model.py:133-142).
+  * Attention softmax and RMSNorm run in fp32, matmuls in the configured
+    compute dtype (bf16 on TPU) feeding the MXU.
+  * The KV cache is a static-shape pytree updated with dynamic_update_slice
+    — no dynamic shapes anywhere, so prefill/decode jit once.
+
+Loss-mask note: the reference applies its SFT mask to an already
+mean-reduced scalar (model.py:400-408), making the mask a no-op.  We
+implement the documented intent: per-token CE, masked, normalized by the
+mask sum.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+# =====================================================================
+# RoPE — interleaved real-pair form (reference: model.py:88-130)
+# =====================================================================
+
+def precompute_rope(head_dim: int, end: int, theta: float = 10000.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables of shape (end, head_dim // 2), fp32."""
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(end, dtype=jnp.float32)
+    angles = jnp.outer(t, freqs)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (..., S, H, D) by position tables (S, D//2).
+
+    Pairs are interleaved: (x[2i], x[2i+1]) is one complex number, matching
+    the reference layout so exported weights are interchangeable.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xr = xf[..., 0::2]
+    xi = xf[..., 1::2]
+    # cos/sin: (S, D/2) -> broadcast over batch and heads: (S, 1, D/2)
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+    or_ = xr * cos - xi * sin
+    oi_ = xr * sin + xi * cos
+    out = jnp.stack([or_, oi_], axis=-1).reshape(x.shape)
+    return out.astype(dtype)
+
+
+# =====================================================================
+# Primitive layers (functional)
+# =====================================================================
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """x * rsqrt(mean(x^2)+eps) * w, computed in fp32 (reference: model.py:164-175)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (normed * weight.astype(jnp.float32)).astype(dtype)
+
+
+def _dense(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """x @ w with both operands cast to the compute dtype (MXU-friendly)."""
+    return jnp.dot(x.astype(dtype), w.astype(dtype),
+                   preferred_element_type=dtype)
+
+
+def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                scale: float, dtype) -> jnp.ndarray:
+    """LoRA low-rank branch: (x @ A) @ B * alpha/rank (reference: model.py:145-161)."""
+    h = jnp.dot(x.astype(dtype), a.astype(dtype), preferred_element_type=dtype)
+    return jnp.dot(h, b.astype(dtype), preferred_element_type=dtype) * scale
+
+
+# =====================================================================
+# Attention
+# =====================================================================
+
+def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Grouped-head attention scores without expanding KV.
+
+    q: (B, S, H, D)  k: (B, T, KV, D)  ->  (B, KV, rep, S, T) fp32
+    """
+    B, S, H, D = q.shape
+    kv = cfg.n_kv_head
+    rep = H // kv
+    qg = q.reshape(B, S, kv, rep, D)
+    scores = jnp.einsum("bskrd,btkd->bkrst", qg, k,
+                        preferred_element_type=jnp.float32)
+    return scores / math.sqrt(D)
+
+
+def _gqa_out(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """probs: (B, KV, rep, S, T)  v: (B, T, KV, D) -> (B, S, KV*rep*D)."""
+    out = jnp.einsum("bkrst,btkd->bskrd", probs, v)
+    B, S = out.shape[0], out.shape[1]
+    return out.reshape(B, S, -1)
+
+
+def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
+              cos: Optional[jnp.ndarray], sin: Optional[jnp.ndarray],
+              mask: Optional[jnp.ndarray], dtype,
+              lora: Optional[Params] = None, lora_scale: float = 0.0,
+              kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+              start_pos: Optional[jnp.ndarray] = None,
+              ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """One attention layer.  Returns (output, updated kv cache or None).
+
+    Training: kv_cache=None, full-sequence causal (or global) attention.
+    Decode:   kv_cache=(k,v) of static shape (B, max_seq, KV, D); new keys
+              are written at start_pos and attention runs over the whole
+              static cache with a length mask.
+    """
+    B, S, E = x.shape
+    H, KV, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+
+    q = _dense(x, layer["wq"], dtype)
+    k = _dense(x, layer["wk"], dtype)
+    v = _dense(x, layer["wv"], dtype)
+    if lora is not None:
+        q = q + _lora_delta(x, lora["wq_a"], lora["wq_b"], lora_scale, dtype)
+        k = k + _lora_delta(x, lora["wk_a"], lora["wk_b"], lora_scale, dtype)
+        v = v + _lora_delta(x, lora["wv_a"], lora["wv_b"], lora_scale, dtype)
+    if cfg.qkv_bias:
+        q = q + layer["bq"].astype(dtype)
+        k = k + layer["bk"].astype(dtype)
+        v = v + layer["bv"].astype(dtype)
+
+    q = q.reshape(B, S, H, D)
+    k = k.reshape(B, S, KV, D)
+    v = v.reshape(B, S, KV, D)
+
+    if cfg.use_qk_norm:
+        # Qwen3 per-head q/k RMSNorm (reference: infer/infer.c:824-835)
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if kv_cache is not None:
+        ck, cv = kv_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
+        new_cache = (ck, cv)
+        k, v = ck.astype(dtype), cv.astype(dtype)
+
+    scores = _gqa_scores(q, k, cfg)                       # fp32
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    heads = _gqa_out(probs, v)
+
+    out = _dense(heads, layer["wo"], dtype)
+    if lora is not None:
+        # reference applies LoRA to the wo input (the concatenated heads)
+        out = out + _lora_delta(heads, lora["wo_a"], lora["wo_b"], lora_scale, dtype)
+    return out, new_cache
+
+
+def feed_forward(x: jnp.ndarray, layer: Params, dtype) -> jnp.ndarray:
+    """SwiGLU: w2(silu(w1 x) * w3 x) (reference: model.py:292-307)."""
+    h1 = _dense(x, layer["w1"], dtype)
+    h3 = _dense(x, layer["w3"], dtype)
+    return _dense(jax.nn.silu(h1) * h3, layer["w2"], dtype)
+
+
+def block(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
+          cos, sin, mask, dtype,
+          lora: Optional[Params] = None, lora_scale: float = 0.0,
+          kv_cache=None, start_pos=None):
+    """Pre-norm residual block (reference: model.py:310-322)."""
+    a, new_cache = attention(
+        rms_norm(x, layer["attn_norm"], cfg.norm_eps), layer, cfg,
+        cos, sin, mask, dtype, lora, lora_scale, kv_cache, start_pos)
+    h = x + a
+    out = h + feed_forward(rms_norm(h, layer["ffn_norm"], cfg.norm_eps), layer, dtype)
+    return out, new_cache
+
+
+# =====================================================================
+# Full model
+# =====================================================================
+
+def _causal_mask(S: int) -> jnp.ndarray:
+    """(S, S) additive mask, -inf above the diagonal."""
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    return jnp.where(j <= i, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
+            dtype=jnp.bfloat16,
+            lora: Optional[Params] = None, lora_scale: float = 0.0,
+            remat: bool = False) -> jnp.ndarray:
+    """Full-sequence forward -> logits (B, S, V).  Training / prefill path.
+
+    Scans over stacked layer params; with `remat` the block body is
+    rematerialized in backward to trade FLOPs for HBM.
+    """
+    B, S = idx.shape
+    h = params["tok_embeddings"][idx].astype(dtype)
+
+    if cfg.use_rope:
+        cos, sin = precompute_rope(cfg.head_dim, S, cfg.rope_theta)
+    else:
+        cos = sin = None
+        h = h + params["wpe"][:S].astype(dtype)
+
+    mask = _causal_mask(S) if cfg.is_causal else None
+
+    def body(carry, xs):
+        layer, lora_layer = xs
+        out, _ = block(carry, layer, cfg, cos, sin, mask, dtype,
+                       lora_layer, lora_scale)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    h, _ = jax.lax.scan(body, h, (params["blocks"], lora))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["tok_embeddings"].T  # weight tying (model.py:348)
+    logits = jnp.dot(h, out_w.astype(dtype), preferred_element_type=jnp.float32)
+    return logits
+
+
+def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
+            loss_mask: Optional[jnp.ndarray], cfg: ModelConfig,
+            dtype=jnp.bfloat16, lora: Optional[Params] = None,
+            lora_scale: float = 0.0, remat: bool = False) -> jnp.ndarray:
+    """Per-token CE, optionally masked and normalized by mask sum."""
+    logits = forward(params, idx, cfg, dtype, lora, lora_scale, remat)
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if loss_mask is None:
+        return jnp.mean(nll)
+    m = loss_mask.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# =====================================================================
+# Decode-path forward (KV cache) — used by the inference engine
+# =====================================================================
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache, stacked over layers: (L, B, T, KV, D)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int, max_seq: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layer, batch, max_seq, cfg.n_kv_head, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
+                       start_pos: jnp.ndarray, cfg: ModelConfig,
+                       dtype=jnp.bfloat16,
+                       lora: Optional[Params] = None, lora_scale: float = 0.0,
+                       ) -> Tuple[jnp.ndarray, KVCache]:
+    """Forward S new tokens at absolute position start_pos using the cache.
+
+    idx: (B, S) — S is static (prefill chunk or 1 for decode).
+    Returns logits (B, S, V) and the updated cache.  Positions >=
+    start_pos+S are masked out, so stale cache contents are harmless.
+    """
+    B, S = idx.shape
+    T = cache.max_seq
+    h = params["tok_embeddings"][idx].astype(dtype)
+
+    if cfg.use_rope:
+        cos_t, sin_t = precompute_rope(cfg.head_dim, T, cfg.rope_theta)
+        cos = jax.lax.dynamic_slice_in_dim(cos_t, start_pos, S, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_t, start_pos, S, axis=0)
+    else:
+        cos = sin = None
+        wpe = params["wpe"]
+        h = h + jax.lax.dynamic_slice_in_dim(wpe, start_pos, S, axis=0).astype(dtype)
+
+    # mask over the static cache: query i (absolute pos start_pos+i) may see
+    # cache keys j <= start_pos+i (causal) or j < start_pos+S (global).
+    j = jnp.arange(T)[None, :]
+    if cfg.is_causal:
+        qpos = start_pos + jnp.arange(S)[:, None]
+        mask = jnp.where(j <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
+    else:
+        mask = jnp.where(j < start_pos + S, 0.0, -jnp.inf).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask, (S, T))
+
+    def body(carry, xs):
+        layer, lora_layer, (ck, cv) = xs
+        out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
+                            lora_layer, lora_scale,
+                            kv_cache=(ck, cv), start_pos=start_pos)
+        return out, new_kv
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, h, (params["blocks"], lora, (cache.k, cache.v)))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    out_w = params.get("output")
+    if out_w is None:
+        out_w = params["tok_embeddings"].T
+    logits = jnp.dot(h, out_w.astype(dtype), preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+# =====================================================================
+# Initialization (reference: model.py:356-373)
+# =====================================================================
+
+def init_params(rng: jax.Array, cfg: ModelConfig,
+                param_dtype=jnp.float32) -> Params:
+    """GPT-2-style init: N(0, 0.02); w3/wo scaled by 1/sqrt(2L)."""
+    L, E, V = cfg.n_layer, cfg.n_embd, cfg.vocab_size
+    H, KV, D, F = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_hidden
+    std = 0.02
+    res_std = 0.02 / math.sqrt(2 * L)
+
+    keys = jax.random.split(rng, 16)
+
+    def normal(key, shape, s):
+        return (jax.random.normal(key, shape, jnp.float32) * s).astype(param_dtype)
+
+    params: Params = {
+        "tok_embeddings": normal(keys[0], (V, E), std),
+        "norm": jnp.ones((E,), param_dtype),
+        "blocks": {
+            "attn_norm": jnp.ones((L, E), param_dtype),
+            "ffn_norm": jnp.ones((L, E), param_dtype),
+            "wq": normal(keys[1], (L, E, H * D), std),
+            "wk": normal(keys[2], (L, E, KV * D), std),
+            "wv": normal(keys[3], (L, E, KV * D), std),
+            "wo": normal(keys[4], (L, H * D, E), res_std),
+            "w1": normal(keys[5], (L, E, F), std),
+            "w2": normal(keys[6], (L, F, E), std),
+            "w3": normal(keys[7], (L, E, F), res_std),
+        },
+    }
+    if not cfg.use_rope:
+        params["wpe"] = normal(keys[8], (cfg.block_size, E), std)
+    if not cfg.tie_embeddings:
+        params["output"] = normal(keys[9], (E, V), std)
+    if cfg.qkv_bias:
+        params["blocks"]["bq"] = jnp.zeros((L, H * D), param_dtype)
+        params["blocks"]["bk"] = jnp.zeros((L, KV * D), param_dtype)
+        params["blocks"]["bv"] = jnp.zeros((L, KV * D), param_dtype)
+    if cfg.use_qk_norm:
+        params["blocks"]["q_norm"] = jnp.ones((L, D), param_dtype)
+        params["blocks"]["k_norm"] = jnp.ones((L, D), param_dtype)
+    return params
+
+
+def init_lora_params(rng: jax.Array, cfg: ModelConfig, rank: int,
+                     param_dtype=jnp.float32) -> Params:
+    """LoRA A/B for wq/wk/wv/wo; kaiming-uniform A, zero B (model.py:145-156)."""
+    L, E, H, KV, D = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    keys = jax.random.split(rng, 4)
+
+    def kaiming(key, shape):
+        # torch kaiming_uniform_(a=sqrt(5)) on a (out,in) matrix ->
+        # U(-1/sqrt(fan_in), 1/sqrt(fan_in)); fan_in = shape[0] here (in,out)
+        bound = 1.0 / math.sqrt(shape[1])  # per-layer matrices are (L, in, r)
+        return jax.random.uniform(key, shape, jnp.float32, -bound, bound
+                                  ).astype(param_dtype)
+
+    return {
+        "wq_a": kaiming(keys[0], (L, E, rank)),
+        "wq_b": jnp.zeros((L, rank, H * D), param_dtype),
+        "wk_a": kaiming(keys[1], (L, E, rank)),
+        "wk_b": jnp.zeros((L, rank, KV * D), param_dtype),
+        "wv_a": kaiming(keys[2], (L, E, rank)),
+        "wv_b": jnp.zeros((L, rank, KV * D), param_dtype),
+        "wo_a": kaiming(keys[3], (L, H * D, rank)),
+        "wo_b": jnp.zeros((L, rank, E), param_dtype),
+    }
+
+
+def count_params(params: Params, cfg: ModelConfig, non_embedding: bool = True) -> int:
+    """Total parameter count (reference: model.py:480-484)."""
+    n = sum(int(p.size) for p in jax.tree.leaves(params))
+    if non_embedding and not cfg.use_rope and "wpe" in params:
+        n -= int(params["wpe"].size)
+    return n
+
+
+def estimate_flops_per_token(cfg: ModelConfig, n_params: int) -> float:
+    """PaLM appendix-B formula 6N + 12*L*H*Q*T (reference: model.py:493-503)."""
+    return 6 * n_params + 12 * cfg.n_layer * cfg.n_head * cfg.head_dim * cfg.block_size
