@@ -1,0 +1,485 @@
+"""Self-contained ``.bin`` model format — reader/writer.
+
+Bit-compatible with the reference format so the same file runs on the
+reference C engine and this framework (format spec: reference
+README.md:239-255; writer export.py:236-283,343-475; parser
+infer/infer.c:220-320):
+
+    [0..255]  header: magic "BD4SURLM" (2 x u32), major/minor version,
+              model_type (0=Nano, 2=Qwen2, 3=Qwen3, 10=LoRA), config_length,
+              9 x i32 config (block_size, vocab_size, n_layer, n_embd,
+              n_head, n_kv_head, n_hidden, is_shared_classifier, head_dim),
+              quant_type (0x00 F32 / 0x80 Q80 / 0x42 Q4K), group_size;
+              zero-padded to 256 B
+    [256..]   embedded tokenizer (length-prefixed; absent in LoRA files)
+    [...]     weights, fixed order: attn_norm[L], ffn_norm[L], final_norm
+              (always fp32), then tok_emb, wq[L], wk[L], wv[L], wo[L],
+              w1[L], w2[L], w3[L] (fp32 or per-group int8+scales), RoPE
+              cos/sin tables (fp32), classifier if untied.
+
+This module is pure numpy (host-side IO); device code consumes the
+returned arrays.  Matrices convert between the file's (out, in) row-major
+layout (torch nn.Linear) and this framework's (in, out) right-multiply
+layout at the boundary.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nano_tpu.config import ModelConfig
+
+MAGIC_0 = 0x42443453  # "BD4S" (LE)
+MAGIC_1 = 0x55524C4D  # "URLM"
+VERSION = (2026, 1)
+
+MODEL_TYPE_NANO = 0
+MODEL_TYPE_QWEN2 = 2
+MODEL_TYPE_QWEN3 = 3
+MODEL_TYPE_LORA = 10
+
+QUANT_F32 = 0x00
+QUANT_Q80 = 0x80
+QUANT_Q4K = 0x42
+
+HEADER_BYTES = 256
+
+
+# =====================================================================
+# Q80 quantization (symmetric per-group int8; reference: export.py:40-63,
+# infer/tensor.c:15-69)
+# =====================================================================
+
+def quantize_q80(w: np.ndarray, group_size: int) -> Tuple[np.ndarray, np.ndarray, float]:
+    """-> (int8 values, fp32 scales per group, max abs error)."""
+    flat = np.ascontiguousarray(w, dtype=np.float32).reshape(-1)
+    assert flat.size % group_size == 0, (flat.size, group_size)
+    groups = flat.reshape(-1, group_size)
+    absmax = np.max(np.abs(groups), axis=1)
+    scale = absmax / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.rint(groups / safe[:, None]).astype(np.int8)
+    deq = q.astype(np.float32) * scale[:, None]
+    err = float(np.max(np.abs(deq - groups))) if groups.size else 0.0
+    return q.reshape(-1), scale.astype(np.float32), err
+
+
+def dequantize_q80(q: np.ndarray, scale: np.ndarray, group_size: int) -> np.ndarray:
+    g = q.astype(np.float32).reshape(-1, group_size)
+    return (g * scale.reshape(-1, 1)).reshape(-1)
+
+
+def pick_group_size(n_embd: int, group_size: int) -> int:
+    """Halve group size until it divides n_embd (reference: export.py:418-420)."""
+    while n_embd % group_size != 0:
+        group_size //= 2
+    return group_size
+
+
+# =====================================================================
+# tokenizer field (BNF at reference export.py:72-114)
+# =====================================================================
+
+def serialize_tokenizer_field(tokenizer_config: dict) -> bytes:
+    itos: List[str] = tokenizer_config["itos"]
+    specials = set(tokenizer_config["special_tokens"])
+    buf = io.BytesIO()
+    total = 8 + sum((len(t) + 2) * 4 for t in itos)
+    buf.write(struct.pack("<II", total, len(itos)))
+    for i, t in enumerate(itos):
+        buf.write(struct.pack("<BBBB", len(t), 1 if t in specials else 0, 255, 255))
+        buf.write(struct.pack("<I", i))
+        for ch in t:
+            buf.write(struct.pack("<I", ord(ch)))
+    return buf.getvalue()
+
+
+def parse_tokenizer_field(data: bytes, offset: int) -> Tuple[dict, int]:
+    """-> (tokenizer config dict, next offset)."""
+    total, vocab_size = struct.unpack_from("<II", data, offset)
+    pos = offset + 8
+    itos: List[Optional[str]] = [None] * vocab_size
+    special_flags = [False] * vocab_size
+    for _ in range(vocab_size):
+        length, is_special, _, _ = struct.unpack_from("<BBBB", data, pos)
+        (tid,) = struct.unpack_from("<I", data, pos + 4)
+        chars = struct.unpack_from(f"<{length}I", data, pos + 8)
+        itos[tid] = "".join(chr(c) for c in chars)
+        special_flags[tid] = bool(is_special)
+        pos += 8 + 4 * length
+    assert pos - offset == total, "tokenizer field length mismatch"
+    itos_final = [t if t is not None else "" for t in itos]
+    return {
+        "vocab_size": vocab_size,
+        "itos": itos_final,
+        "stoi": {t: i for i, t in enumerate(itos_final)},
+        "special_tokens": {t: i for i, t in enumerate(itos_final)
+                           if special_flags[i]},
+    }, pos
+
+
+# =====================================================================
+# header
+# =====================================================================
+
+def _pack_header(model_type: int, cfg: ModelConfig, shared_classifier: bool,
+                 quant_type: int, group_size: int) -> bytes:
+    buf = io.BytesIO()
+    buf.write(struct.pack("<II", MAGIC_0, MAGIC_1))
+    buf.write(struct.pack("<ii", *VERSION))
+    buf.write(struct.pack("<ii", model_type, 36))
+    buf.write(struct.pack(
+        "<9i", cfg.block_size, cfg.vocab_size, cfg.n_layer, cfg.n_embd,
+        cfg.n_head, cfg.n_kv_head, cfg.n_hidden, int(shared_classifier),
+        cfg.head_dim))
+    buf.write(struct.pack("<i", quant_type))
+    if quant_type != QUANT_F32:
+        buf.write(struct.pack("<i", group_size))
+    raw = buf.getvalue()
+    return raw + b"\0" * (HEADER_BYTES - len(raw))
+
+
+@dataclass
+class BinHeader:
+    model_type: int
+    major: int
+    minor: int
+    block_size: int
+    vocab_size: int
+    n_layer: int
+    n_embd: int
+    n_head: int
+    n_kv_head: int
+    n_hidden: int
+    shared_classifier: bool
+    head_dim: int
+    quant_type: int
+    group_size: int
+
+    def to_model_config(self, model_type_overrides: Optional[dict] = None
+                        ) -> ModelConfig:
+        kw: Dict[str, Any] = dict(
+            block_size=self.block_size, vocab_size=self.vocab_size,
+            n_layer=self.n_layer, n_embd=self.n_embd, n_head=self.n_head,
+            n_kv_head=self.n_kv_head, n_hidden=self.n_hidden,
+            head_dim=self.head_dim,
+            tie_embeddings=self.shared_classifier)
+        if self.model_type == MODEL_TYPE_QWEN2:
+            kw.update(qkv_bias=True, rope_theta=1e6)
+        elif self.model_type == MODEL_TYPE_QWEN3:
+            kw.update(use_qk_norm=True, rope_theta=1e6)
+        if model_type_overrides:
+            kw.update(model_type_overrides)
+        return ModelConfig(**kw)
+
+
+def parse_header(data: bytes) -> BinHeader:
+    m0, m1 = struct.unpack_from("<II", data, 0)
+    if (m0, m1) != (MAGIC_0, MAGIC_1):
+        raise ValueError("not a BD4SURLM .bin file")
+    major, minor = struct.unpack_from("<ii", data, 8)
+    model_type, _cfg_len = struct.unpack_from("<ii", data, 16)
+    fields = struct.unpack_from("<9i", data, 24)
+    quant_type, group_size = struct.unpack_from("<ii", data, 60)
+    return BinHeader(
+        model_type=model_type, major=major, minor=minor,
+        block_size=fields[0], vocab_size=fields[1], n_layer=fields[2],
+        n_embd=fields[3], n_head=fields[4], n_kv_head=fields[5],
+        n_hidden=fields[6], shared_classifier=bool(fields[7]),
+        head_dim=fields[8], quant_type=quant_type, group_size=group_size)
+
+
+# =====================================================================
+# weight export — takes OUR pytree layout (see models/gpt.py)
+# =====================================================================
+
+def _file_order_tensors(params: Dict[str, Any], cfg: ModelConfig
+                        ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+    """-> (norms fp32, quantizable in file order, rope/extra fp32).
+
+    Our layout is stacked (L, in, out); the file wants per-layer (out, in)
+    row-major.
+    """
+    b = params["blocks"]
+
+    def per_layer_T(name):
+        arr = np.asarray(b[name], dtype=np.float32)
+        return [np.ascontiguousarray(arr[l].T) for l in range(cfg.n_layer)]
+
+    norms = (
+        [np.asarray(b["attn_norm"][l], np.float32) for l in range(cfg.n_layer)]
+        + [np.asarray(b["ffn_norm"][l], np.float32) for l in range(cfg.n_layer)]
+        + [np.asarray(params["norm"], np.float32)]
+    )
+    quantizable = (
+        [np.asarray(params["tok_embeddings"], np.float32)]
+        + per_layer_T("wq") + per_layer_T("wk") + per_layer_T("wv")
+        + per_layer_T("wo") + per_layer_T("w1") + per_layer_T("w2")
+        + per_layer_T("w3")
+    )
+    return norms, quantizable, []
+
+
+def _rope_tables(cfg: ModelConfig) -> Tuple[np.ndarray, np.ndarray]:
+    dim = cfg.n_embd // cfg.n_head  # reference uses n_embd//n_head here
+    freqs = 1.0 / (cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float32)[: dim // 2] / dim))
+    t = np.arange(cfg.block_size, dtype=np.float32)
+    angles = np.outer(t, freqs).astype(np.float32)
+    return np.cos(angles), np.sin(angles)
+
+
+def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
+                tokenizer_config: dict, quant: str = "f32",
+                group_size: int = 128,
+                model_type: int = MODEL_TYPE_NANO,
+                rope_tables: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                ) -> None:
+    """Export to .bin (quant: 'f32' or 'q80').
+
+    rope_tables: optional (cos, sin) to embed verbatim — pass the tables
+    read from an existing file to keep re-exports bit-identical (the C
+    engine consumes these tables directly, infer/infer.c:185-188).
+    """
+    shared = "output" not in params
+    norms, quantizable, _ = _file_order_tensors(params, cfg)
+    if not shared:
+        quantizable.append(
+            np.ascontiguousarray(np.asarray(params["output"], np.float32).T))
+
+    cos, sin = rope_tables if rope_tables is not None else _rope_tables(cfg)
+
+    with open(path, "wb") as f:
+        if quant == "f32":
+            f.write(_pack_header(model_type, cfg, shared, QUANT_F32, 0))
+            f.write(serialize_tokenizer_field(tokenizer_config))
+            # fp32 order: norms, then everything, rope in the middle slot
+            for w in norms:
+                f.write(w.astype("<f4").tobytes())
+            classifier = None if shared else quantizable.pop()
+            for w in quantizable:
+                f.write(w.astype("<f4").tobytes())
+            f.write(cos.astype("<f4").tobytes())
+            f.write(sin.astype("<f4").tobytes())
+            if classifier is not None:
+                f.write(classifier.astype("<f4").tobytes())
+        elif quant == "q80":
+            gs = pick_group_size(cfg.n_embd, group_size)
+            f.write(_pack_header(model_type, cfg, shared, QUANT_Q80, gs))
+            f.write(serialize_tokenizer_field(tokenizer_config))
+            for w in norms:
+                f.write(w.astype("<f4").tobytes())
+            classifier = None if shared else quantizable.pop()
+            for w in quantizable:
+                q, s, _err = quantize_q80(w, gs)
+                f.write(q.tobytes())
+                f.write(s.astype("<f4").tobytes())
+            f.write(cos.astype("<f4").tobytes())
+            f.write(sin.astype("<f4").tobytes())
+            if classifier is not None:
+                q, s, _err = quantize_q80(classifier, gs)
+                f.write(q.tobytes())
+                f.write(s.astype("<f4").tobytes())
+        else:
+            raise ValueError(f"unsupported quant: {quant}")
+
+
+# =====================================================================
+# weight import
+# =====================================================================
+
+class _Reader:
+    def __init__(self, data: bytes, offset: int):
+        self.data = data
+        self.pos = offset
+
+    def f32(self, count: int) -> np.ndarray:
+        out = np.frombuffer(self.data, dtype="<f4", count=count, offset=self.pos)
+        self.pos += 4 * count
+        return np.asarray(out)
+
+    def i8(self, count: int) -> np.ndarray:
+        out = np.frombuffer(self.data, dtype=np.int8, count=count, offset=self.pos)
+        self.pos += count
+        return np.asarray(out)
+
+
+@dataclass
+class QuantTensor:
+    """A per-group int8 tensor as stored in the file."""
+    q: np.ndarray          # int8, logical shape
+    scale: np.ndarray      # fp32, (numel // group_size,)
+    group_size: int
+
+    def dequantize(self) -> np.ndarray:
+        return dequantize_q80(self.q.reshape(-1), self.scale,
+                              self.group_size).reshape(self.q.shape)
+
+
+@dataclass
+class BinModel:
+    header: BinHeader
+    config: ModelConfig
+    tokenizer_config: dict
+    params: Dict[str, Any]                     # fp32 pytree (our layout)
+    qparams: Optional[Dict[str, Any]] = None   # QuantTensor pytree (Q80 files)
+    rope_cos: Optional[np.ndarray] = None
+    rope_sin: Optional[np.ndarray] = None
+
+
+def _read_tensor(r: _Reader, shape: Tuple[int, ...], quant_type: int,
+                 group_size: int):
+    numel = int(np.prod(shape))
+    if quant_type == QUANT_F32:
+        return r.f32(numel).reshape(shape), None
+    if quant_type == QUANT_Q80:
+        q = r.i8(numel).reshape(shape)
+        s = r.f32(numel // group_size)
+        qt = QuantTensor(q=q, scale=s, group_size=group_size)
+        return qt.dequantize().astype(np.float32), qt
+    raise ValueError(f"unsupported quant_type 0x{quant_type:x}")
+
+
+def read_model(path: str) -> BinModel:
+    """Parse a Nano .bin (F32 or Q80) into our stacked-params layout.
+
+    Weight order must match the C engine's pointer walk
+    (reference: infer/infer.c:100-217).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    hdr = parse_header(data)
+    if hdr.model_type == MODEL_TYPE_LORA:
+        raise ValueError("use read_lora for LoRA files")
+    tok_cfg, pos = parse_tokenizer_field(data, HEADER_BYTES)
+    cfg = hdr.to_model_config()
+    r = _Reader(data, pos)
+
+    L, E, V = cfg.n_layer, cfg.n_embd, cfg.vocab_size
+    H, KV, D, F = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_hidden
+    gs = hdr.group_size
+
+    attn_norm = np.stack([r.f32(E) for _ in range(L)])
+    ffn_norm = np.stack([r.f32(E) for _ in range(L)])
+    final_norm = r.f32(E)
+
+    def read_stack(shape_out_in):
+        """L matrices stored (out, in); return stacked (L, in, out) + quants."""
+        fs, qs = [], []
+        for _ in range(L):
+            w, qt = _read_tensor(r, shape_out_in, hdr.quant_type, gs)
+            fs.append(np.ascontiguousarray(w.T))
+            qs.append(qt)
+        return np.stack(fs), qs
+
+    tok_emb, tok_emb_q = _read_tensor(r, (V, E), hdr.quant_type, gs)
+    wq, wq_q = read_stack((H * D, E))
+    wk, wk_q = read_stack((KV * D, E))
+    wv, wv_q = read_stack((KV * D, E))
+    wo, wo_q = read_stack((E, H * D))
+    w1, w1_q = read_stack((F, E))
+    w2, w2_q = read_stack((E, F))
+    w3, w3_q = read_stack((F, E))
+
+    rope_dim = E // H
+    rope_cos = r.f32(cfg.block_size * (rope_dim // 2)).reshape(cfg.block_size, -1)
+    rope_sin = r.f32(cfg.block_size * (rope_dim // 2)).reshape(cfg.block_size, -1)
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": tok_emb,
+        "norm": final_norm,
+        "blocks": {
+            "attn_norm": attn_norm, "ffn_norm": ffn_norm,
+            "wq": wq, "wk": wk, "wv": wv, "wo": wo,
+            "w1": w1, "w2": w2, "w3": w3,
+        },
+    }
+    qparams = None
+    if hdr.quant_type == QUANT_Q80:
+        qparams = {
+            "tok_embeddings": tok_emb_q,
+            "blocks": {"wq": wq_q, "wk": wk_q, "wv": wv_q, "wo": wo_q,
+                       "w1": w1_q, "w2": w2_q, "w3": w3_q},
+        }
+
+    if not hdr.shared_classifier:
+        clf, clf_q = _read_tensor(r, (V, E), hdr.quant_type, gs)
+        params["output"] = np.ascontiguousarray(clf.T)
+        if qparams is not None:
+            qparams["output"] = clf_q
+
+    return BinModel(header=hdr, config=cfg, tokenizer_config=tok_cfg,
+                    params=params, qparams=qparams,
+                    rope_cos=rope_cos, rope_sin=rope_sin)
+
+
+# =====================================================================
+# LoRA files (reference: export.py:119-224, infer/infer.c:413-499)
+# =====================================================================
+
+def write_lora(path: str, lora: Dict[str, Any], cfg: ModelConfig,
+               rank: int, alpha: int) -> None:
+    """LoRA .bin: 256-B header (type 10) + fp32 A/B matrices.
+
+    File order: wq_a[L], wq_b[L], wk_a[L], wk_b[L], wv_a[L], wv_b[L],
+    wo_a[L], wo_b[L]; each matrix stored (out, in) row-major.
+    """
+    with open(path, "wb") as f:
+        buf = io.BytesIO()
+        buf.write(struct.pack("<II", MAGIC_0, MAGIC_1))
+        buf.write(struct.pack("<ii", *VERSION))
+        buf.write(struct.pack("<ii", MODEL_TYPE_LORA, 32))
+        buf.write(struct.pack("<8i", rank, alpha, cfg.n_layer, cfg.n_embd,
+                              cfg.n_head, cfg.n_kv_head, cfg.n_hidden, 0))
+        raw = buf.getvalue()
+        f.write(raw + b"\0" * (HEADER_BYTES - len(raw)))
+        for name in ("wq", "wk", "wv", "wo"):
+            for suffix in ("_a", "_b"):
+                stacked = np.asarray(lora[name + suffix], np.float32)  # (L, in, out)
+                for l in range(stacked.shape[0]):
+                    f.write(np.ascontiguousarray(stacked[l].T).astype("<f4").tobytes())
+
+
+@dataclass
+class BinLora:
+    rank: int
+    alpha: int
+    lora: Dict[str, Any]   # our stacked (L, in, out) layout
+
+
+def read_lora(path: str, cfg: ModelConfig) -> BinLora:
+    with open(path, "rb") as f:
+        data = f.read()
+    hdr0, hdr1 = struct.unpack_from("<II", data, 0)
+    if (hdr0, hdr1) != (MAGIC_0, MAGIC_1):
+        raise ValueError("not a BD4SURLM .bin file")
+    model_type, _ = struct.unpack_from("<ii", data, 16)
+    if model_type != MODEL_TYPE_LORA:
+        raise ValueError("not a LoRA .bin file")
+    rank, alpha, n_layer, n_embd, n_head, n_kv_head, n_hidden, _res = \
+        struct.unpack_from("<8i", data, 24)
+    assert (n_layer, n_embd, n_head, n_kv_head, n_hidden) == (
+        cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_kv_head, cfg.n_hidden), \
+        "LoRA file does not match base model config"
+
+    r = _Reader(data, HEADER_BYTES)
+    L, E = cfg.n_layer, cfg.n_embd
+    H, KV, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+
+    def read_stack(out_dim, in_dim):
+        return np.stack([
+            np.ascontiguousarray(r.f32(out_dim * in_dim)
+                                 .reshape(out_dim, in_dim).T)
+            for _ in range(L)])
+
+    lora = {
+        "wq_a": read_stack(rank, E), "wq_b": read_stack(H * D, rank),
+        "wk_a": read_stack(rank, E), "wk_b": read_stack(KV * D, rank),
+        "wv_a": read_stack(rank, E), "wv_b": read_stack(KV * D, rank),
+        "wo_a": read_stack(rank, H * D), "wo_b": read_stack(E, rank),
+    }
+    return BinLora(rank=rank, alpha=alpha, lora=lora)

@@ -1,0 +1,86 @@
+"""Sampler semantics tests (vs reference behaviors at model.py:506-530 and
+infer/infer.c:1026-1193)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.ops import sampling
+
+
+def test_temperature_zero_is_argmax():
+    logits = jnp.asarray([[0.1, 3.0, -1.0, 2.9]])
+    cfg = sampling.SamplerConfig(temperature=0.0)
+    out = sampling.sample(jax.random.PRNGKey(0), logits, cfg)
+    assert out.tolist() == [1]
+
+
+def test_repetition_penalty_divides_seen():
+    logits = jnp.asarray([[2.0, 2.0]])
+    seen = jnp.asarray([[True, False]])
+    out = sampling.apply_repetition_penalty(logits, seen, 2.0)
+    np.testing.assert_allclose(np.asarray(out), [[1.0, 2.0]])
+
+
+def test_top_k_masks_tail():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 4.0]])
+    out = sampling.apply_top_k(logits, 2)
+    assert np.isneginf(np.asarray(out)[0, 0])
+    assert np.isneginf(np.asarray(out)[0, 2])
+    assert np.asarray(out)[0, 1] == 5.0
+
+
+def test_top_p_keeps_first_crossing():
+    # probs sorted desc: 0.5, 0.3, 0.15, 0.05; p=0.6 keeps 0.5 and 0.3
+    probs = jnp.asarray([[0.05, 0.5, 0.15, 0.3]])
+    kept = np.asarray(sampling.apply_top_p(probs, 0.6))
+    assert kept[0, 1] > 0 and kept[0, 3] > 0
+    assert kept[0, 0] == 0 and kept[0, 2] == 0
+
+
+def test_sample_with_coin_matches_cdf_walk():
+    """Explicit-coin sampler reproduces a hand-computed inverse-CDF draw."""
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    cfg = sampling.SamplerConfig(temperature=1.0, top_p=0.95,
+                                 repetition_penalty=1.0)
+    # kept (desc): 0.5, 0.3, 0.15, 0.05 -> all kept (cum before < .95)
+    # kept_mass = 1.0; coin 0.55 -> r=0.55 -> second token (cum 0.5<0.55<=0.8)
+    out = sampling.sample_with_coin(logits, jnp.asarray([0.55]), cfg)
+    assert out.tolist() == [1]
+    out = sampling.sample_with_coin(logits, jnp.asarray([0.1]), cfg)
+    assert out.tolist() == [0]
+    out = sampling.sample_with_coin(logits, jnp.asarray([0.999]), cfg)
+    assert out.tolist() == [3]
+
+
+def test_seen_mask_from_ids():
+    ids = jnp.asarray([[5, 7, 5, 0]])
+    mask = sampling.seen_mask_from_ids(ids, jnp.asarray([3]), 10)
+    m = np.asarray(mask)[0]
+    assert m[5] and m[7]
+    assert not m[0]  # position 3 beyond length
+
+
+def test_sample_distribution_top_p():
+    """Statistical check: nucleus cuts the tail entirely."""
+    logits = jnp.log(jnp.asarray([[0.6, 0.25, 0.1, 0.05]]))
+    cfg = sampling.SamplerConfig(temperature=1.0, top_p=0.5,
+                                 repetition_penalty=1.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    draws = [int(sampling.sample(k, logits, cfg)[0]) for k in keys[:50]]
+    assert set(draws) == {0}  # 0.6 alone crosses p=0.5
+
+
+def test_xorshift_matches_reference_semantics():
+    """xorshift* produces deterministic, reproducible values in [0,1)."""
+    state = np.uint64(42)
+    vals = []
+    for _ in range(5):
+        state, v = sampling.xorshift_f32(state)
+        vals.append(v)
+    assert all(0.0 <= v < 1.0 for v in vals)
+    # deterministic across calls
+    state2 = np.uint64(42)
+    for v in vals:
+        state2, v2 = sampling.xorshift_f32(state2)
+        assert v == v2
