@@ -1,0 +1,411 @@
+"""Inference engine: context + session API with streaming generation.
+
+Mirrors the reference C engine's API surface (reference: infer/infer.h:253-282,
+infer/infer.c:564-1402) — `LLMContext` ~ `llm_context_init` (model load,
+sampler, KV arena), `Session` ~ `Nano_Session` (prompt ids, output ids, pos,
+TPS), `Session.step` ~ `llm_session_step` (ONE token per call, re-entrant,
+event-loop friendly), `generate_sync` with on_prefilling / on_decoding /
+on_finished callbacks, `seq2seq` for non-causal models, and the denoise
+decode mode (reference: model.py:581-638).
+
+TPU-native design:
+  * prefill and decode are two jit-compiled programs with STATIC shapes.
+    Prompts are padded to bucket lengths (powers of two) so arbitrary
+    prompt lengths reuse a handful of compiled programs.  Padding rows
+    write garbage K/V beyond the true length, but every later decode step
+    overwrites its own row before attending and the causal mask hides the
+    rest, so correctness is unaffected.
+  * decode keeps ALL state on device (KV cache, seen-token mask, RNG key,
+    current token); the host loop only pulls one int32 per token for
+    streaming — or use `generate_on_device` (lax.scan) to avoid even that.
+  * sampling runs on device, fused into the decode step.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.models import gpt
+from nano_tpu.ops import sampling
+from nano_tpu.io import binfmt
+from nano_tpu.tokenizer.trie import TrieTokenizer, apply_instruct_template
+
+# Nano stop tokens: <|padding|>=0 and <|eos|>=3 (reference: infer/infer.c
+# llm_session_step stop set)
+NANO_STOP_TOKENS = (0, 3)
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+# =====================================================================
+# jitted step programs
+# =====================================================================
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype):
+    """Run the whole (padded) prompt through the model, fill the cache."""
+    logits, cache = gpt.forward_with_cache(
+        params, ids, cache, jnp.int32(0), cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale)
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k"))
+def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
+                 temperature, top_p, rep_penalty, cfg, dtype, top_k):
+    """One decode step: forward 1 token, sample the next, update state."""
+    logits, cache = gpt.forward_with_cache(
+        params, tok[:, None], cache, pos, cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale)
+    logits = logits[:, 0].astype(jnp.float32)
+
+    logits = jnp.where(seen_mask, logits / rep_penalty, logits)
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1)
+
+    def stochastic(key):
+        l = logits / jnp.maximum(temperature, 1e-6)
+        if top_k:
+            l = sampling.apply_top_k(l, top_k)
+        probs = jax.nn.softmax(l, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        keep = (cum - sorted_probs) <= top_p
+        thresh = jnp.min(jnp.where(keep, sorted_probs, jnp.inf),
+                         axis=-1, keepdims=True)
+        use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)
+        probs = jnp.where(jnp.logical_and(use_topp, probs < thresh), 0.0, probs)
+        return jax.random.categorical(
+            key, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+
+    key, sub = jax.random.split(key)
+    next_tok = jax.lax.cond(temperature <= 0.0, greedy, stochastic, sub)
+    next_tok = next_tok.astype(jnp.int32)
+    seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
+    return next_tok, cache, seen_mask, key, logits
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps"))
+def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
+                 temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps):
+    """On-device decode of n_steps tokens via lax.scan (no host roundtrips)."""
+    def body(carry, _):
+        tok, pos, cache, seen_mask, key = carry
+        next_tok, cache, seen_mask, key, _ = _decode_step(
+            params, lora, lora_scale, tok, pos, cache, seen_mask, key,
+            temperature, top_p, rep_penalty, cfg, dtype, top_k)
+        return (next_tok, pos + 1, cache, seen_mask, key), next_tok
+
+    (tok, pos, cache, seen_mask, key), toks = jax.lax.scan(
+        body, (tok, pos, cache, seen_mask, key), None, length=n_steps)
+    return toks, cache, seen_mask, key
+
+
+# =====================================================================
+# Context
+# =====================================================================
+
+@dataclass
+class LLMContext:
+    """Loaded model + runtime knobs (reference: Nano_Context, infer/infer.h:225-235).
+
+    max_seq_len is decoupled from the model's block_size so the KV cache
+    can be sized up or down per deployment (infer/infer.c:761-764).
+    """
+
+    cfg: ModelConfig
+    params: Dict[str, Any]
+    tokenizer: TrieTokenizer
+    max_seq_len: int
+    dtype: Any = jnp.bfloat16
+    lora: Optional[Dict[str, Any]] = None
+    lora_scale: float = 0.0
+    sampler: sampling.SamplerConfig = field(default_factory=sampling.SamplerConfig)
+    random_seed: int = 39
+    observation: Optional[Callable] = None   # see observe.py
+    stop_tokens: Tuple[int, ...] = NANO_STOP_TOKENS
+
+    @classmethod
+    def from_bin(cls, path: str, max_seq_len: Optional[int] = None,
+                 dtype=jnp.bfloat16, **kw) -> "LLMContext":
+        bm = binfmt.read_model(path)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if np.asarray(x).ndim >= 2
+            else jnp.asarray(x, jnp.float32), bm.params)
+        tok = TrieTokenizer.from_config_dict(bm.tokenizer_config)
+        return cls(cfg=bm.config, params=params, tokenizer=tok,
+                   max_seq_len=max_seq_len or bm.config.block_size,
+                   dtype=dtype, **kw)
+
+    def load_lora(self, path: str) -> None:
+        """Hot-swap a LoRA module (reference: infer/infer.c:500-549)."""
+        bl = binfmt.read_lora(path, self.cfg)
+        self.lora = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), bl.lora)
+        self.lora_scale = bl.alpha / bl.rank
+
+    def unload_lora(self) -> None:
+        self.lora = None
+        self.lora_scale = 0.0
+
+    def encode(self, text: str) -> List[int]:
+        return self.tokenizer.encode(text)
+
+    def decode(self, ids: List[int]) -> str:
+        return self.tokenizer.decode(ids)
+
+
+# =====================================================================
+# Session — one token per step() call
+# =====================================================================
+
+class Session:
+    """Re-entrant generation session (reference: infer/infer.c:1196-1308).
+
+    step() produces ONE token per call so event-loop frontends (WebSocket
+    writable callbacks, UI ticks) can interleave generation with I/O.
+    """
+
+    PREFILLING = 0
+    DECODING = 1
+    FINISHED = 2
+
+    def __init__(self, ctx: LLMContext, prompt: str,
+                 max_new_tokens: Optional[int] = None,
+                 template: bool = False):
+        self.ctx = ctx
+        if template:
+            prompt = apply_instruct_template(prompt)
+        self.prompt_ids = ctx.encode(prompt)
+        if len(self.prompt_ids) == 0:
+            self.prompt_ids = [ctx.tokenizer.bos_id]
+        if len(self.prompt_ids) >= ctx.max_seq_len:
+            self.prompt_ids = self.prompt_ids[-(ctx.max_seq_len - 1):]
+
+        self.output_ids: List[int] = []
+        self.pos = 0
+        self.state = Session.PREFILLING
+        self.max_new_tokens = max_new_tokens or (
+            ctx.max_seq_len - len(self.prompt_ids))
+
+        # device state
+        cfg = ctx.cfg
+        self._cache = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+        self._key = jax.random.PRNGKey(ctx.random_seed)
+        self._seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
+        self._cur_tok: Optional[jnp.ndarray] = None
+
+        # TPS accounting (reference: infer/infer.h:247-250)
+        self.t_start = time.time()
+        self.t_first_token: Optional[float] = None
+        self.tps = 0.0
+
+    # ------------------------------------------------------------
+    def _do_prefill(self) -> int:
+        ctx, cfg = self.ctx, self.ctx.cfg
+        n = len(self.prompt_ids)
+        pad_len = min(_bucket(n), ctx.max_seq_len)
+        ids = np.zeros((1, pad_len), np.int32)
+        ids[0, :n] = self.prompt_ids
+        logits, self._cache = _prefill(
+            ctx.params, ctx.lora, ctx.lora_scale,
+            jnp.asarray(ids), self._cache, cfg, ctx.dtype)
+        # seen mask over prompt tokens (repetition penalty scope:
+        # infer/infer.c:1158-1160)
+        self._seen = sampling.seen_mask_from_ids(
+            jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)
+        # sample the first generated token from the last prompt position
+        last = jnp.asarray(logits[:, n - 1].astype(jnp.float32))
+        last = jnp.where(self._seen, last / ctx.sampler.repetition_penalty, last)
+        self._key, sub = jax.random.split(self._key)
+        if ctx.sampler.temperature <= 0.0:
+            tok = jnp.argmax(last, axis=-1)
+        else:
+            tok = sampling.sample(sub, last, sampling.SamplerConfig(
+                temperature=ctx.sampler.temperature, top_p=ctx.sampler.top_p,
+                top_k=ctx.sampler.top_k, repetition_penalty=1.0))
+        self._cur_tok = tok.astype(jnp.int32)
+        self._seen = self._seen.at[0, self._cur_tok[0]].set(True)
+        self.pos = n
+        self.state = Session.DECODING
+        self.t_first_token = time.time()
+        return int(self._cur_tok[0])
+
+    def step(self) -> Optional[int]:
+        """Generate the next token, or None when finished."""
+        ctx = self.ctx
+        if self.state == Session.FINISHED:
+            return None
+        if self.state == Session.PREFILLING:
+            tok = self._do_prefill()
+        else:
+            if (self.pos + 1 >= ctx.max_seq_len or
+                    len(self.output_ids) >= self.max_new_tokens):
+                self.state = Session.FINISHED
+                return None
+            s = ctx.sampler
+            next_tok, self._cache, self._seen, self._key, _ = _decode_step(
+                ctx.params, ctx.lora, ctx.lora_scale,
+                self._cur_tok, jnp.int32(self.pos), self._cache, self._seen,
+                self._key, jnp.float32(s.temperature), jnp.float32(s.top_p),
+                jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k)
+            self._cur_tok = next_tok
+            self.pos += 1
+            tok = int(next_tok[0])
+
+        if tok in ctx.stop_tokens:
+            self.state = Session.FINISHED
+            return None
+        self.output_ids.append(tok)
+        n_out = len(self.output_ids)
+        if self.t_first_token and n_out > 1:
+            self.tps = (n_out - 1) / max(time.time() - self.t_first_token, 1e-9)
+        if (len(self.prompt_ids) + n_out) >= ctx.max_seq_len or \
+                n_out >= self.max_new_tokens:
+            self.state = Session.FINISHED
+        return tok
+
+    @property
+    def text(self) -> str:
+        return self.ctx.decode(self.output_ids)
+
+
+# =====================================================================
+# generate_sync — callback-driven loop (reference: infer/infer.c:1321-1361)
+# =====================================================================
+
+def generate_sync(ctx: LLMContext, prompt: str,
+                  max_new_tokens: Optional[int] = None,
+                  template: bool = False,
+                  on_prefilling: Optional[Callable[[Session], Any]] = None,
+                  on_decoding: Optional[Callable[[Session, int, str], Any]] = None,
+                  on_finished: Optional[Callable[[Session], Any]] = None) -> Session:
+    session = Session(ctx, prompt, max_new_tokens, template=template)
+    if on_prefilling:
+        on_prefilling(session)
+    while session.state != Session.FINISHED:
+        tok = session.step()
+        if tok is None:
+            break
+        if on_decoding:
+            if on_decoding(session, tok, ctx.decode([tok])) is False:
+                break
+    if on_finished:
+        on_finished(session)
+    return session
+
+
+def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
+                       n_tokens: int) -> np.ndarray:
+    """Throughput path: prefill + n_tokens decode entirely on device.
+
+    Returns the generated ids (n_tokens,).  No early stop — intended for
+    benchmarking and batch workloads.
+    """
+    cfg = ctx.cfg
+    n = len(prompt_ids)
+    pad_len = min(_bucket(n), ctx.max_seq_len)
+    ids = np.zeros((1, pad_len), np.int32)
+    ids[0, :n] = prompt_ids
+    cache = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+    logits, cache = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
+                             jnp.asarray(ids), cache, cfg, ctx.dtype)
+    seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
+                                       cfg.vocab_size)
+    last = logits[:, n - 1].astype(jnp.float32)
+    tok = jnp.argmax(jnp.where(seen, last / ctx.sampler.repetition_penalty,
+                               last), axis=-1).astype(jnp.int32)
+    s = ctx.sampler
+    toks, *_ = _decode_scan(
+        ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
+        jax.random.PRNGKey(ctx.random_seed), jnp.float32(s.temperature),
+        jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
+        cfg, ctx.dtype, s.top_k, n_tokens - 1)
+    return np.concatenate([np.asarray(tok), np.asarray(toks)[:, 0]])
+
+
+# =====================================================================
+# seq2seq — non-causal single-pass decode (reference: infer/infer.c:1365-1402)
+# =====================================================================
+
+def seq2seq(ctx: LLMContext, input_ids: List[int]) -> List[int]:
+    """Global-attention models (sort/palindrome): one forward over the
+    input, argmax at every position."""
+    cfg = ctx.cfg
+    ids = jnp.asarray([input_ids], jnp.int32)
+    logits = gpt.forward(ctx.params, ids, cfg, dtype=ctx.dtype,
+                         lora=ctx.lora, lora_scale=ctx.lora_scale)
+    return [int(t) for t in np.asarray(jnp.argmax(logits[0], axis=-1))]
+
+
+# =====================================================================
+# denoise decode (reference: model.py:581-638)
+# =====================================================================
+
+def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
+                     max_new_tokens: int, temperature: float = 1.0,
+                     top_k: int = 8, confidence_threshold: float = 0.9,
+                     mask_token_id: int = 7,
+                     callback: Optional[Callable[[np.ndarray], Any]] = None
+                     ) -> List[int]:
+    """Confidence-thresholded iterative unmasking over fixed-size blocks.
+
+    Keeps the reference's loop structure (fill a block with mask tokens,
+    repeatedly decode every still-masked position whose top-k confidence
+    crosses the threshold, at least one per round) but runs each round as
+    one batched device step.
+    """
+    cfg = ctx.cfg
+    block = cfg.block_size
+    prompt_len = len(prompt_ids)
+    all_tokens = list(prompt_ids)
+
+    @partial(jax.jit, static_argnames=())
+    def round_step(x, masked, key):
+        logits = gpt.forward(ctx.params, x, cfg, dtype=ctx.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
+        tk_probs, tk_idx = jax.lax.top_k(probs, top_k)
+        conf = jnp.sum(tk_probs, axis=-1)
+        decode_mask = jnp.logical_and(conf >= confidence_threshold, masked)
+        # at least one: unmask the most confident masked position
+        none_hit = jnp.logical_not(jnp.any(decode_mask))
+        masked_conf = jnp.where(masked, conf, -jnp.inf)
+        best = jnp.argmax(masked_conf, axis=-1)
+        fallback = jnp.zeros_like(decode_mask).at[0, best[0]].set(masked[0, best[0]])
+        decode_mask = jnp.where(none_hit, fallback, decode_mask)
+        # sample from renormalized top-k
+        key, sub = jax.random.split(key)
+        tk_norm = tk_probs / jnp.sum(tk_probs, axis=-1, keepdims=True)
+        draw = jax.random.categorical(sub, jnp.log(jnp.maximum(tk_norm, 1e-38)))
+        sampled = jnp.take_along_axis(tk_idx, draw[..., None], axis=-1)[..., 0]
+        x = jnp.where(decode_mask, sampled, x)
+        masked = jnp.logical_and(masked, jnp.logical_not(decode_mask))
+        return x, masked, key
+
+    key = jax.random.PRNGKey(ctx.random_seed)
+    while len(all_tokens) < max_new_tokens:
+        block_len = min(block, prompt_len + max_new_tokens - len(all_tokens))
+        x = np.full((1, block), mask_token_id, np.int32)
+        x[0, :prompt_len] = all_tokens[-prompt_len:]
+        x = jnp.asarray(x)
+        masked = jnp.zeros((1, block), jnp.bool_).at[
+            0, prompt_len:prompt_len + block_len].set(True)
+        while bool(jnp.any(masked)):
+            x, masked, key = round_step(x, masked, key)
+            if callback:
+                callback(np.asarray(x))
+        all_tokens.extend(int(t) for t in np.asarray(x)[0, prompt_len:prompt_len + block_len])
+    return all_tokens
