@@ -1,0 +1,233 @@
+"""Corpus preprocessing: raw text / JSONL -> packed token shards.
+
+Capability parity with the reference pipeline (reference: data.py:66-190):
+  * pretrain: chunk raw text, tokenize with a worker pool, split the token
+    stream into (block_size+1)-token blocks dropping short tails, shuffle,
+    hold out the last val_ratio of each part as validation.
+  * SFT: JSONL {question, answer} -> `<|instruct_mark|>Q<|response_mark|>A<|eos|>`
+    padded with `<|padding|>`, plus a loss mask covering only the answer
+    tokens (incl. the closing eos).
+
+The storage format is redesigned for TPU input pipelines: instead of
+base64(pickle) text lines, shards are ``.npz`` files holding a dense
+``ids`` matrix (N, block_size+1) uint16/uint32 and an optional ``mask``
+matrix — mmap-able, random-access, so "two-level shuffle for TB-scale
+data in bounded RAM" (reference: data.py:123-166) reduces to shuffling an
+index array.  A compatibility reader/writer for the reference's base64
+line format is provided so datasets flow both ways.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import pickle
+from multiprocessing import Pool
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nano_tpu.tokenizer.trie import TrieTokenizer
+
+
+def _id_dtype(vocab_size: int):
+    return np.uint16 if vocab_size <= 0xFFFF else np.uint32
+
+
+# =====================================================================
+# shard format
+# =====================================================================
+
+def save_shard(path: str, ids: np.ndarray, mask: Optional[np.ndarray] = None
+               ) -> None:
+    if mask is None:
+        np.savez(path, ids=ids)
+    else:
+        np.savez(path, ids=ids, mask=mask.astype(np.uint8))
+
+
+def load_shard(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    z = np.load(path)
+    return z["ids"], (z["mask"] if "mask" in z.files else None)
+
+
+# =====================================================================
+# pretrain
+# =====================================================================
+
+_worker_tok: Optional[TrieTokenizer] = None
+
+
+def _init_worker(tokenizer_config: dict) -> None:
+    global _worker_tok
+    _worker_tok = TrieTokenizer.from_config_dict(tokenizer_config)
+
+
+def _encode_chunk(text: str) -> List[int]:
+    return _worker_tok.encode(text)
+
+
+def generate_pretrain_dataset(
+        text_paths: Sequence[str], tokenizer: TrieTokenizer, block_size: int,
+        output_prefix: str, val_ratio: float = 0.05,
+        chunk_chars: int = 100_000, num_workers: int = 0,
+        seed: int = 39) -> Tuple[str, str]:
+    """Tokenize raw text files into shuffled train/val shards.
+
+    Returns (train_path, val_path).
+    """
+    rng = np.random.RandomState(seed)
+    dtype = _id_dtype(tokenizer.vocab_size)
+    blocks: List[np.ndarray] = []
+
+    def chunks():
+        for p in text_paths:
+            with open(p, "r", encoding="utf-8") as f:
+                while True:
+                    c = f.read(chunk_chars)
+                    if not c:
+                        break
+                    yield c
+
+    leftover: List[int] = []
+    if num_workers > 1:
+        with Pool(num_workers, initializer=_init_worker,
+                  initargs=(tokenizer.config,)) as pool:
+            encoded = pool.imap(_encode_chunk, chunks(), chunksize=1)
+            for ids in encoded:
+                leftover.extend(ids)
+                n = len(leftover) // (block_size + 1)
+                for i in range(n):
+                    blocks.append(np.asarray(
+                        leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
+                        dtype))
+                leftover = leftover[n * (block_size + 1):]
+    else:
+        for c in chunks():
+            leftover.extend(tokenizer.encode(c))
+            n = len(leftover) // (block_size + 1)
+            for i in range(n):
+                blocks.append(np.asarray(
+                    leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
+                    dtype))
+            leftover = leftover[n * (block_size + 1):]
+    # short tail dropped (reference: data.py:112-119)
+
+    if not blocks:
+        raise ValueError("corpus too small for one block")
+    ids = np.stack(blocks)
+    perm = rng.permutation(len(ids))
+    ids = ids[perm]
+    n_val = max(1, int(len(ids) * val_ratio)) if len(ids) > 1 else 0
+    train_path = output_prefix + "_train.npz"
+    val_path = output_prefix + "_val.npz"
+    save_shard(train_path, ids[:len(ids) - n_val])
+    save_shard(val_path, ids[len(ids) - n_val:] if n_val else ids[-1:])
+    return train_path, val_path
+
+
+# =====================================================================
+# SFT
+# =====================================================================
+
+def apply_template_and_encode(tokenizer: TrieTokenizer, question: str,
+                              answer: str, block_size: int
+                              ) -> Optional[Tuple[List[int], List[int]]]:
+    """-> (ids padded to block_size+1, loss mask over answer tokens).
+
+    Template (reference: data.py:170-190):
+      <|instruct_mark|> Q <|response_mark|> A <|eos|> <|padding|>...
+    mask = 1 exactly on the answer tokens + eos.
+    """
+    q_ids = tokenizer.encode(f"<|instruct_mark|>{question}<|response_mark|>")
+    a_ids = tokenizer.encode(answer) + [tokenizer.eos_id]
+    total = len(q_ids) + len(a_ids)
+    if total > block_size + 1:
+        return None  # drop over-long samples
+    pad = [tokenizer.pad_id] * (block_size + 1 - total)
+    ids = q_ids + a_ids + pad
+    mask = [0] * len(q_ids) + [1] * len(a_ids) + [0] * len(pad)
+    return ids, mask
+
+
+def generate_sft_dataset(jsonl_paths: Sequence[str], tokenizer: TrieTokenizer,
+                         block_size: int, output_prefix: str,
+                         val_ratio: float = 0.05, seed: int = 39
+                         ) -> Tuple[str, str]:
+    """JSONL {question, answer} -> shuffled train/val shards with masks."""
+    rng = np.random.RandomState(seed)
+    dtype = _id_dtype(tokenizer.vocab_size)
+    all_ids, all_masks = [], []
+    for p in jsonl_paths:
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                res = apply_template_and_encode(
+                    tokenizer, obj["question"], obj["answer"], block_size)
+                if res is None:
+                    continue
+                ids, mask = res
+                all_ids.append(np.asarray(ids, dtype))
+                all_masks.append(np.asarray(mask, np.uint8))
+    if not all_ids:
+        raise ValueError("no usable SFT samples")
+    ids = np.stack(all_ids)
+    masks = np.stack(all_masks)
+    perm = rng.permutation(len(ids))
+    ids, masks = ids[perm], masks[perm]
+    n_val = max(1, int(len(ids) * val_ratio)) if len(ids) > 1 else 0
+    train_path = output_prefix + "_train.npz"
+    val_path = output_prefix + "_val.npz"
+    save_shard(train_path, ids[:len(ids) - n_val], masks[:len(ids) - n_val])
+    save_shard(val_path, ids[len(ids) - n_val:], masks[len(ids) - n_val:])
+    return train_path, val_path
+
+
+# =====================================================================
+# reference base64-line format compatibility (reference: data.py:123-140,
+# train.py:85)
+# =====================================================================
+
+def read_base64_dataset(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read a reference-format file: one base64(pickle([ids, mask])) per line."""
+    ids_list, mask_list = [], []
+    has_mask = False
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            ids, mask = pickle.loads(base64.b64decode(line))
+            ids_list.append(np.asarray(ids, np.uint32))
+            if mask is not None:
+                has_mask = True
+                mask_list.append(np.asarray(mask, np.uint8))
+            else:
+                mask_list.append(None)
+    n = min(len(x) for x in ids_list)
+    ids = np.stack([x[:n] for x in ids_list])
+    if has_mask:
+        masks = np.stack([
+            m[:n] if m is not None else np.ones(n, np.uint8)
+            for m in mask_list])
+        return ids, masks
+    return ids, None
+
+
+def write_base64_dataset(path: str, ids: np.ndarray,
+                         mask: Optional[np.ndarray] = None) -> None:
+    """Write our arrays in the reference's line format (for its trainer)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for i in range(len(ids)):
+            m = None if mask is None else [int(x) for x in mask[i]]
+            blob = pickle.dumps([[int(x) for x in ids[i]], m])
+            f.write(base64.b64encode(blob).decode("ascii") + "\n")
+
+
+def convert_base64_to_shard(src: str, dst: str) -> None:
+    ids, mask = read_base64_dataset(src)
+    save_shard(dst, ids, mask)

@@ -63,10 +63,23 @@ def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype):
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k"))
+# nucleus window: top-p sampling runs over the top-K candidates from
+# lax.top_k instead of a full-vocab sort (a 16K bitonic sort costs ~40 ms
+# per step on TPU — 300x the whole forward).  Tokens outside the window
+# can only enter the nucleus for near-uniform distributions; the C engine
+# applies a comparable cutoff prefilter (infer/infer.c:1063-1068).
+NUCLEUS_WINDOW = 128
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy"))
 def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
-                 temperature, top_p, rep_penalty, cfg, dtype, top_k):
-    """One decode step: forward 1 token, sample the next, update state."""
+                 temperature, top_p, rep_penalty, cfg, dtype, top_k,
+                 greedy=False):
+    """One decode step: forward 1 token, sample the next, update state.
+
+    `greedy` is a static flag so the temperature==0 path compiles to a
+    bare argmax with no sampling machinery in the graph.
+    """
     logits, cache = gpt.forward_with_cache(
         params, tok[:, None], cache, pos, cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
@@ -74,40 +87,40 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
 
     logits = jnp.where(seen_mask, logits / rep_penalty, logits)
 
-    def greedy(_):
-        return jnp.argmax(logits, axis=-1)
-
-    def stochastic(key):
+    if greedy:
+        next_tok = jnp.argmax(logits, axis=-1)
+        key_out = key
+    else:
+        window = min(top_k if top_k else NUCLEUS_WINDOW, logits.shape[-1])
         l = logits / jnp.maximum(temperature, 1e-6)
-        if top_k:
-            l = sampling.apply_top_k(l, top_k)
-        probs = jax.nn.softmax(l, axis=-1)
-        sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
-        cum = jnp.cumsum(sorted_probs, axis=-1)
-        keep = (cum - sorted_probs) <= top_p
-        thresh = jnp.min(jnp.where(keep, sorted_probs, jnp.inf),
-                         axis=-1, keepdims=True)
+        top_logits, top_idx = jax.lax.top_k(l, window)   # sorted desc
+        probs = jax.nn.softmax(top_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) <= top_p                     # C-engine truncation
         use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)
-        probs = jnp.where(jnp.logical_and(use_topp, probs < thresh), 0.0, probs)
-        return jax.random.categorical(
-            key, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+        probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
+                          probs, 0.0)
+        key_out, sub = jax.random.split(key)
+        draw = jax.random.categorical(
+            sub, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
+        next_tok = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
 
-    key, sub = jax.random.split(key)
-    next_tok = jax.lax.cond(temperature <= 0.0, greedy, stochastic, sub)
     next_tok = next_tok.astype(jnp.int32)
     seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
-    return next_tok, cache, seen_mask, key, logits
+    return next_tok, cache, seen_mask, key_out, logits
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
+                                   "greedy"))
 def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
-                 temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps):
+                 temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps,
+                 greedy=False):
     """On-device decode of n_steps tokens via lax.scan (no host roundtrips)."""
     def body(carry, _):
         tok, pos, cache, seen_mask, key = carry
         next_tok, cache, seen_mask, key, _ = _decode_step(
             params, lora, lora_scale, tok, pos, cache, seen_mask, key,
-            temperature, top_p, rep_penalty, cfg, dtype, top_k)
+            temperature, top_p, rep_penalty, cfg, dtype, top_k, greedy)
         return (next_tok, pos + 1, cache, seen_mask, key), next_tok
 
     (tok, pos, cache, seen_mask, key), toks = jax.lax.scan(
@@ -261,7 +274,8 @@ class Session:
                 ctx.params, ctx.lora, ctx.lora_scale,
                 self._cur_tok, jnp.int32(self.pos), self._cache, self._seen,
                 self._key, jnp.float32(s.temperature), jnp.float32(s.top_p),
-                jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k)
+                jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k,
+                s.temperature <= 0.0)
             self._cur_tok = next_tok
             self.pos += 1
             tok = int(next_tok[0])
@@ -333,7 +347,7 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
         jax.random.PRNGKey(ctx.random_seed), jnp.float32(s.temperature),
         jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
-        cfg, ctx.dtype, s.top_k, n_tokens - 1)
+        cfg, ctx.dtype, s.top_k, n_tokens - 1, s.temperature <= 0.0)
     return np.concatenate([np.asarray(tok), np.asarray(toks)[:, 0]])
 
 

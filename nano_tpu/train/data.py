@@ -1,0 +1,135 @@
+"""Training data loader: curriculum over shards, epoch tracking, batch
+construction for causal / seq2seq / denoise objectives.
+
+Behavior parity with the reference DataLoader (reference: train.py:30-119):
+  * a curriculum ("course") is an ordered list of dataset files; when one
+    is exhausted the loader moves to the next, and wraps back to the first
+    incrementing `epoch`.
+  * causal batches: x = ids[:, 0:block], y = ids[:, 1:block+1], mask = all
+    ones (pretrain) or the stored SFT mask shifted like y.
+  * seq2seq (non-causal) batches: x = ids[:, 0:block], y = ids[:, block:2*block].
+  * denoise batches: y = x; x gets random positions replaced by the mask
+    token with a per-sample masking probability.
+
+Differences by design: shards are dense .npz matrices (mmap-able, random
+access) instead of base64-pickle lines, the reference's per-rank
+interleaved batch skipping (train.py:311-318) is replaced by a global
+batch that the mesh shards over the "data" axis, and `skip_batches`
+provides resume-replay (reference: train.py:374-377).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nano_tpu.data.preprocess import load_shard, read_base64_dataset
+
+MASK_TOKEN_ID = 7  # <|nano_meta_0|> (reference: train.py:26)
+
+
+class _Shard:
+    def __init__(self, path: str):
+        self.path = path
+        if path.endswith(".npz"):
+            self.ids, self.mask = load_shard(path)
+        else:  # reference base64-line format
+            self.ids, self.mask = read_base64_dataset(path)
+        self.n = len(self.ids)
+
+
+class DataLoader:
+    """Curriculum loader over token shards."""
+
+    def __init__(self, filepath_list: Sequence[str], seed: int = 39,
+                 shuffle: bool = False):
+        assert len(filepath_list) > 0
+        self.shards = [_Shard(p) for p in filepath_list]
+        self.course = 0
+        self.pos = 0
+        self.epoch = 0
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self._orders = [np.arange(s.n) for s in self.shards]
+        if shuffle:
+            for o in self._orders:
+                self._rng.shuffle(o)
+
+    def _advance_course(self) -> None:
+        self.course += 1
+        self.pos = 0
+        if self.course >= len(self.shards):
+            self.course = 0
+            self.epoch += 1
+            if self.shuffle:
+                for o in self._orders:
+                    self._rng.shuffle(o)
+
+    def _take(self, n: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Take n samples, crossing shard boundaries as needed."""
+        ids_parts, mask_parts = [], []
+        need = n
+        width = None
+        while need > 0:
+            shard = self.shards[self.course]
+            order = self._orders[self.course]
+            if self.pos >= shard.n:
+                self._advance_course()
+                continue
+            take = min(need, shard.n - self.pos)
+            sel = order[self.pos:self.pos + take]
+            ids = shard.ids[sel]
+            if width is None:
+                width = ids.shape[1]
+            ids_parts.append(ids[:, :width])
+            if shard.mask is not None:
+                mask_parts.append(shard.mask[sel][:, :width])
+            else:
+                mask_parts.append(np.ones_like(ids[:, :width], np.uint8))
+            self.pos += take
+            need -= take
+            if self.pos >= shard.n:
+                self._advance_course()
+        return (np.concatenate(ids_parts).astype(np.int32),
+                np.concatenate(mask_parts).astype(np.int32))
+
+    def get_batch(self, batch_size: int, block_size: int,
+                  is_causal: bool = True, denoise: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids, mask = self._take(batch_size)
+        if denoise:
+            x = ids[:, :block_size].copy()
+            y = x.copy()
+            p = self._rng.rand(batch_size, 1)
+            noise = self._rng.rand(batch_size, x.shape[1]) < p
+            x[noise] = MASK_TOKEN_ID
+            m = np.ones_like(x)
+            return x, y, m
+        if is_causal:
+            x = ids[:, 0:block_size]
+            y = ids[:, 1:block_size + 1]
+            m = mask[:, 1:block_size + 1]
+            if m.shape[1] < block_size:  # shard narrower than block+1
+                pad = block_size - m.shape[1]
+                y = np.pad(y, ((0, 0), (0, pad)))
+                m = np.pad(m, ((0, 0), (0, pad)))
+                x = np.pad(x, ((0, 0), (0, block_size - x.shape[1])))
+            return x, y, m
+        # seq2seq: input | output halves (reference: train.py:110-118)
+        x = ids[:, 0:block_size]
+        y = ids[:, block_size:block_size * 2]
+        m = mask[:, 0:block_size]
+        if y.shape[1] < block_size:
+            y = np.pad(y, ((0, 0), (0, block_size - y.shape[1])))
+        return x, y, m
+
+    def skip_batches(self, n: int, batch_size: int) -> None:
+        """Fast-forward the stream (resume replay, reference: train.py:374-377)."""
+        for _ in range(n):
+            self._take(batch_size)
+
+    @property
+    def total_samples(self) -> int:
+        return sum(s.n for s in self.shards)
