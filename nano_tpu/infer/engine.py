@@ -154,11 +154,20 @@ class LLMContext:
 
     @classmethod
     def from_bin(cls, path: str, max_seq_len: Optional[int] = None,
-                 dtype=jnp.bfloat16, **kw) -> "LLMContext":
+                 dtype=jnp.bfloat16, quantized: Optional[bool] = None,
+                 **kw) -> "LLMContext":
+        """Load a .bin model.  quantized=None keeps Q80 files quantized on
+        device (int8 weights + fused dequant matmul); quantized=False
+        dequantizes everything to `dtype` at load."""
         bm = binfmt.read_model(path)
-        params = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype) if np.asarray(x).ndim >= 2
-            else jnp.asarray(x, jnp.float32), bm.params)
+        if quantized is None:
+            quantized = bm.header.quant_type == binfmt.QUANT_Q80
+        if quantized:
+            params = binfmt.quantized_device_params(bm)
+        else:
+            params = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype) if np.asarray(x).ndim >= 2
+                else jnp.asarray(x, jnp.float32), bm.params)
         tok = TrieTokenizer.from_config_dict(bm.tokenizer_config)
         return cls(cfg=bm.config, params=params, tokenizer=tok,
                    max_seq_len=max_seq_len or bm.config.block_size,

@@ -417,6 +417,69 @@ def read_model(path: str) -> BinModel:
                     rope_cos=rope_cos, rope_sin=rope_sin)
 
 
+def quantized_device_params(bm: "BinModel", fuse: bool = True
+                            ) -> Dict[str, Any]:
+    """Build a device params pytree keeping matmul weights quantized.
+
+    Matmul weights become stacked Q80Tensors (int8 + scales, (L, out, in)
+    file layout); norms stay fp32.  Consumed by models.gpt via the fused
+    dequant matmul (ops/qmatmul.py).
+
+    fuse=True concatenates wq/wk/wv -> wqkv and w1/w3 -> w13 along the
+    output dim (valid because Q80 groups run along the input dim) — fewer,
+    larger kernel launches per decode step.
+    """
+    from nano_tpu.ops.qmatmul import Q80Tensor
+    import jax.numpy as jnp
+
+    assert bm.qparams is not None, "not a quantized model file"
+    gs = bm.header.group_size
+
+    def stack_q(qt_lists) -> Q80Tensor:
+        """One or more per-layer lists -> stacked (L, out, in) Q80Tensor,
+        concatenating multiple projections along out."""
+        L = len(qt_lists[0])
+        qs, ss = [], []
+        for l in range(L):
+            q = np.concatenate([lst[l].q for lst in qt_lists], axis=0)
+            s = np.concatenate(
+                [lst[l].scale.reshape(lst[l].q.shape[0], -1)
+                 for lst in qt_lists], axis=0)
+            qs.append(q)
+            ss.append(s)
+        return Q80Tensor(q=jnp.asarray(np.stack(qs)),
+                         scales=jnp.asarray(np.stack(ss)), group_size=gs)
+
+    def single_q(qt):
+        out, inn = qt.q.shape
+        return Q80Tensor(q=jnp.asarray(qt.q),
+                         scales=jnp.asarray(qt.scale.reshape(out, inn // gs)),
+                         group_size=gs)
+
+    qb = bm.qparams["blocks"]
+    blocks: Dict[str, Any] = {
+        "attn_norm": jnp.asarray(bm.params["blocks"]["attn_norm"]),
+        "ffn_norm": jnp.asarray(bm.params["blocks"]["ffn_norm"]),
+        "wo": stack_q([qb["wo"]]),
+        "w2": stack_q([qb["w2"]]),
+    }
+    if fuse:
+        blocks["wqkv"] = stack_q([qb["wq"], qb["wk"], qb["wv"]])
+        blocks["w13"] = stack_q([qb["w1"], qb["w3"]])
+    else:
+        blocks.update(wq=stack_q([qb["wq"]]), wk=stack_q([qb["wk"]]),
+                      wv=stack_q([qb["wv"]]), w1=stack_q([qb["w1"]]),
+                      w3=stack_q([qb["w3"]]))
+    params: Dict[str, Any] = {
+        "tok_embeddings": single_q(bm.qparams["tok_embeddings"]),
+        "norm": jnp.asarray(bm.params["norm"]),
+        "blocks": blocks,
+    }
+    if "output" in bm.qparams:
+        params["output"] = single_q(bm.qparams["output"])
+    return params
+
+
 # =====================================================================
 # LoRA files (reference: export.py:119-224, infer/infer.c:413-499)
 # =====================================================================

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from nano_tpu.config import ModelConfig
+from nano_tpu.ops.qmatmul import Q80Tensor, q80_matmul
 
 Params = Dict[str, Any]
 
@@ -82,10 +83,47 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed * weight.astype(jnp.float32)).astype(dtype)
 
 
-def _dense(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
-    """x @ w with both operands cast to the compute dtype (MXU-friendly)."""
+def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
+    """x @ w with both operands cast to the compute dtype (MXU-friendly).
+
+    Dense weights are stored (in, out); quantized weights (Q80Tensor) keep
+    the file's (out, in) layout and dispatch to the fused dequant matmul.
+    """
+    if isinstance(w, Q80Tensor):
+        return q80_matmul(x, w, dtype)
     return jnp.dot(x.astype(dtype), w.astype(dtype),
                    preferred_element_type=dtype)
+
+
+def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Embedding row gather; quantized tables dequantize the gathered rows
+    (the C engine keeps an fp32 shadow copy, infer/infer.c:126-127 — we
+    dequantize on the fly, same values)."""
+    w = params["tok_embeddings"]
+    if isinstance(w, Q80Tensor):
+        g = w.group_size
+        q = w.q[idx]                        # (..., E) int8
+        s = w.scales[idx]                   # (..., E // g)
+        shape = q.shape
+        deq = (q.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // g, g)
+               * s[..., None]).reshape(shape)
+        return deq.astype(dtype)
+    return w[idx].astype(dtype)
+
+
+def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
+    """LM head: untied uses params['output'] (in, out); tied uses the
+    embedding table (V, E) transposed (reference: model.py:348)."""
+    w = params.get("output")
+    if w is None:
+        w = params["tok_embeddings"]
+        if isinstance(w, Q80Tensor):
+            return q80_matmul(h, w, jnp.float32)
+        return jnp.dot(h, w.T.astype(dtype),
+                       preferred_element_type=jnp.float32)
+    if isinstance(w, Q80Tensor):
+        return q80_matmul(h, w, jnp.float32)
+    return jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
 
 
 def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
@@ -137,9 +175,16 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
     B, S, E = x.shape
     H, KV, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
 
-    q = _dense(x, layer["wq"], dtype)
-    k = _dense(x, layer["wk"], dtype)
-    v = _dense(x, layer["wv"], dtype)
+    if "wqkv" in layer:
+        # fused projection (quantized load path): one kernel launch
+        qkv = _dense(x, layer["wqkv"], dtype)
+        q = qkv[..., :H * D]
+        k = qkv[..., H * D:(H + KV) * D]
+        v = qkv[..., (H + KV) * D:]
+    else:
+        q = _dense(x, layer["wq"], dtype)
+        k = _dense(x, layer["wk"], dtype)
+        v = _dense(x, layer["wv"], dtype)
     if lora is not None:
         q = q + _lora_delta(x, lora["wq_a"], lora["wq_b"], lora_scale, dtype)
         k = k + _lora_delta(x, lora["wk_a"], lora["wk_b"], lora_scale, dtype)
@@ -185,8 +230,13 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
 
 def feed_forward(x: jnp.ndarray, layer: Params, dtype) -> jnp.ndarray:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: model.py:292-307)."""
-    h1 = _dense(x, layer["w1"], dtype)
-    h3 = _dense(x, layer["w3"], dtype)
+    if "w13" in layer:
+        h13 = _dense(x, layer["w13"], dtype)
+        F = h13.shape[-1] // 2
+        h1, h3 = h13[..., :F], h13[..., F:]
+    else:
+        h1 = _dense(x, layer["w1"], dtype)
+        h3 = _dense(x, layer["w3"], dtype)
     return _dense(jax.nn.silu(h1) * h3, layer["w2"], dtype)
 
 
@@ -224,7 +274,7 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
     rematerialized in backward to trade FLOPs for HBM.
     """
     B, S = idx.shape
-    h = params["tok_embeddings"][idx].astype(dtype)
+    h = embed_tokens(params, idx, dtype)
 
     if cfg.use_rope:
         cos, sin = precompute_rope(cfg.head_dim, S, cfg.rope_theta)
@@ -246,11 +296,7 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
     h, _ = jax.lax.scan(body, h, (params["blocks"], lora))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    out_w = params.get("output")
-    if out_w is None:
-        out_w = params["tok_embeddings"].T  # weight tying (model.py:348)
-    logits = jnp.dot(h, out_w.astype(dtype), preferred_element_type=jnp.float32)
-    return logits
+    return compute_logits(h, params, dtype)
 
 
 def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
@@ -301,7 +347,7 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
     """
     B, S = idx.shape
     T = cache.max_seq
-    h = params["tok_embeddings"][idx].astype(dtype)
+    h = embed_tokens(params, idx, dtype)
 
     if cfg.use_rope:
         cos_t, sin_t = precompute_rope(cfg.head_dim, T, cfg.rope_theta)
@@ -333,11 +379,7 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
         body, h, (params["blocks"], lora, (cache.k, cache.v)))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    out_w = params.get("output")
-    if out_w is None:
-        out_w = params["tok_embeddings"].T
-    logits = jnp.dot(h, out_w.astype(dtype), preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return compute_logits(h, params, dtype), KVCache(k=new_k, v=new_v)
 
 
 # =====================================================================
