@@ -40,6 +40,10 @@ class ModelConfig:
 
     # --- TPU-native extensions (not in the reference) ---
     rope_theta: float = 10000.0
+    # "interleaved": adjacent (2i, 2i+1) pairs rotate together (Nano/Qwen2,
+    # reference model.py:105-130, infer/infer.c:681-691).
+    # "half": first/second half pairs (Qwen3/HF, infer/infer.c:692-712).
+    rope_style: str = "interleaved"
     # Qwen3-style per-head q/k RMSNorm and explicit head_dim; used by the
     # Qwen import path (reference: infer/infer.c:180-204).
     head_dim: Optional[int] = None

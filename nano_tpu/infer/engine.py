@@ -142,7 +142,7 @@ class LLMContext:
 
     cfg: ModelConfig
     params: Dict[str, Any]
-    tokenizer: TrieTokenizer
+    tokenizer: Any                      # TrieTokenizer or BpeTokenizer
     max_seq_len: int
     dtype: Any = jnp.bfloat16
     lora: Optional[Dict[str, Any]] = None
@@ -151,6 +151,8 @@ class LLMContext:
     random_seed: int = 39
     observation: Optional[Callable] = None   # see observe.py
     stop_tokens: Tuple[int, ...] = NANO_STOP_TOKENS
+    arch: str = "nano"                  # "nano" | "qwen2" | "qwen3"
+    enable_thinking: bool = False       # Qwen chat template switch
 
     @classmethod
     def from_bin(cls, path: str, max_seq_len: Optional[int] = None,
@@ -168,7 +170,15 @@ class LLMContext:
             params = jax.tree.map(
                 lambda x: jnp.asarray(x, dtype) if np.asarray(x).ndim >= 2
                 else jnp.asarray(x, jnp.float32), bm.params)
-        tok = TrieTokenizer.from_config_dict(bm.tokenizer_config)
+        if bm.header.model_type in (binfmt.MODEL_TYPE_QWEN2,
+                                    binfmt.MODEL_TYPE_QWEN3):
+            from nano_tpu.tokenizer.bpe import QWEN_STOP_TOKENS
+            tok = bm.tokenizer_config["tokenizer"]
+            kw.setdefault("stop_tokens", QWEN_STOP_TOKENS)
+            kw.setdefault("arch", "qwen2" if bm.header.model_type ==
+                          binfmt.MODEL_TYPE_QWEN2 else "qwen3")
+        else:
+            tok = TrieTokenizer.from_config_dict(bm.tokenizer_config)
         return cls(cfg=bm.config, params=params, tokenizer=tok,
                    max_seq_len=max_seq_len or bm.config.block_size,
                    dtype=dtype, **kw)
@@ -188,6 +198,17 @@ class LLMContext:
 
     def decode(self, ids: List[int]) -> str:
         return self.tokenizer.decode(ids)
+
+    def build_prompt_ids(self, prompt: str, template: bool) -> List[int]:
+        """Arch-appropriate prompt construction (reference:
+        infer/main_cli.c:266-278 applies the Nano instruct template for
+        Nano models and the Qwen chat template for Qwen models)."""
+        if not template:
+            return self.encode(prompt)
+        if self.arch in ("qwen2", "qwen3"):
+            return self.tokenizer.apply_chat_template(
+                prompt, enable_thinking=self.enable_thinking)
+        return self.encode(apply_instruct_template(prompt))
 
 
 # =====================================================================
@@ -209,11 +230,9 @@ class Session:
                  max_new_tokens: Optional[int] = None,
                  template: bool = False):
         self.ctx = ctx
-        if template:
-            prompt = apply_instruct_template(prompt)
-        self.prompt_ids = ctx.encode(prompt)
+        self.prompt_ids = ctx.build_prompt_ids(prompt, template)
         if len(self.prompt_ids) == 0:
-            self.prompt_ids = [ctx.tokenizer.bos_id]
+            self.prompt_ids = [getattr(ctx.tokenizer, "bos_id", 0)]
         if len(self.prompt_ids) >= ctx.max_seq_len:
             self.prompt_ids = self.prompt_ids[-(ctx.max_seq_len - 1):]
 

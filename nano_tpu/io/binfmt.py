@@ -169,10 +169,16 @@ class BinHeader:
             n_kv_head=self.n_kv_head, n_hidden=self.n_hidden,
             head_dim=self.head_dim,
             tie_embeddings=self.shared_classifier)
+        # norm_eps is not stored in the header; Qwen uses 1e-6 (HF config).
+        # The reference C engine hardcodes 1e-5 for every arch
+        # (infer/infer.c:608) — we use the model-correct value instead.
         if self.model_type == MODEL_TYPE_QWEN2:
-            kw.update(qkv_bias=True, rope_theta=1e6)
+            kw.update(qkv_bias=True, rope_theta=1e6, norm_eps=1e-6)
         elif self.model_type == MODEL_TYPE_QWEN3:
-            kw.update(use_qk_norm=True, rope_theta=1e6)
+            # Qwen3: half-split RoPE, theta 1e6, per-head q/k norm
+            # (reference: infer/infer.c:189-204,692-712,824-835)
+            kw.update(use_qk_norm=True, rope_theta=1e6, rope_style="half",
+                      norm_eps=1e-6)
         if model_type_overrides:
             kw.update(model_type_overrides)
         return ModelConfig(**kw)
@@ -226,7 +232,7 @@ def _file_order_tensors(params: Dict[str, Any], cfg: ModelConfig
 
 
 def _rope_tables(cfg: ModelConfig) -> Tuple[np.ndarray, np.ndarray]:
-    dim = cfg.n_embd // cfg.n_head  # reference uses n_embd//n_head here
+    dim = cfg.head_dim  # == n_embd//n_head for Nano; explicit for Qwen3
     freqs = 1.0 / (cfg.rope_theta ** (np.arange(0, dim, 2, dtype=np.float32)[: dim // 2] / dim))
     t = np.arange(cfg.block_size, dtype=np.float32)
     angles = np.outer(t, freqs).astype(np.float32)
@@ -251,17 +257,36 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
         quantizable.append(
             np.ascontiguousarray(np.asarray(params["output"], np.float32).T))
 
+    # arch extras written fp32 after the main matmul weights
+    # (reference: infer/infer.c:175-183, infer/tools/export_qwen.py:516-546)
+    extras: List[np.ndarray] = []
+    b = params["blocks"]
+    if model_type == MODEL_TYPE_QWEN2:
+        for name in ("bq", "bk", "bv"):
+            extras += [np.asarray(b[name][l], np.float32)
+                       for l in range(cfg.n_layer)]
+    elif model_type == MODEL_TYPE_QWEN3:
+        for name in ("q_norm", "k_norm"):
+            extras += [np.asarray(b[name][l], np.float32)
+                       for l in range(cfg.n_layer)]
+
     cos, sin = rope_tables if rope_tables is not None else _rope_tables(cfg)
+
+    if isinstance(tokenizer_config, dict):
+        tok_field = serialize_tokenizer_field(tokenizer_config)
+    else:  # BpeTokenizer
+        tok_field = tokenizer_config.serialize_field()
 
     with open(path, "wb") as f:
         if quant == "f32":
             f.write(_pack_header(model_type, cfg, shared, QUANT_F32, 0))
-            f.write(serialize_tokenizer_field(tokenizer_config))
-            # fp32 order: norms, then everything, rope in the middle slot
+            f.write(tok_field)
             for w in norms:
                 f.write(w.astype("<f4").tobytes())
             classifier = None if shared else quantizable.pop()
             for w in quantizable:
+                f.write(w.astype("<f4").tobytes())
+            for w in extras:
                 f.write(w.astype("<f4").tobytes())
             f.write(cos.astype("<f4").tobytes())
             f.write(sin.astype("<f4").tobytes())
@@ -270,7 +295,7 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
         elif quant == "q80":
             gs = pick_group_size(cfg.n_embd, group_size)
             f.write(_pack_header(model_type, cfg, shared, QUANT_Q80, gs))
-            f.write(serialize_tokenizer_field(tokenizer_config))
+            f.write(tok_field)
             for w in norms:
                 f.write(w.astype("<f4").tobytes())
             classifier = None if shared else quantizable.pop()
@@ -278,6 +303,8 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
                 q, s, _err = quantize_q80(w, gs)
                 f.write(q.tobytes())
                 f.write(s.astype("<f4").tobytes())
+            for w in extras:
+                f.write(w.astype("<f4").tobytes())
             f.write(cos.astype("<f4").tobytes())
             f.write(sin.astype("<f4").tobytes())
             if classifier is not None:
@@ -355,7 +382,13 @@ def read_model(path: str) -> BinModel:
     hdr = parse_header(data)
     if hdr.model_type == MODEL_TYPE_LORA:
         raise ValueError("use read_lora for LoRA files")
-    tok_cfg, pos = parse_tokenizer_field(data, HEADER_BYTES)
+    if hdr.model_type in (MODEL_TYPE_QWEN2, MODEL_TYPE_QWEN3):
+        from nano_tpu.tokenizer.bpe import BpeTokenizer
+        bpe, pos = BpeTokenizer.parse_field(data, HEADER_BYTES,
+                                            hdr.vocab_size)
+        tok_cfg = {"type": "bpe", "tokenizer": bpe}
+    else:
+        tok_cfg, pos = parse_tokenizer_field(data, HEADER_BYTES)
     cfg = hdr.to_model_config()
     r = _Reader(data, pos)
 
@@ -385,9 +418,18 @@ def read_model(path: str) -> BinModel:
     w2, w2_q = read_stack((E, F))
     w3, w3_q = read_stack((F, E))
 
-    rope_dim = E // H
-    rope_cos = r.f32(cfg.block_size * (rope_dim // 2)).reshape(cfg.block_size, -1)
-    rope_sin = r.f32(cfg.block_size * (rope_dim // 2)).reshape(cfg.block_size, -1)
+    # arch extras after w3 (reference: infer/infer.c:175-183)
+    extras: Dict[str, Any] = {}
+    if hdr.model_type == MODEL_TYPE_QWEN2:
+        extras["bq"] = np.stack([r.f32(H * D) for _ in range(L)])
+        extras["bk"] = np.stack([r.f32(KV * D) for _ in range(L)])
+        extras["bv"] = np.stack([r.f32(KV * D) for _ in range(L)])
+    elif hdr.model_type == MODEL_TYPE_QWEN3:
+        extras["q_norm"] = np.stack([r.f32(D) for _ in range(L)])
+        extras["k_norm"] = np.stack([r.f32(D) for _ in range(L)])
+
+    rope_cos = r.f32(cfg.block_size * (D // 2)).reshape(cfg.block_size, -1)
+    rope_sin = r.f32(cfg.block_size * (D // 2)).reshape(cfg.block_size, -1)
 
     params: Dict[str, Any] = {
         "tok_embeddings": tok_emb,
@@ -396,6 +438,7 @@ def read_model(path: str) -> BinModel:
             "attn_norm": attn_norm, "ffn_norm": ffn_norm,
             "wq": wq, "wk": wk, "wv": wv, "wo": wo,
             "w1": w1, "w2": w2, "w3": w3,
+            **extras,
         },
     }
     qparams = None
@@ -463,6 +506,10 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True
         "wo": stack_q([qb["wo"]]),
         "w2": stack_q([qb["w2"]]),
     }
+    # fp32 arch extras (Qwen2 biases / Qwen3 qk-norms) pass through
+    for name in ("q_norm", "k_norm", "bq", "bk", "bv"):
+        if name in bm.params["blocks"]:
+            blocks[name] = jnp.asarray(bm.params["blocks"][name])
     if fuse:
         blocks["wqkv"] = stack_q([qb["wq"], qb["wk"], qb["wv"]])
         blocks["w13"] = stack_q([qb["w1"], qb["w3"]])

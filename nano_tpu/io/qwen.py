@@ -1,0 +1,136 @@
+"""HuggingFace Qwen2.5 / Qwen3 -> .bin converter.
+
+Capability parity with the reference converter (reference:
+infer/tools/export_qwen.py:639-750): reads a HF checkpoint directory
+(config.json + *.safetensors + tokenizer.json), maps weights into the
+.bin layout (no rotary permute — Qwen3 uses half-split RoPE natively,
+the commented-out permute_reverse at export_qwen.py:674-695 is Qwen2
+legacy), serializes the BPE vocab with merge-rank scores, and writes
+model_type 2/3 files in F32 or Q80.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.io import binfmt
+from nano_tpu.tokenizer.bpe import BpeTokenizer
+
+
+def _load_safetensors(hf_dir: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    tensors: Dict[str, np.ndarray] = {}
+    files = sorted(glob(os.path.join(hf_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors in {hf_dir}")
+    for path in files:
+        with safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                tensors[k] = f.get_tensor(k)
+    return tensors
+
+
+def _to_f32(x: np.ndarray) -> np.ndarray:
+    if x.dtype == np.uint16:  # bfloat16 stored raw
+        return (x.astype(np.uint32) << 16).view(np.float32)
+    try:
+        return np.asarray(x, np.float32)
+    except TypeError:
+        import torch
+        return torch.from_numpy(x).float().numpy()
+
+
+def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
+                 ) -> tuple[ModelConfig, Dict[str, Any], int]:
+    """-> (ModelConfig, params pytree in our layout, model_type)."""
+    with open(os.path.join(hf_dir, "config.json"), "r") as f:
+        hc = json.load(f)
+    arch = hc.get("model_type", "qwen3")
+    model_type = (binfmt.MODEL_TYPE_QWEN3 if arch.startswith("qwen3")
+                  else binfmt.MODEL_TYPE_QWEN2)
+
+    block_size = hc["max_position_embeddings"]
+    if max_seq_len:
+        block_size = min(block_size, max_seq_len)
+    cfg = ModelConfig(
+        block_size=block_size,
+        vocab_size=hc["vocab_size"],
+        n_layer=hc["num_hidden_layers"],
+        n_embd=hc["hidden_size"],
+        n_head=hc["num_attention_heads"],
+        n_kv_head=hc["num_key_value_heads"],
+        n_hidden=hc["intermediate_size"],
+        norm_eps=hc.get("rms_norm_eps", 1e-6),
+        rope_theta=hc.get("rope_theta", 1e6),
+        head_dim=hc.get("head_dim"),
+        use_qk_norm=(model_type == binfmt.MODEL_TYPE_QWEN3),
+        qkv_bias=(model_type == binfmt.MODEL_TYPE_QWEN2),
+        rope_style=("half" if model_type == binfmt.MODEL_TYPE_QWEN3
+                    else "interleaved"),
+        tie_embeddings=hc.get("tie_word_embeddings", False),
+    )
+
+    t = _load_safetensors(hf_dir)
+
+    def get(name):
+        key = name if name in t else "model." + name
+        return _to_f32(t[key])
+
+    L = cfg.n_layer
+
+    def stack_T(fmt):
+        return np.stack([np.ascontiguousarray(get(fmt.format(l)).T)
+                         for l in range(L)])
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(l)) for l in range(L)])
+
+    blocks: Dict[str, Any] = {
+        "attn_norm": stack("layers.{}.input_layernorm.weight"),
+        "ffn_norm": stack("layers.{}.post_attention_layernorm.weight"),
+        "wq": stack_T("layers.{}.self_attn.q_proj.weight"),
+        "wk": stack_T("layers.{}.self_attn.k_proj.weight"),
+        "wv": stack_T("layers.{}.self_attn.v_proj.weight"),
+        "wo": stack_T("layers.{}.self_attn.o_proj.weight"),
+        "w1": stack_T("layers.{}.mlp.gate_proj.weight"),
+        "w2": stack_T("layers.{}.mlp.down_proj.weight"),
+        "w3": stack_T("layers.{}.mlp.up_proj.weight"),
+    }
+    if model_type == binfmt.MODEL_TYPE_QWEN3:
+        blocks["q_norm"] = stack("layers.{}.self_attn.q_norm.weight")
+        blocks["k_norm"] = stack("layers.{}.self_attn.k_norm.weight")
+    else:
+        blocks["bq"] = stack("layers.{}.self_attn.q_proj.bias")
+        blocks["bk"] = stack("layers.{}.self_attn.k_proj.bias")
+        blocks["bv"] = stack("layers.{}.self_attn.v_proj.bias")
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": get("embed_tokens.weight"),
+        "norm": get("norm.weight"),
+        "blocks": blocks,
+    }
+    if not cfg.tie_embeddings:
+        lm = t.get("lm_head.weight")
+        if lm is None:
+            lm = get("embed_tokens.weight")
+        params["output"] = np.ascontiguousarray(_to_f32(lm).T)
+    return cfg, params, model_type
+
+
+def convert_hf_qwen(hf_dir: str, out_path: str, quant: str = "f32",
+                    group_size: int = 64,
+                    max_seq_len: Optional[int] = None) -> ModelConfig:
+    """HF checkpoint dir -> self-contained .bin (reference default Q80
+    group size for Qwen is 64, export_qwen.py --gs)."""
+    cfg, params, model_type = load_hf_qwen(hf_dir, max_seq_len)
+    tok_path = os.path.join(hf_dir, "tokenizer.json")
+    tokenizer = BpeTokenizer.from_hf_tokenizer_json(tok_path, cfg.vocab_size)
+    binfmt.write_model(out_path, params, cfg, tokenizer, quant=quant,
+                       group_size=group_size, model_type=model_type)
+    return cfg

@@ -52,22 +52,33 @@ def precompute_rope(head_dim: int, end: int, theta: float = 10000.0
     return jnp.cos(angles), jnp.sin(angles)
 
 
-def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               style: str = "interleaved") -> jnp.ndarray:
     """Rotate (..., S, H, D) by position tables (S, D//2).
 
-    Pairs are interleaved: (x[2i], x[2i+1]) is one complex number, matching
-    the reference layout so exported weights are interchangeable.
+    interleaved: (x[2i], x[2i+1]) pairs (Nano/Qwen2 layout, so exported
+    weights are interchangeable with the reference engine).
+    half: (x[i], x[i+D/2]) pairs (Qwen3/HF rotate_half layout).
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    xr = xf[..., 0::2]
-    xi = xf[..., 1::2]
     # cos/sin: (S, D/2) -> broadcast over batch and heads: (S, 1, D/2)
     cos = cos[:, None, :]
     sin = sin[:, None, :]
-    or_ = xr * cos - xi * sin
-    oi_ = xr * sin + xi * cos
-    out = jnp.stack([or_, oi_], axis=-1).reshape(x.shape)
+    if style == "interleaved":
+        xr = xf[..., 0::2]
+        xi = xf[..., 1::2]
+        or_ = xr * cos - xi * sin
+        oi_ = xr * sin + xi * cos
+        out = jnp.stack([or_, oi_], axis=-1).reshape(x.shape)
+    elif style == "half":
+        D = x.shape[-1]
+        x1 = xf[..., :D // 2]
+        x2 = xf[..., D // 2:]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                              axis=-1)
+    else:
+        raise ValueError(f"unknown rope style {style}")
     return out.astype(dtype)
 
 
@@ -204,8 +215,8 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
 
     if cos is not None:
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
 
     new_cache = None
     if kv_cache is not None:

@@ -1,0 +1,205 @@
+"""Byte-level BPE tokenizer for converted Qwen2.5/Qwen3 models.
+
+Behavior parity with the reference C tokenizer (reference:
+infer/tokenizer.c:14-262): vocabulary of byte-strings with merge-rank
+scores (score = -(1+merge_index), so earlier merges win); encoding splits
+UTF-8 text into codepoint-level tokens (byte fallback for unknowns) and
+repeatedly merges the best-scoring adjacent pair; the Qwen chat template
+is applied with hard-coded special ids, including the enable_thinking
+switch (infer/tokenizer.c:214-262).
+
+Implementation is new: instead of re-concatenating strings and bsearching
+the whole vocab per candidate pair (O(n^2) per merge round in the C
+code), we precompute a (left_id, right_id) -> (score, merged_id) map and
+scan with it.
+
+The vocab+scores serialization matches the reference .bin field written
+by infer/tools/export_qwen.py:362-436:
+    u32 field_bytes, u32 max_token_length,
+    then per token: f32 score, u32 len, len bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Dict, List, Optional, Tuple
+
+# Qwen special token ids (reference: infer/tokenizer.c:233-258,
+# infer/infer.c stop ids 151643/151645)
+QWEN_ENDOFTEXT = 151643
+QWEN_IM_START = 151644
+QWEN_IM_END = 151645
+QWEN_THINK_OPEN = 151667
+QWEN_THINK_CLOSE = 151668
+QWEN_USER = 872
+QWEN_ASSISTANT = 77091
+QWEN_NEWLINE = 198
+
+QWEN_STOP_TOKENS = (QWEN_ENDOFTEXT, QWEN_IM_END)
+
+
+def gpt2_bytes_to_unicode() -> Dict[int, str]:
+    """The GPT-2 printable-byte mapping (public domain construction)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class BpeTokenizer:
+    """Byte-level BPE with merge-rank scores."""
+
+    def __init__(self, vocab: List[bytes], scores: List[float]):
+        assert len(vocab) == len(scores)
+        self.vocab = vocab
+        self.scores = scores
+        self.vocab_size = len(vocab)
+        self.max_token_length = max((len(t) for t in vocab), default=0)
+        self.stoi: Dict[bytes, int] = {}
+        for i, t in enumerate(vocab):
+            # first occurrence wins (C bsearch over sorted unique strings)
+            self.stoi.setdefault(t, i)
+        # (left, right) -> (score, merged_id)
+        self._pair_merge: Dict[Tuple[int, int], Tuple[float, int]] = {}
+        self._build_pairs()
+
+    def _build_pairs(self) -> None:
+        # candidate merged tokens are exactly vocab entries with len >= 2;
+        # enumerate splits to find constituent pairs present in the vocab
+        for merged, mid in self.stoi.items():
+            if len(merged) < 2:
+                continue
+            score = self.scores[mid]
+            for cut in range(1, len(merged)):
+                l = self.stoi.get(merged[:cut])
+                r = self.stoi.get(merged[cut:])
+                if l is None or r is None:
+                    continue
+                key = (l, r)
+                prev = self._pair_merge.get(key)
+                if prev is None or score > prev[0]:
+                    self._pair_merge[key] = (score, mid)
+
+    # ---------------- encode / decode ----------------
+
+    def _initial_tokens(self, text: str) -> List[int]:
+        """Codepoint-level split with byte fallback
+        (reference: infer/tokenizer.c:132-171)."""
+        out: List[int] = []
+        for ch in text:
+            b = ch.encode("utf-8")
+            tid = self.stoi.get(b)
+            if tid is not None:
+                out.append(tid)
+            else:
+                # byte fallback: +3 offset per llama2.c legacy
+                out.extend((x + 3) for x in b)
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        tokens = self._initial_tokens(text)
+        # greedy best-pair merge (reference: infer/tokenizer.c:174-211)
+        while len(tokens) > 1:
+            best_score = -1e10
+            best_idx = -1
+            best_id = -1
+            for i in range(len(tokens) - 1):
+                m = self._pair_merge.get((tokens[i], tokens[i + 1]))
+                if m is not None and m[0] > best_score:
+                    best_score, best_id = m
+                    best_idx = i
+            if best_idx < 0:
+                break
+            tokens[best_idx:best_idx + 2] = [best_id]
+        return tokens
+
+    def decode(self, ids: List[int]) -> str:
+        return b"".join(self.vocab[i] for i in ids).decode("utf-8",
+                                                           errors="replace")
+
+    # ---------------- chat template ----------------
+
+    def apply_chat_template(self, user_prompt: str,
+                            enable_thinking: bool = False) -> List[int]:
+        """<|im_start|>user\\n PROMPT <|im_end|>\\n<|im_start|>assistant\\n
+        [+ empty <think> block when thinking disabled]
+        (reference: infer/tokenizer.c:214-262)."""
+        ids = [QWEN_IM_START, QWEN_USER, QWEN_NEWLINE]
+        ids += self.encode(user_prompt)
+        ids += [QWEN_IM_END, QWEN_NEWLINE, QWEN_IM_START, QWEN_ASSISTANT,
+                QWEN_NEWLINE]
+        if not enable_thinking:
+            ids += [QWEN_THINK_OPEN, QWEN_NEWLINE, QWEN_NEWLINE,
+                    QWEN_THINK_CLOSE, QWEN_NEWLINE, QWEN_NEWLINE]
+        return ids
+
+    # ---------------- .bin field (de)serialization ----------------
+
+    def serialize_field(self) -> bytes:
+        buf = io.BytesIO()
+        total = 8 + sum(8 + len(t) for t in self.vocab)
+        buf.write(struct.pack("<II", total, self.max_token_length))
+        for t, s in zip(self.vocab, self.scores):
+            buf.write(struct.pack("<fI", s, len(t)))
+            buf.write(t)
+        return buf.getvalue()
+
+    @classmethod
+    def parse_field(cls, data: bytes, offset: int, vocab_size: int
+                    ) -> Tuple["BpeTokenizer", int]:
+        total, _max_len = struct.unpack_from("<II", data, offset)
+        pos = offset + 8
+        vocab: List[bytes] = []
+        scores: List[float] = []
+        for _ in range(vocab_size):
+            s, ln = struct.unpack_from("<fI", data, pos)
+            pos += 8
+            vocab.append(bytes(data[pos:pos + ln]))
+            pos += ln
+            scores.append(s)
+        assert pos - offset == total, "BPE tokenizer field length mismatch"
+        return cls(vocab, scores), pos
+
+    # ---------------- HF tokenizer.json import ----------------
+
+    @classmethod
+    def from_hf_tokenizer_json(cls, path: str, vocab_size: int
+                               ) -> "BpeTokenizer":
+        """Build from a HF tokenizer.json (reference:
+        infer/tools/export_qwen.py:362-409): merge index -> negative score,
+        GPT-2 printable-unicode decoded back to raw bytes."""
+        with open(path, "r", encoding="utf-8") as f:
+            tok = json.load(f)
+        model = tok["model"]
+        vocab_map = model["vocab"]
+        tokens: List[str] = [""] * vocab_size
+        scores: List[float] = [0.0] * vocab_size
+        for t, i in vocab_map.items():
+            tokens[i] = t
+        for added in tok.get("added_tokens", []):
+            tokens[added["id"]] = added["content"]
+        for i, m in enumerate(model["merges"]):
+            t1, t2 = (m[0], m[1]) if isinstance(m, list) else m.split(" ", 1)
+            ti = vocab_map.get(t1 + t2)
+            if ti is not None and scores[ti] == 0:
+                scores[ti] = -(1 + i)
+        gpt2_decode = {v: k for k, v in gpt2_bytes_to_unicode().items()}
+        byte_fallback = model.get("byte_fallback", False)
+        vocab_bytes: List[bytes] = []
+        for t in tokens:
+            if not byte_fallback:
+                b = bytes(gpt2_decode.get(c, 0) for c in t)
+            else:
+                b = t.encode("utf-8")
+            b = b.replace(b"\0", b"\7")
+            vocab_bytes.append(b)
+        return cls(vocab_bytes, scores)
