@@ -36,10 +36,15 @@ def import_reference_module(name: str):
     (blobfile), and keeps sys.path/module namespace clean.
     """
     import importlib
+    import importlib.machinery
     import types
 
     if "blobfile" not in sys.modules:
-        sys.modules["blobfile"] = types.ModuleType("blobfile")
+        stub = types.ModuleType("blobfile")
+        # give the stub a real spec so importlib.util.find_spec (used by
+        # transformers' dependency probing) doesn't raise
+        stub.__spec__ = importlib.machinery.ModuleSpec("blobfile", None)
+        sys.modules["blobfile"] = stub
 
     sys.path.insert(0, REFERENCE_DIR)
     try:
