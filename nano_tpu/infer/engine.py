@@ -163,7 +163,8 @@ class LLMContext:
         dequantizes everything to `dtype` at load."""
         bm = binfmt.read_model(path)
         if quantized is None:
-            quantized = bm.header.quant_type == binfmt.QUANT_Q80
+            quantized = bm.header.quant_type in (binfmt.QUANT_Q80,
+                                                 binfmt.QUANT_Q4K)
         if quantized:
             params = binfmt.quantized_device_params(bm)
         else:

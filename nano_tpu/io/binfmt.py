@@ -311,6 +311,40 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
                 q, s, _err = quantize_q80(classifier, gs)
                 f.write(q.tobytes())
                 f.write(s.astype("<f4").tobytes())
+        elif quant == "q4k":
+            # Q4K layout (reference: infer/tools/export_q4k.c:28-224,
+            # infer/infer.c:140-216): f32 norms, then EIGHT self-describing
+            # stacked Q4K tensor frames (tok_emb 2-D; wq..w3 3-D with a
+            # leading layer axis), then arch extras, then RoPE tables for
+            # Nano/Qwen2 only.  The classifier is always the shared
+            # embedding (infer/infer.c:210-212), and the reference repack
+            # tool drops Qwen2's qkv biases — so Q4K supports Nano/Qwen3
+            # shared-classifier models only.
+            from nano_tpu.ops.q4k import pack_tensor_frame
+            if not shared:
+                raise ValueError("Q4K requires a shared classifier")
+            if model_type == MODEL_TYPE_QWEN2:
+                raise ValueError("Q4K does not support Qwen2 (reference "
+                                 "drops its qkv biases)")
+            f.write(_pack_header(model_type, cfg, shared, QUANT_Q4K, 0))
+            f.write(tok_field)
+            for w in norms:
+                f.write(w.astype("<f4").tobytes())
+            bl = params["blocks"]
+
+            def stacked_T(name):  # ours (L, in, out) -> file (L, out, in)
+                arr = np.asarray(bl[name], np.float32)
+                return np.ascontiguousarray(arr.transpose(0, 2, 1))
+
+            f.write(pack_tensor_frame(
+                np.asarray(params["tok_embeddings"], np.float32)))
+            for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+                f.write(pack_tensor_frame(stacked_T(name)))
+            for w in extras:
+                f.write(w.astype("<f4").tobytes())
+            if model_type == MODEL_TYPE_NANO:
+                f.write(cos.astype("<f4").tobytes())
+                f.write(sin.astype("<f4").tobytes())
         else:
             raise ValueError(f"unsupported quant: {quant}")
 
@@ -345,6 +379,19 @@ class QuantTensor:
     def dequantize(self) -> np.ndarray:
         return dequantize_q80(self.q.reshape(-1), self.scale,
                               self.group_size).reshape(self.q.shape)
+
+
+@dataclass
+class Q4KFrame:
+    """One self-describing Q4K tensor frame as stored in the file."""
+    blocks: np.ndarray          # (nb, 160) uint8
+    shape: Tuple[int, ...]
+
+    def dequantize(self) -> np.ndarray:
+        from nano_tpu.ops.q4k import dequantize_lines_np
+        rows = int(np.prod(self.shape[:-1])) if len(self.shape) > 1 else 1
+        return dequantize_lines_np(self.blocks, rows,
+                                   self.shape[-1]).reshape(self.shape)
 
 
 @dataclass
@@ -399,6 +446,10 @@ def read_model(path: str) -> BinModel:
     attn_norm = np.stack([r.f32(E) for _ in range(L)])
     ffn_norm = np.stack([r.f32(E) for _ in range(L)])
     final_norm = r.f32(E)
+
+    if hdr.quant_type == QUANT_Q4K:
+        return _read_model_q4k(data, hdr, cfg, tok_cfg, r,
+                               attn_norm, ffn_norm, final_norm)
 
     def read_stack(shape_out_in):
         """L matrices stored (out, in); return stacked (L, in, out) + quants."""
@@ -460,6 +511,104 @@ def read_model(path: str) -> BinModel:
                     rope_cos=rope_cos, rope_sin=rope_sin)
 
 
+def _read_model_q4k(data: bytes, hdr: BinHeader, cfg: ModelConfig,
+                    tok_cfg: dict, r: _Reader,
+                    attn_norm, ffn_norm, final_norm) -> "BinModel":
+    """Q4K tail: 8 stacked tensor frames, extras, RoPE for Nano/Qwen2
+    (reference: infer/infer.c:140-216, infer/tools/export_q4k.c)."""
+    from nano_tpu.ops.q4k import parse_tensor_frame
+
+    L, E, V = cfg.n_layer, cfg.n_embd, cfg.vocab_size
+    H, KV, D, F = cfg.n_head, cfg.n_kv_head, cfg.head_dim, cfg.n_hidden
+
+    order = [("tok_embeddings", (V, E)), ("wq", (L, H * D, E)),
+             ("wk", (L, KV * D, E)), ("wv", (L, KV * D, E)),
+             ("wo", (L, E, H * D)), ("w1", (L, F, E)),
+             ("w2", (L, E, F)), ("w3", (L, F, E))]
+    frames: Dict[str, Q4KFrame] = {}
+    for name, shape in order:
+        blocks, fshape, r.pos = parse_tensor_frame(data, r.pos)
+        assert fshape == shape, (name, fshape, shape)
+        frames[name] = Q4KFrame(blocks=blocks, shape=shape)
+
+    extras: Dict[str, Any] = {}
+    if hdr.model_type == MODEL_TYPE_QWEN3:
+        extras["q_norm"] = np.stack([r.f32(D) for _ in range(L)])
+        extras["k_norm"] = np.stack([r.f32(D) for _ in range(L)])
+    elif hdr.model_type == MODEL_TYPE_QWEN2:
+        raise ValueError("Q4K Qwen2 files are not well-formed "
+                         "(reference drops the qkv biases)")
+
+    if hdr.model_type == MODEL_TYPE_NANO:
+        rope_cos = r.f32(cfg.block_size * (D // 2)).reshape(cfg.block_size, -1)
+        rope_sin = r.f32(cfg.block_size * (D // 2)).reshape(cfg.block_size, -1)
+    else:  # Qwen3 recomputes theta=1e6 tables (infer/infer.c:189-204)
+        rope_cos, rope_sin = _rope_tables(cfg)
+
+    def deq_T(name):  # (L, out, in) -> ours (L, in, out)
+        return np.ascontiguousarray(
+            frames[name].dequantize().transpose(0, 2, 1))
+
+    params: Dict[str, Any] = {
+        "tok_embeddings": frames["tok_embeddings"].dequantize(),
+        "norm": final_norm,
+        "blocks": {
+            "attn_norm": attn_norm, "ffn_norm": ffn_norm,
+            "wq": deq_T("wq"), "wk": deq_T("wk"), "wv": deq_T("wv"),
+            "wo": deq_T("wo"), "w1": deq_T("w1"), "w2": deq_T("w2"),
+            "w3": deq_T("w3"), **extras,
+        },
+    }
+    qparams = {"tok_embeddings": frames["tok_embeddings"],
+               "blocks": {n: frames[n] for n in
+                          ("wq", "wk", "wv", "wo", "w1", "w2", "w3")}}
+    return BinModel(header=hdr, config=cfg, tokenizer_config=tok_cfg,
+                    params=params, qparams=qparams,
+                    rope_cos=rope_cos, rope_sin=rope_sin)
+
+
+def _q4k_device_params(bm: "BinModel", fuse: bool) -> Dict[str, Any]:
+    """Q4K frames -> device pytree of stacked Q4KTensors (SoA re-layout)."""
+    from nano_tpu.ops.q4k import Q4KTensor
+    import jax.numpy as jnp
+
+    L = bm.config.n_layer
+
+    def per_layer(frame: Q4KFrame):
+        Lf, out, inn = frame.shape
+        blocks = frame.blocks.reshape(Lf, -1, 160)
+        return [Q4KTensor.from_blocks(blocks[l], out, inn)
+                for l in range(Lf)]
+
+    qb = bm.qparams["blocks"]
+    layers = {n: per_layer(qb[n]) for n in
+              ("wq", "wk", "wv", "wo", "w1", "w2", "w3")}
+
+    blocks: Dict[str, Any] = {
+        "attn_norm": jnp.asarray(bm.params["blocks"]["attn_norm"]),
+        "ffn_norm": jnp.asarray(bm.params["blocks"]["ffn_norm"]),
+        "wo": Q4KTensor.stack(layers["wo"]),
+        "w2": Q4KTensor.stack(layers["w2"]),
+    }
+    for name in ("q_norm", "k_norm"):
+        if name in bm.params["blocks"]:
+            blocks[name] = jnp.asarray(bm.params["blocks"][name])
+    if fuse:
+        blocks["wqkv"] = Q4KTensor.stack(
+            [Q4KTensor.concat_out([layers["wq"][l], layers["wk"][l],
+                                   layers["wv"][l]]) for l in range(L)])
+        blocks["w13"] = Q4KTensor.stack(
+            [Q4KTensor.concat_out([layers["w1"][l], layers["w3"][l]])
+             for l in range(L)])
+    else:
+        blocks.update({n: Q4KTensor.stack(layers[n])
+                       for n in ("wq", "wk", "wv", "w1", "w3")})
+    V, E = bm.config.vocab_size, bm.config.n_embd
+    tok = Q4KTensor.from_blocks(bm.qparams["tok_embeddings"].blocks, V, E)
+    return {"tok_embeddings": tok,
+            "norm": jnp.asarray(bm.params["norm"]), "blocks": blocks}
+
+
 def quantized_device_params(bm: "BinModel", fuse: bool = True
                             ) -> Dict[str, Any]:
     """Build a device params pytree keeping matmul weights quantized.
@@ -476,6 +625,8 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True
     import jax.numpy as jnp
 
     assert bm.qparams is not None, "not a quantized model file"
+    if bm.header.quant_type == QUANT_Q4K:
+        return _q4k_device_params(bm, fuse)
     gs = bm.header.group_size
 
     def stack_q(qt_lists) -> Q80Tensor:
@@ -525,6 +676,23 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True
     if "output" in bm.qparams:
         params["output"] = single_q(bm.qparams["output"])
     return params
+
+
+def repack(in_path: str, out_path: str, quant: str = "q4k",
+           group_size: int = 128) -> None:
+    """Re-quantize an existing .bin into another quant type (the
+    reference ships this as a C tool for Q4K, infer/tools/export_q4k.c).
+
+    RoPE tables are copied verbatim so re-exports stay bit-identical with
+    what the source file's engine computes.
+    """
+    bm = read_model(in_path)
+    tok = bm.tokenizer_config
+    if isinstance(tok, dict) and tok.get("type") == "bpe":
+        tok = tok["tokenizer"]
+    write_model(out_path, bm.params, bm.config, tok, quant=quant,
+                group_size=group_size, model_type=bm.header.model_type,
+                rope_tables=(bm.rope_cos, bm.rope_sin))
 
 
 # =====================================================================

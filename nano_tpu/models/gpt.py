@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from nano_tpu.config import ModelConfig
 from nano_tpu.ops.qmatmul import Q80Tensor, q80_matmul
+from nano_tpu.ops.q4k import Q4KTensor, q4k_matmul
 
 Params = Dict[str, Any]
 
@@ -102,6 +103,8 @@ def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
     """
     if isinstance(w, Q80Tensor):
         return q80_matmul(x, w, dtype)
+    if isinstance(w, Q4KTensor):
+        return q4k_matmul(x, w, dtype)
     return jnp.dot(x.astype(dtype), w.astype(dtype),
                    preferred_element_type=dtype)
 
@@ -119,6 +122,8 @@ def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
         deq = (q.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // g, g)
                * s[..., None]).reshape(shape)
         return deq.astype(dtype)
+    if isinstance(w, Q4KTensor):
+        return w.dequantize_rows(idx, dtype)
     return w[idx].astype(dtype)
 
 
@@ -128,12 +133,12 @@ def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
     w = params.get("output")
     if w is None:
         w = params["tok_embeddings"]
-        if isinstance(w, Q80Tensor):
-            return q80_matmul(h, w, jnp.float32)
+        if isinstance(w, (Q80Tensor, Q4KTensor)):
+            return _dense(h, w, jnp.float32)
         return jnp.dot(h, w.T.astype(dtype),
                        preferred_element_type=jnp.float32)
-    if isinstance(w, Q80Tensor):
-        return q80_matmul(h, w, jnp.float32)
+    if isinstance(w, (Q80Tensor, Q4KTensor)):
+        return _dense(h, w, jnp.float32)
     return jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
 
 

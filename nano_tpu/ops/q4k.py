@@ -1,0 +1,512 @@
+"""Q4K 4-bit k-quant: host-side bit-exact pack/unpack + fused TPU matmul.
+
+Implements the reference's Q4K scheme (reference: infer/tensor.c:71-483,
+infer/tensor.h:95-135): the last axis of a tensor is split into 256-value
+blocks; each block holds 8 sub-groups of 32 values quantized asymmetrically
+to 4 bits (``x ~= v * s_g - b_g``, ``b_g >= 0``), with the 8 per-group
+scales/biases themselves quantized to 6 bits against two per-block fp32
+super-scales.  One block = 160 bytes: u32 header, u32 length, u32 meta,
+f32 s_scale, f32 s_bias, 12 B packed 6-bit scale/bias table, 128 B packed
+nibbles.  A packed tensor frame is: u64 total_bytes, u32 header, u32 ndim,
+u32 shape[6], u32 num_blocks, then blocks (reference: infer/tensor.c:71-110).
+
+The reference also quantizes the *activation* to Q4K before every quantized
+matmul (reference: infer/infer.c:781-785,930-933) and computes the dot in
+expanded integer form (infer/tensor.c:359-434); that expansion is exactly
+``sum(dequant(w) * dequant(x))``, so this module reproduces it as
+``fake_quant_act`` (quantize->dequantize the activation with identical
+rounding) followed by an f32 dot — integer/rounding decisions are
+bit-exact, only the f32 accumulation order differs.
+
+TPU-native design: weights stay packed in HBM as one nibble-pair byte per
+two values (0.5 B/value) plus f32 per-group scales/biases (0.25 B/value);
+a Pallas kernel DMAs a (TILE_O, n/2) uint8 tile, unpacks nibbles and
+applies ``v*s-b`` in VMEM, and feeds the MXU in f32.  To avoid an in-kernel
+nibble interleave, bytes are re-laid out at load time so the low nibbles of
+a 16-byte group hold values 0..15 of that group and the high nibbles hold
+values 16..31 — the activation is permuted identically outside the kernel
+(a shared permutation of the contraction axis leaves the dot invariant).
+
+NOTE on a reference divergence: for line lengths > 256 that are not
+multiples of 256, the reference indexes partial blocks at ``j*d`` instead
+of ``j*256`` (infer/tensor.c:307,339) — a bug its models never hit (all
+real dims are multiples of 256).  This module uses correct offsets;
+cross-engine parity tests therefore stick to dims that are <= 256 or
+multiples of 256.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_LEN = 256
+GROUP_LEN = 32
+GROUPS_PER_BLOCK = 8
+BLOCK_BYTES = 160
+QUANT_TYPE_Q4K = 0x42
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+_FLT_TRUE_MIN = np.float32(1.401298464324817e-45)  # smallest denormal
+_MAGIC = np.float32(12582912.0)  # 1.5 * 2**23
+
+
+# =====================================================================
+# rounding — bit-exact with the C engine's nearest_int
+# (reference: infer/tensor.c:4-9: add 1.5*2^23, read mantissa bits)
+# =====================================================================
+
+def nearest_int_np(x: np.ndarray) -> np.ndarray:
+    val = (np.asarray(x, np.float32) + _MAGIC).view(np.int32)
+    return (val & 0x007FFFFF) - 0x00400000
+
+
+def nearest_int_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    val = jax.lax.bitcast_convert_type(
+        x.astype(jnp.float32) + _MAGIC, jnp.int32)
+    return (val & 0x007FFFFF) - 0x00400000
+
+
+# =====================================================================
+# host-side quantize / pack (numpy, vectorized over blocks)
+# =====================================================================
+
+def _n_blocks_per_line(n: int) -> int:
+    return -(-n // BLOCK_LEN)
+
+
+def _group_params_np(vals: np.ndarray, valid: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-group (s, b) from (nb, 8, 32) values + validity mask.
+
+    Matches the C loop semantics (infer/tensor.c:157-170): max starts at
+    FLT_TRUE_MIN, min at FLT_MAX, only valid values update them.
+    """
+    vmax = np.max(np.where(valid, vals, -_FLT_MAX), axis=-1)
+    vmax = np.maximum(vmax, _FLT_TRUE_MIN).astype(np.float32)
+    vmin = np.min(np.where(valid, vals, _FLT_MAX), axis=-1).astype(np.float32)
+    neg = vmin <= np.float32(0.0)
+    s = np.where(neg, (vmax - vmin) / np.float32(15.0),
+                 vmax / np.float32(15.0)).astype(np.float32)
+    b = np.where(neg, -vmin, np.float32(0.0)).astype(np.float32)
+    return s, b
+
+
+def quantize_lines_np(lines: np.ndarray) -> np.ndarray:
+    """(rows, n) f32 -> (rows * n_blocks_per_line, 160) uint8 blocks."""
+    lines = np.ascontiguousarray(lines, np.float32)
+    rows, n = lines.shape
+    nbpl = _n_blocks_per_line(n)
+    npad = nbpl * BLOCK_LEN
+    x = np.zeros((rows, npad), np.float32)
+    x[:, :n] = lines
+    valid = np.zeros((npad,), bool)
+    valid[:n] = True
+
+    nb = rows * nbpl
+    vals = x.reshape(nb, GROUPS_PER_BLOCK, GROUP_LEN)
+    vmask = np.broadcast_to(
+        valid.reshape(nbpl, GROUPS_PER_BLOCK, GROUP_LEN), (rows, nbpl, GROUPS_PER_BLOCK, GROUP_LEN)
+    ).reshape(nb, GROUPS_PER_BLOCK, GROUP_LEN)
+
+    s, b = _group_params_np(vals, vmask)                       # (nb, 8)
+
+    # 4-bit values: nearest_int((x+b)/s) & 0xF, 0 where s==0 or invalid
+    safe_s = np.where(s == 0.0, np.float32(1.0), s)
+    v = nearest_int_np((vals + b[..., None]).astype(np.float32)
+                       / safe_s[..., None]) & 0x0F
+    v = np.where((s[..., None] == 0.0) | ~vmask, 0, v).astype(np.uint8)
+    v = v.reshape(nb, BLOCK_LEN)
+
+    # 6-bit quantization of s/b against per-block super-scales
+    s_max = s.max(axis=1).astype(np.float32)
+    b_max = np.maximum(b.max(axis=1), _FLT_TRUE_MIN).astype(np.float32)
+    # C initializes b_max at FLT_TRUE_MIN, so all-zero biases still give a
+    # tiny positive s_bias (reference: infer/tensor.c:209-219)
+    s_max = np.maximum(s_max, _FLT_TRUE_MIN).astype(np.float32)
+    s_scale = (s_max / np.float32(63.0)).astype(np.float32)
+    s_bias = (b_max / np.float32(63.0)).astype(np.float32)
+    safe_ss = np.where(s_scale == 0.0, np.float32(1.0), s_scale)
+    safe_sb = np.where(s_bias == 0.0, np.float32(1.0), s_bias)
+    sq = np.where(s_scale[:, None] == 0.0, 0,
+                  nearest_int_np(s / safe_ss[:, None]) & 0x3F).astype(np.uint8)
+    bq = np.where(s_bias[:, None] == 0.0, 0,
+                  nearest_int_np(b / safe_sb[:, None]) & 0x3F).astype(np.uint8)
+
+    # pack (layout: reference infer/tensor.c:228-241)
+    sb = np.zeros((nb, 12), np.uint8)
+    sb[:, 0:4] = ((sq[:, 4:8] & 0x30) << 2) | (sq[:, 0:4] & 0x3F)
+    sb[:, 4:8] = ((bq[:, 4:8] & 0x30) << 2) | (bq[:, 0:4] & 0x3F)
+    sb[:, 8:12] = ((bq[:, 4:8] & 0x0F) << 4) | (sq[:, 4:8] & 0x0F)
+
+    packed_v = (v[:, 0::2] & 0x0F) | (v[:, 1::2] << 4)          # (nb, 128)
+
+    # per-block actual length (last block of each line may be partial)
+    lens = np.full((rows, nbpl), BLOCK_LEN, np.uint32)
+    rem = n - (nbpl - 1) * BLOCK_LEN
+    lens[:, -1] = rem
+    lens = lens.reshape(nb)
+
+    blocks = np.zeros((nb, BLOCK_BYTES), np.uint8)
+    blocks[:, 0:4] = np.frombuffer(
+        np.full(nb, QUANT_TYPE_Q4K, np.uint32).tobytes(), np.uint8
+    ).reshape(nb, 4)
+    blocks[:, 4:8] = lens.astype("<u4").view(np.uint8).reshape(nb, 4)
+    # meta (bytes 8:12) left zero
+    blocks[:, 12:16] = s_scale.astype("<f4").view(np.uint8).reshape(nb, 4)
+    blocks[:, 16:20] = s_bias.astype("<f4").view(np.uint8).reshape(nb, 4)
+    blocks[:, 20:32] = sb
+    blocks[:, 32:160] = packed_v
+    return blocks
+
+
+def unpack_blocks_np(blocks: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(nb, 160) uint8 -> (values uint8 (nb,256), s f32 (nb,8), b f32 (nb,8),
+    lengths u32 (nb,)).  s/b are the *dequantized* per-group params
+    (reference: infer/tensor.c:113-141)."""
+    blocks = np.ascontiguousarray(blocks, np.uint8).reshape(-1, BLOCK_BYTES)
+    nb = blocks.shape[0]
+    lens = blocks[:, 4:8].copy().view("<u4").reshape(nb)
+    s_scale = blocks[:, 12:16].copy().view("<f4").reshape(nb)
+    s_bias = blocks[:, 16:20].copy().view("<f4").reshape(nb)
+    sb = blocks[:, 20:32]
+    sq = np.zeros((nb, 8), np.uint8)
+    bq = np.zeros((nb, 8), np.uint8)
+    sq[:, 0:4] = sb[:, 0:4] & 0x3F
+    sq[:, 4:8] = (((sb[:, 0:4] >> 6) << 4) | (sb[:, 8:12] & 0x0F)) & 0x3F
+    bq[:, 0:4] = sb[:, 4:8] & 0x3F
+    bq[:, 4:8] = (((sb[:, 4:8] >> 6) << 4) | (sb[:, 8:12] >> 4)) & 0x3F
+    s = (sq.astype(np.float32) * s_scale[:, None]).astype(np.float32)
+    b = (bq.astype(np.float32) * s_bias[:, None]).astype(np.float32)
+    pv = blocks[:, 32:160]
+    v = np.zeros((nb, BLOCK_LEN), np.uint8)
+    v[:, 0::2] = pv & 0x0F
+    v[:, 1::2] = pv >> 4
+    return v, s, b, lens
+
+
+def dequantize_lines_np(blocks: np.ndarray, rows: int, n: int) -> np.ndarray:
+    """Inverse of quantize_lines_np -> (rows, n) f32."""
+    v, s, b, _lens = unpack_blocks_np(blocks)
+    nbpl = _n_blocks_per_line(n)
+    vals = (v.reshape(-1, GROUPS_PER_BLOCK, GROUP_LEN).astype(np.float32)
+            * s[:, :, None] - b[:, :, None])
+    out = vals.reshape(rows, nbpl * BLOCK_LEN)[:, :n]
+    return np.ascontiguousarray(out, np.float32)
+
+
+# =====================================================================
+# packed tensor frame (reference: infer/tensor.c:71-110, tensor.h:129-135)
+# =====================================================================
+
+def pack_tensor_frame(t: np.ndarray) -> bytes:
+    """fp32 tensor -> self-describing Q4K frame bytes.
+
+    Lines are the last axis; all leading axes flatten to rows
+    (reference: infer/tensor.c:281-310).
+    """
+    shape = t.shape
+    assert 1 <= len(shape) <= 6
+    n = shape[-1]
+    rows = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    blocks = quantize_lines_np(np.asarray(t, np.float32).reshape(rows, n))
+    nb = blocks.shape[0]
+    total = 8 + 4 + 4 + 24 + 4 + nb * BLOCK_BYTES
+    head = np.zeros(44, np.uint8)
+    head[0:8] = np.array([total], "<u8").view(np.uint8)
+    head[8:12] = np.array([QUANT_TYPE_Q4K], "<u4").view(np.uint8)
+    head[12:16] = np.array([len(shape)], "<u4").view(np.uint8)
+    shp = np.zeros(6, "<u4")
+    shp[: len(shape)] = shape
+    head[16:40] = shp.view(np.uint8)
+    head[40:44] = np.array([nb], "<u4").view(np.uint8)
+    return head.tobytes() + blocks.tobytes()
+
+
+def parse_tensor_frame(data: bytes, offset: int
+                       ) -> Tuple[np.ndarray, Tuple[int, ...], int]:
+    """-> (blocks uint8 (nb, 160), shape, next offset)."""
+    total = int(np.frombuffer(data, "<u8", 1, offset)[0])
+    header, ndim = np.frombuffer(data, "<u4", 2, offset + 8)
+    assert header == QUANT_TYPE_Q4K, hex(header)
+    shape = tuple(int(x) for x in
+                  np.frombuffer(data, "<u4", 6, offset + 16)[:ndim])
+    nb = int(np.frombuffer(data, "<u4", 1, offset + 40)[0])
+    blocks = np.frombuffer(data, np.uint8, nb * BLOCK_BYTES,
+                           offset + 44).reshape(nb, BLOCK_BYTES)
+    assert total == 44 + nb * BLOCK_BYTES
+    return blocks, shape, offset + total
+
+
+# =====================================================================
+# device tensor (pytree) — SoA re-layout of the packed blocks
+# =====================================================================
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Q4KTensor:
+    """Q4K weight in TPU layout.
+
+    packed: uint8 (..., out, n_pad//2); byte ``g*16+j`` of a row holds
+            value ``g*32+j`` in its low nibble and value ``g*32+16+j`` in
+            its high nibble (de-interleaved at load so the kernel never
+            shuffles lanes).
+    scales/biases: f32 (..., out, n_pad//32) dequantized per-group params.
+    in_dim: true contraction length (n_pad rounds up to 256).
+    """
+    packed: jnp.ndarray
+    scales: jnp.ndarray
+    biases: jnp.ndarray
+    in_dim: int
+
+    def tree_flatten(self):
+        return (self.packed, self.scales, self.biases), self.in_dim
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(packed=children[0], scales=children[1],
+                   biases=children[2], in_dim=aux)
+
+    @property
+    def out_dim(self) -> int:
+        return self.packed.shape[-2]
+
+    @property
+    def n_pad(self) -> int:
+        return self.packed.shape[-1] * 2
+
+    @classmethod
+    def from_blocks(cls, blocks: np.ndarray, out_dim: int, in_dim: int
+                    ) -> "Q4KTensor":
+        v, s, b, _l = unpack_blocks_np(blocks)          # (nb,256),(nb,8)x2
+        nbpl = _n_blocks_per_line(in_dim)
+        npad = nbpl * BLOCK_LEN
+        v = v.reshape(out_dim, npad // GROUP_LEN, 2, GROUP_LEN // 2)
+        packed = (v[:, :, 0, :] | (v[:, :, 1, :] << 4)).reshape(
+            out_dim, npad // 2)
+        return cls(packed=jnp.asarray(packed),
+                   scales=jnp.asarray(s.reshape(out_dim, -1)),
+                   biases=jnp.asarray(b.reshape(out_dim, -1)),
+                   in_dim=in_dim)
+
+    @classmethod
+    def stack(cls, tensors) -> "Q4KTensor":
+        """List of (out, ...) Q4KTensors -> one with leading layer axis,
+        concatenating along out when given a list of lists."""
+        return cls(
+            packed=jnp.stack([t.packed for t in tensors]),
+            scales=jnp.stack([t.scales for t in tensors]),
+            biases=jnp.stack([t.biases for t in tensors]),
+            in_dim=tensors[0].in_dim)
+
+    @classmethod
+    def concat_out(cls, tensors) -> "Q4KTensor":
+        return cls(
+            packed=jnp.concatenate([t.packed for t in tensors], axis=-2),
+            scales=jnp.concatenate([t.scales for t in tensors], axis=-2),
+            biases=jnp.concatenate([t.biases for t in tensors], axis=-2),
+            in_dim=tensors[0].in_dim)
+
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        """-> (..., out, in_dim) dense weight."""
+        *lead, out, nh = self.packed.shape
+        ng = nh // (GROUP_LEN // 2)
+        p = self.packed.astype(jnp.int32)
+        lo = (p & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
+        hi = ((p >> 4) & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
+        v = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        w = v * self.scales[..., None] - self.biases[..., None]
+        w = w.reshape(*lead, out, ng * GROUP_LEN)[..., :self.in_dim]
+        return w.astype(dtype)
+
+    @classmethod
+    def quantize(cls, w_out_in: np.ndarray) -> "Q4KTensor":
+        """fp32 (out, in) -> Q4KTensor (host-side quantization)."""
+        out, inn = w_out_in.shape
+        return cls.from_blocks(quantize_lines_np(
+            np.asarray(w_out_in, np.float32)), out, inn)
+
+    def dequantize_rows(self, ids: jnp.ndarray, dtype=jnp.float32
+                        ) -> jnp.ndarray:
+        """Gather + dequantize rows (embedding lookup on a Q4K table)."""
+        sub = Q4KTensor(packed=jnp.take(self.packed, ids, axis=0),
+                        scales=jnp.take(self.scales, ids, axis=0),
+                        biases=jnp.take(self.biases, ids, axis=0),
+                        in_dim=self.in_dim)
+        return sub.dequantize(dtype)
+
+
+# =====================================================================
+# activation fake-quant (bit-exact quantize->dequantize, jnp)
+# (reference: infer/infer.c:781-785 quantizes s->xb before each matmul)
+# =====================================================================
+
+def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
+    """Quantize-dequantize the last axis with Q4K semantics -> f32."""
+    *lead, n = x.shape
+    nbpl = _n_blocks_per_line(n)
+    npad = nbpl * BLOCK_LEN
+    B = 1
+    for d in lead:
+        B *= d
+    xf = x.astype(jnp.float32).reshape(B, n)
+    if npad != n:
+        xf = jnp.pad(xf, ((0, 0), (0, npad - n)))
+    valid = (jnp.arange(npad) < n).reshape(nbpl, GROUPS_PER_BLOCK, GROUP_LEN)
+    vals = xf.reshape(B, nbpl, GROUPS_PER_BLOCK, GROUP_LEN)
+
+    vmax = jnp.max(jnp.where(valid, vals, -_FLT_MAX), axis=-1)
+    vmax = jnp.maximum(vmax, _FLT_TRUE_MIN)
+    vmin = jnp.min(jnp.where(valid, vals, _FLT_MAX), axis=-1)
+    neg = vmin <= 0.0
+    s = jnp.where(neg, (vmax - vmin) / 15.0, vmax / 15.0)
+    b = jnp.where(neg, -vmin, 0.0)
+
+    safe_s = jnp.where(s == 0.0, 1.0, s)
+    v = nearest_int_jnp((vals + b[..., None]) / safe_s[..., None]) & 0x0F
+    v = jnp.where((s[..., None] == 0.0) | ~valid, 0, v)
+
+    s_max = jnp.maximum(jnp.max(s, axis=-1), _FLT_TRUE_MIN)
+    b_max = jnp.maximum(jnp.max(b, axis=-1), _FLT_TRUE_MIN)
+    s_scale = s_max / 63.0
+    s_bias = b_max / 63.0
+    safe_ss = jnp.where(s_scale == 0.0, 1.0, s_scale)
+    safe_sb = jnp.where(s_bias == 0.0, 1.0, s_bias)
+    sq = jnp.where(s_scale[..., None] == 0.0, 0,
+                   nearest_int_jnp(s / safe_ss[..., None]) & 0x3F)
+    bq = jnp.where(s_bias[..., None] == 0.0, 0,
+                   nearest_int_jnp(b / safe_sb[..., None]) & 0x3F)
+    s_eff = sq.astype(jnp.float32) * s_scale[..., None]
+    b_eff = bq.astype(jnp.float32) * s_bias[..., None]
+
+    deq = v.astype(jnp.float32) * s_eff[..., None] - b_eff[..., None]
+    deq = jnp.where(valid, deq, 0.0)
+    return deq.reshape(B, npad)[:, :n].reshape(*lead, n)
+
+
+# =====================================================================
+# matmul — jnp reference + Pallas fused kernel
+# =====================================================================
+
+def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
+                   dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Fake-quant x, dot with dequantized w (CPU / odd-shape fallback)."""
+    xq = fake_quant_act(x)
+    wf = w.dequantize(jnp.float32)
+    y = jnp.dot(xq, wf.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
+
+
+def _q4k_kernel(x_ref, p_ref, s_ref, b_ref, o_ref):
+    """One output tile: unpack nibbles, dequantize in VMEM, f32 MXU dot.
+
+    x_ref: (B, n_pad) f32 — fake-quantized activation, PERMUTED to
+           [lo-halves | hi-halves] order (see module docstring).
+    p_ref: (TILE_O, n_pad//2) uint8; s_ref/b_ref: (TILE_O, n_groups) f32.
+    """
+    p = p_ref[:].astype(jnp.int32)
+    lo = (p & 0x0F).astype(jnp.float32)
+    hi = ((p >> 4) & 0x0F).astype(jnp.float32)
+    tile_o, nh = p.shape
+    ng = nh // (GROUP_LEN // 2)
+    # per-group scale/bias expanded 16x along lanes (value j<16 of group g
+    # sits at lane g*16+j in both halves).  Mosaic supports neither
+    # jnp.repeat (scatter) nor the (T, ng, 16)->(T, nh) lane reshape, so
+    # the expansion runs as a tiny MXU matmul against an iota-built 0/1
+    # matrix — ~ng/16 of the main dot's FLOPs, negligible.
+    grp = jax.lax.broadcasted_iota(jnp.int32, (ng, nh), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ng, nh), 1)
+    expand = (lane // (GROUP_LEN // 2) == grp).astype(jnp.float32)
+    s = jnp.dot(s_ref[:], expand, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    b = jnp.dot(b_ref[:], expand, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    w = jnp.concatenate([lo * s - b, hi * s - b], axis=1)   # (TILE_O, n_pad)
+    o_ref[:] = jnp.dot(x_ref[:], w.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _pick_tile(out_dim: int) -> int:
+    for t in (512, 256, 128):
+        if out_dim % t == 0:
+            return t
+    return 0
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _q4k_matmul_2d(xp: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                   biases: jnp.ndarray, interpret: bool = False
+                   ) -> jnp.ndarray:
+    B, npad = xp.shape
+    out = packed.shape[0]
+    ng = npad // GROUP_LEN
+    tile_o = _pick_tile(out)
+    grid = (out // tile_o,)
+    return pl.pallas_call(
+        _q4k_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, npad // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, ng), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_o, ng), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, tile_o), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out), jnp.float32),
+        interpret=interpret,
+    )(xp, packed, scales, biases)
+
+
+def _permute_act(xq: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """(B, n) fake-quantized act -> (B, n_pad) in [lo | hi] kernel order."""
+    B, n = xq.shape
+    if n_pad != n:
+        xq = jnp.pad(xq, ((0, 0), (0, n_pad - n)))
+    ng = n_pad // GROUP_LEN
+    x4 = xq.reshape(B, ng, 2, GROUP_LEN // 2)
+    return jnp.transpose(x4, (0, 2, 1, 3)).reshape(B, n_pad)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def q4k_matmul(x: jnp.ndarray, w: Q4KTensor, dtype=jnp.bfloat16
+               ) -> jnp.ndarray:
+    """x (..., in) -> (..., out): fake-quant x, dequant fused into the dot.
+
+    Default impl is the XLA-fused dequant dot (see ops/qmatmul.py for the
+    measurement: the Pallas kernel's fixed launch overhead dominates at
+    decode sizes).  NANO_TPU_QMATMUL=pallas selects the Pallas kernel.
+    """
+    from nano_tpu.ops.qmatmul import _IMPL
+    assert w.packed.ndim == 2, "use scan indexing for stacked weights"
+    out = w.out_dim
+    lead = x.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+    if _IMPL == "pallas" and _on_tpu() and _pick_tile(out):
+        xq = fake_quant_act(x.reshape(B, w.in_dim))
+        xp = _permute_act(xq, w.n_pad)
+        Bp = max(8, -(-B // 8) * 8)
+        if Bp != B:
+            xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
+        y = _q4k_matmul_2d(xp, w.packed, w.scales, w.biases)
+        if Bp != B:
+            y = y[:B]
+        return y.reshape(*lead, out).astype(dtype)
+    return q4k_matmul_ref(x.reshape(B, w.in_dim), w, dtype).reshape(
+        *lead, out)

@@ -151,25 +151,45 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# Implementation selector.  Measured on the target TPU (chained scan of
+# 2048x768 B=8 matmuls, fixed dispatch cost differenced out):
+#     dense bf16 XLA dot          2.1 us
+#     XLA dequant + f32-HIGHEST   6.5 us   <- default ("xla")
+#     XLA dequant + bf16 dot      2.3 us
+#     Pallas fused kernel        ~14 us    (fixed Mosaic launch overhead
+#                                           dominates at decode sizes)
+# XLA fuses the (int8 -> f32 * scale) dequant into the dot — weights are
+# read from HBM as int8 either way, so the Pallas kernel buys nothing at
+# these sizes and costs ~12 us/call; it remains available for
+# experimentation via NANO_TPU_QMATMUL=pallas.
+import os as _os
+_IMPL = _os.environ.get("NANO_TPU_QMATMUL", "xla")
+
+
 def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
                ) -> jnp.ndarray:
-    """x (..., in) @ dequant(w).T -> (..., out), fused dequant on TPU.
+    """x (..., in) @ dequant(w).T -> (..., out), dequant fused into the dot.
 
-    Falls back to the jnp reference path off-TPU or for shapes the kernel
-    does not tile (out not a multiple of 128).
+    Dequantization is f32 (matching the C engine's f32 dequant,
+    infer/tensor.c:39-47) and the dot runs at f32-HIGHEST precision so
+    logits track the reference engine's f32 math.
     """
     assert w.q.ndim == 2, "use vmap/scan indexing for stacked weights"
     out, inn = w.q.shape
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
-    if (not _on_tpu()) or _pick_tile(out) == 0 or inn % w.group_size:
-        return q80_matmul_ref(x, w, dtype)
-    # pad the row dim up to the f32 sublane tile (8)
-    Bp = max(8, -(-B // 8) * 8)
-    x2 = x.reshape(B, inn)
-    if Bp != B:
-        x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
-    y = _q80_matmul_2d(x2, w.q, w.scales, w.group_size)
-    if Bp != B:
-        y = y[:B]
+    if (_IMPL == "pallas" and _on_tpu() and _pick_tile(out)
+            and inn % w.group_size == 0):
+        Bp = max(8, -(-B // 8) * 8)   # pad rows to the f32 sublane tile
+        x2 = x.reshape(B, inn)
+        if Bp != B:
+            x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+        y = _q80_matmul_2d(x2, w.q, w.scales, w.group_size)
+        if Bp != B:
+            y = y[:B]
+        return y.reshape(*lead, out).astype(dtype)
+    wf = w.dequantize(jnp.float32)
+    y = jnp.dot(x.reshape(B, inn).astype(jnp.float32), wf.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return y.reshape(*lead, out).astype(dtype)

@@ -63,7 +63,7 @@ def make_tiny(tmp_path, quant):
 
 
 @pytest.mark.skipif(not oracle_ok, reason="reference oracle unavailable")
-@pytest.mark.parametrize("quant", ["f32", "q80"])
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
 def test_greedy_parity_vs_c_engine(tmp_path, quant):
     cfg, params, tok, path = make_tiny(tmp_path, quant)
     prompt = "abcdefgh"

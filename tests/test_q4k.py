@@ -1,0 +1,191 @@
+"""Q4K quantization: bit-exactness vs the reference C implementation,
+round-trip error bounds, fused-matmul correctness, .bin round-trip."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.ops import q4k
+from nano_tpu.io import binfmt
+from .conftest import REFERENCE_DIR, reference_available, REPO_ROOT
+
+ORACLE = os.path.join(REPO_ROOT, "build", "q4k_oracle")
+
+
+def build_oracle():
+    if os.path.exists(ORACLE):
+        return True
+    os.makedirs(os.path.dirname(ORACLE), exist_ok=True)
+    src = os.path.join(REPO_ROOT, "tools", "q4k_oracle.c")
+    ref = os.path.join(REFERENCE_DIR, "infer")
+    cmd = ["gcc", "-O2", f"-I{ref}", src,
+           os.path.join(ref, "tensor.c"),
+           os.path.join(ref, "platform_linux.c"),
+           os.path.join(ref, "utils.c"),
+           "-o", ORACLE, "-lm", "-fopenmp", "-pthread"]
+    return subprocess.run(cmd, capture_output=True).returncode == 0
+
+
+oracle_ok = reference_available() and build_oracle()
+
+
+def rnd(shape, seed=0, scale=1.0):
+    r = np.random.RandomState(seed)
+    return (r.randn(*shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------
+# bit-exact pack vs C
+# ---------------------------------------------------------------------
+
+@pytest.mark.skipif(not oracle_ok, reason="q4k oracle unavailable")
+@pytest.mark.parametrize("rows,n", [(1, 256), (4, 256), (3, 512),
+                                    (2, 768), (1, 64), (5, 32)])
+def test_pack_bitexact_vs_c(tmp_path, rows, n):
+    t = rnd((rows, n), seed=rows * 100 + n)
+    raw = tmp_path / "t.f32"
+    raw.write_bytes(t.tobytes())
+    ref = subprocess.run([ORACLE, "quantize", str(raw), str(rows), str(n)],
+                         capture_output=True, timeout=60)
+    assert ref.returncode == 0, ref.stderr.decode()
+    ours = q4k.pack_tensor_frame(t if rows > 1 else t.reshape(n))
+    assert ours == ref.stdout
+
+
+@pytest.mark.skipif(not oracle_ok, reason="q4k oracle unavailable")
+def test_pack_bitexact_extreme_values(tmp_path):
+    """All-negative groups, all-zero groups, constant groups — the edge
+    paths (FLT_TRUE_MIN max-init, zero scales)."""
+    t = np.zeros((4, 256), np.float32)
+    t[0] = -np.abs(rnd((256,), 1))          # all negative
+    t[1] = 0.0                              # all zero
+    t[2] = 3.25                             # constant positive
+    t[3, :32] = rnd((32,), 2)               # one live group, rest zero
+    raw = tmp_path / "e.f32"
+    raw.write_bytes(t.tobytes())
+    ref = subprocess.run([ORACLE, "quantize", str(raw), "4", "256"],
+                         capture_output=True, timeout=60)
+    assert ref.returncode == 0
+    assert q4k.pack_tensor_frame(t) == ref.stdout
+
+
+# ---------------------------------------------------------------------
+# matmul vs C (same quantization, f32 accumulation tolerance)
+# ---------------------------------------------------------------------
+
+@pytest.mark.skipif(not oracle_ok, reason="q4k oracle unavailable")
+@pytest.mark.parametrize("d,n", [(64, 256), (128, 768), (32, 64)])
+def test_matmul_matches_c(tmp_path, d, n):
+    w = rnd((d, n), seed=7, scale=0.05)
+    x = rnd((n,), seed=8)
+    (tmp_path / "w.f32").write_bytes(w.tobytes())
+    (tmp_path / "x.f32").write_bytes(x.tobytes())
+    ref = subprocess.run(
+        [ORACLE, "matmul", str(tmp_path / "w.f32"), str(d), str(n),
+         str(tmp_path / "x.f32")], capture_output=True, timeout=60)
+    assert ref.returncode == 0, ref.stderr.decode()
+    expect = np.frombuffer(ref.stdout, np.float32)
+
+    blocks = q4k.quantize_lines_np(w)
+    wt = q4k.Q4KTensor.from_blocks(blocks, d, n)
+    ours = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+    np.testing.assert_allclose(ours, expect, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------
+# internal consistency
+# ---------------------------------------------------------------------
+
+def test_roundtrip_error_bound():
+    t = rnd((8, 512), seed=3, scale=0.1)
+    blocks = q4k.quantize_lines_np(t)
+    deq = q4k.dequantize_lines_np(blocks, 8, 512)
+    # 4-bit affine per 32-group: error < group range / 15 (plus 6-bit
+    # scale quantization slack)
+    rng = t.max(axis=1) - t.min(axis=1)
+    assert np.max(np.abs(deq - t)) < np.max(rng) / 15.0
+
+
+def test_device_tensor_matches_host_dequant():
+    t = rnd((16, 768), seed=4)
+    blocks = q4k.quantize_lines_np(t)
+    wt = q4k.Q4KTensor.from_blocks(blocks, 16, 768)
+    host = q4k.dequantize_lines_np(blocks, 16, 768)
+    np.testing.assert_array_equal(np.asarray(wt.dequantize()), host)
+
+
+def test_fake_quant_act_matches_host_quantizer():
+    """fake_quant_act (jnp) must equal quantize->dequantize (numpy)."""
+    for n in (256, 768, 64, 96):
+        x = rnd((3, n), seed=n)
+        blocks = q4k.quantize_lines_np(x)
+        host = q4k.dequantize_lines_np(blocks, 3, n)
+        dev = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_matmul_ref_equals_kernel_fallback():
+    """q4k_matmul (CPU fallback path) == explicit fake-quant dot."""
+    d, n = 128, 512
+    w = rnd((d, n), seed=11, scale=0.05)
+    x = rnd((2, n), seed=12)
+    wt = q4k.Q4KTensor.from_blocks(q4k.quantize_lines_np(w), d, n)
+    y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+    xq = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
+    wdq = np.asarray(wt.dequantize())
+    np.testing.assert_allclose(y, xq @ wdq.T, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_kernel_interpret():
+    """The Pallas kernel itself, in interpreter mode on CPU."""
+    d, n = 256, 512
+    w = rnd((d, n), seed=21, scale=0.05)
+    x = rnd((8, n), seed=22)
+    wt = q4k.Q4KTensor.from_blocks(q4k.quantize_lines_np(w), d, n)
+    xq = q4k.fake_quant_act(jnp.asarray(x))
+    xp = q4k._permute_act(xq, wt.n_pad)
+    y = np.asarray(q4k._q4k_matmul_2d(xp, wt.packed, wt.scales, wt.biases,
+                                      interpret=True))
+    expect = np.asarray(xq) @ np.asarray(wt.dequantize()).T
+    np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------
+# .bin round-trip
+# ---------------------------------------------------------------------
+
+def test_binfmt_q4k_roundtrip(tmp_path):
+    from nano_tpu.config import ModelConfig
+    from nano_tpu.models import gpt
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+
+    cfg = ModelConfig(block_size=32, vocab_size=64, n_layer=2, n_embd=64,
+                      n_head=4, n_kv_head=2, n_hidden=128)
+    params = jax.tree.map(np.asarray,
+                          gpt.init_params(jax.random.PRNGKey(5), cfg))
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(26)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, params, cfg, tok.config, quant="q4k")
+
+    bm = binfmt.read_model(path)
+    assert bm.header.quant_type == binfmt.QUANT_Q4K
+    # dequantized weights within 4-bit error of originals
+    w0 = params["blocks"]["w1"][0]
+    r0 = bm.params["blocks"]["w1"][0]
+    assert np.max(np.abs(w0 - r0)) < 0.02  # init std 0.02, 4-bit quant
+
+    dev = binfmt.quantized_device_params(bm)
+    assert isinstance(dev["tok_embeddings"], q4k.Q4KTensor)
+    assert dev["blocks"]["wqkv"].packed.shape[0] == cfg.n_layer
+
+    # forward runs end to end with quantized params
+    from nano_tpu.models.gpt import forward
+    logits = forward(dev, jnp.zeros((1, 4), jnp.int32), cfg,
+                     dtype=jnp.float32)
+    assert logits.shape == (1, 4, 64)
+    assert bool(jnp.all(jnp.isfinite(logits)))
