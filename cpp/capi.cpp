@@ -1,0 +1,118 @@
+// Flat C API over the C++ engine for Python ctypes bindings
+// (nano_tpu/cpp_engine.py).  Build: `make libnano.so`.
+
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "nano.hpp"
+
+extern "C" {
+
+struct NanoHandle {
+    nano::Model* model;
+    nano::Model::Runtime* rt;
+    nano::Sampler sampler;
+    int max_seq;
+};
+
+void* nano_open(const char* path, int max_seq_len) {
+    try {
+        auto* h = new NanoHandle();
+        h->model = new nano::Model(path);
+        if (max_seq_len <= 0) max_seq_len = h->model->config().block_size;
+        h->rt = h->model->new_runtime(max_seq_len);
+        h->max_seq = max_seq_len;
+        return h;
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+void nano_close(void* hp) {
+    auto* h = (NanoHandle*)hp;
+    if (!h) return;
+    h->model->free_runtime(h->rt);
+    delete h->model;
+    delete h;
+}
+
+int nano_vocab_size(void* hp) {
+    return ((NanoHandle*)hp)->model->config().vocab_size;
+}
+
+void nano_set_sampler(void* hp, float temperature, float top_p,
+                      float repetition_penalty, unsigned long long seed) {
+    auto* h = (NanoHandle*)hp;
+    h->sampler.temperature = temperature;
+    h->sampler.top_p = top_p;
+    h->sampler.repetition_penalty = repetition_penalty;
+    h->sampler.rng_state = seed;
+}
+
+int nano_attach_lora(void* hp, const char* path) {
+    try {
+        ((NanoHandle*)hp)->model->attach_lora(path);
+        return 0;
+    } catch (...) {
+        return -1;
+    }
+}
+
+void nano_detach_lora(void* hp) { ((NanoHandle*)hp)->model->detach_lora(); }
+
+// encode utf-8 text -> ids; returns count (caller buffer out_ids[cap])
+int nano_encode(void* hp, const char* text, int* out_ids, int cap) {
+    auto ids = ((NanoHandle*)hp)->model->encode(text);
+    int n = (int)ids.size();
+    for (int i = 0; i < n && i < cap; i++) out_ids[i] = ids[i];
+    return n;
+}
+
+// decode ids -> utf-8 (caller buffer out[cap], returns byte length)
+int nano_decode(void* hp, const int* ids, int n, char* out, int cap) {
+    std::vector<int> v(ids, ids + n);
+    std::string s = ((NanoHandle*)hp)->model->decode(v);
+    int len = (int)s.size();
+    if (len + 1 <= cap) std::memcpy(out, s.c_str(), len + 1);
+    return len;
+}
+
+// full generation: prompt ids -> output ids; returns generated count
+int nano_generate(void* hp, const int* prompt, int n_prompt, int max_new,
+                  int* out_ids, int cap) {
+    auto* h = (NanoHandle*)hp;
+    std::vector<int> ids(prompt, prompt + n_prompt);
+    nano::Session s2(*h->model, h->rt, &h->sampler, ids, h->max_seq,
+                     max_new);
+    int n = 0;
+    while (!s2.finished()) {
+        int tok = s2.step();
+        if (tok < 0) break;
+        if (!s2.is_prefilling()) {
+            if (n < cap) out_ids[n] = tok;
+            n++;
+        }
+    }
+    return n < cap ? n : cap;
+}
+
+// single forward step: logits written to out (vocab_size floats)
+int nano_forward(void* hp, int token, int pos, float* out) {
+    auto* h = (NanoHandle*)hp;
+    const float* lg = h->model->forward(h->rt, token, pos);
+    std::memcpy(out, lg,
+                sizeof(float) * h->model->config().vocab_size);
+    return 0;
+}
+
+// seq2seq (non-causal) decode
+int nano_seq2seq(void* hp, const int* input, int n, int* out_ids) {
+    auto* h = (NanoHandle*)hp;
+    std::vector<int> in(input, input + n);
+    auto out = h->model->seq2seq(h->rt, in);
+    for (int i = 0; i < (int)out.size(); i++) out_ids[i] = out[i];
+    return (int)out.size();
+}
+
+}  // extern "C"

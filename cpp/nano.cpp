@@ -1,0 +1,1167 @@
+// nano_tpu C++ host engine — implementation.  See nano.hpp.
+//
+// Fresh C++17 design implementing the behaviors catalogued in SURVEY.md
+// §2.3/§3.3 (reference: infer/infer.c, infer/tensor.c, infer/tokenizer.c);
+// no reference code is reused.  Numerics are aligned with the JAX engine:
+// quantized weights dequantize to f32 and the dot runs in f32; Q4K
+// activations are fake-quantized with bit-exact nearest_int rounding.
+
+#include "nano.hpp"
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <cassert>
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <stdexcept>
+
+namespace nano {
+
+// ===================================================================
+// small utilities
+// ===================================================================
+
+static double now_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
+template <typename T>
+static T read_le(const uint8_t* p) {
+    T v;
+    std::memcpy(&v, p, sizeof(T));
+    return v;
+}
+
+// UTF-8 <-> UTF-32 (fresh implementations; the engine is
+// byte-exact for valid UTF-8 and maps malformed bytes to U+FFFD)
+static std::u32string utf8_to_u32(const std::string& s) {
+    std::u32string out;
+    size_t i = 0;
+    while (i < s.size()) {
+        uint8_t c = (uint8_t)s[i];
+        char32_t cp = 0xFFFD;
+        size_t n = 1;
+        if (c < 0x80) { cp = c; }
+        else if ((c >> 5) == 0x6 && i + 1 < s.size()) {
+            cp = ((c & 0x1F) << 6) | ((uint8_t)s[i + 1] & 0x3F); n = 2;
+        } else if ((c >> 4) == 0xE && i + 2 < s.size()) {
+            cp = ((c & 0x0F) << 12) | (((uint8_t)s[i + 1] & 0x3F) << 6)
+               | ((uint8_t)s[i + 2] & 0x3F); n = 3;
+        } else if ((c >> 3) == 0x1E && i + 3 < s.size()) {
+            cp = ((c & 0x07) << 18) | (((uint8_t)s[i + 1] & 0x3F) << 12)
+               | (((uint8_t)s[i + 2] & 0x3F) << 6)
+               | ((uint8_t)s[i + 3] & 0x3F); n = 4;
+        }
+        out.push_back(cp);
+        i += n;
+    }
+    return out;
+}
+
+static void append_u32_as_utf8(std::string& out, char32_t cp) {
+    if (cp < 0x80) { out += (char)cp; }
+    else if (cp < 0x800) {
+        out += (char)(0xC0 | (cp >> 6));
+        out += (char)(0x80 | (cp & 0x3F));
+    } else if (cp < 0x10000) {
+        out += (char)(0xE0 | (cp >> 12));
+        out += (char)(0x80 | ((cp >> 6) & 0x3F));
+        out += (char)(0x80 | (cp & 0x3F));
+    } else {
+        out += (char)(0xF0 | (cp >> 18));
+        out += (char)(0x80 | ((cp >> 12) & 0x3F));
+        out += (char)(0x80 | ((cp >> 6) & 0x3F));
+        out += (char)(0x80 | (cp & 0x3F));
+    }
+}
+
+// ===================================================================
+// trie tokenizer (greedy longest-match; reference behavior:
+// tokenizer.py:210-325, infer/tokenizer.c:299-307)
+// ===================================================================
+
+void TrieTokenizer::add_token(const std::u32string& t, int id) {
+    int node = 0;
+    for (char32_t c : t) {
+        auto it = nodes_[node].children.find(c);
+        if (it == nodes_[node].children.end()) {
+            nodes_.push_back(Node{});
+            int idx = (int)nodes_.size() - 1;
+            nodes_[node].children[c] = idx;
+            node = idx;
+        } else {
+            node = it->second;
+        }
+    }
+    nodes_[node].token_id = id;
+}
+
+void TrieTokenizer::parse_field(const uint8_t* data, size_t* offset) {
+    // field: u32 total_bytes, u32 vocab_size, then per token
+    // {u8 len, u8 is_special, u8 x2 reserved, u32 id, u32 codepoints[len]}
+    // (reference: export.py:72-114)
+    size_t pos = *offset;
+    uint32_t total = read_le<uint32_t>(data + pos);
+    uint32_t vocab = read_le<uint32_t>(data + pos + 4);
+    size_t end = pos + total;
+    pos += 8;
+    itos_.assign(vocab, std::u32string());
+    nodes_.clear();
+    nodes_.push_back(Node{});
+    std::vector<uint8_t> special(vocab, 0);
+    for (uint32_t t = 0; t < vocab; t++) {
+        uint8_t len = data[pos];
+        uint8_t is_special = data[pos + 1];
+        uint32_t id = read_le<uint32_t>(data + pos + 4);
+        pos += 8;
+        std::u32string tok;
+        for (uint8_t k = 0; k < len; k++) {
+            tok.push_back((char32_t)read_le<uint32_t>(data + pos));
+            pos += 4;
+        }
+        if (id < vocab) {
+            itos_[id] = tok;
+            special[id] = is_special;
+            add_token(tok, (int)id);
+            if (tok.size() == 1 && !is_special) char_ids_[tok[0]] = (int)id;
+        }
+    }
+    if (pos != end) throw std::runtime_error("tokenizer field length mismatch");
+    *offset = pos;
+}
+
+std::vector<int> TrieTokenizer::encode(const std::string& utf8) const {
+    std::u32string text = utf8_to_u32(utf8);
+    std::vector<int> out;
+    size_t i = 0;
+    while (i < text.size()) {
+        // walk the trie once, remembering the deepest accepting node
+        int node = 0;
+        int best_id = -1;
+        size_t best_len = 0;
+        for (size_t j = i; j < text.size(); j++) {
+            auto it = nodes_[node].children.find(text[j]);
+            if (it == nodes_[node].children.end()) break;
+            node = it->second;
+            if (nodes_[node].token_id >= 0) {
+                best_id = nodes_[node].token_id;
+                best_len = j - i + 1;
+            }
+        }
+        if (best_id >= 0) {
+            out.push_back(best_id);
+            i += best_len;
+        } else {
+            out.push_back(1);  // <|unknown|>
+            i += 1;
+        }
+    }
+    return out;
+}
+
+std::string TrieTokenizer::decode_one(int id) const {
+    std::string out;
+    if (id >= 0 && id < (int)itos_.size())
+        for (char32_t c : itos_[id]) append_u32_as_utf8(out, c);
+    return out;
+}
+
+std::string TrieTokenizer::decode(const std::vector<int>& ids) const {
+    std::string out;
+    for (int id : ids) out += decode_one(id);
+    return out;
+}
+
+// ===================================================================
+// BPE tokenizer (byte-level, merge-rank scores; reference behavior:
+// infer/tokenizer.c:92-262, infer/tools/export_qwen.py:362-436)
+// ===================================================================
+
+void BpeTokenizer::parse_field(const uint8_t* data, size_t* offset,
+                               int vocab_size) {
+    // field: u32 total, u32 max_token_length, then per token
+    // {f32 score, u32 len, bytes}
+    size_t pos = *offset;
+    uint32_t total = read_le<uint32_t>(data + pos);
+    size_t end = pos + total;
+    pos += 8;
+    vocab_.reserve(vocab_size);
+    scores_.reserve(vocab_size);
+    for (int i = 0; i < vocab_size; i++) {
+        float score = read_le<float>(data + pos);
+        uint32_t len = read_le<uint32_t>(data + pos + 4);
+        pos += 8;
+        vocab_.emplace_back((const char*)(data + pos), (size_t)len);
+        pos += len;
+        scores_.push_back(score);
+        stoi_.emplace(vocab_.back(), i);
+    }
+    if (pos != end) throw std::runtime_error("BPE field length mismatch");
+    *offset = pos;
+}
+
+std::vector<int> BpeTokenizer::encode(const std::string& utf8) const {
+    // initial tokens: one per UTF-8 character, byte fallback id = byte+3
+    // (llama2.c legacy); then greedy highest-score pair merge.
+    std::vector<int> toks;
+    size_t i = 0;
+    while (i < utf8.size()) {
+        uint8_t c = (uint8_t)utf8[i];
+        size_t n = 1;
+        if ((c >> 5) == 0x6) n = 2;
+        else if ((c >> 4) == 0xE) n = 3;
+        else if ((c >> 3) == 0x1E) n = 4;
+        n = std::min(n, utf8.size() - i);
+        std::string piece = utf8.substr(i, n);
+        auto it = stoi_.find(piece);
+        if (it != stoi_.end()) {
+            toks.push_back(it->second);
+        } else {
+            for (size_t k = 0; k < n; k++)
+                toks.push_back((int)(uint8_t)piece[k] + 3);
+        }
+        i += n;
+    }
+    while (toks.size() > 1) {
+        float best_score = -1e10f;
+        int best_idx = -1, best_id = -1;
+        for (size_t j = 0; j + 1 < toks.size(); j++) {
+            std::string merged = vocab_[toks[j]] + vocab_[toks[j + 1]];
+            auto it = stoi_.find(merged);
+            if (it != stoi_.end() && scores_[it->second] > best_score) {
+                best_score = scores_[it->second];
+                best_idx = (int)j;
+                best_id = it->second;
+            }
+        }
+        if (best_idx < 0) break;
+        toks[best_idx] = best_id;
+        toks.erase(toks.begin() + best_idx + 1);
+    }
+    return toks;
+}
+
+std::string BpeTokenizer::decode_one(int id) const {
+    if (id >= 0 && id < (int)vocab_.size()) return vocab_[id];
+    return "";
+}
+
+std::string BpeTokenizer::decode(const std::vector<int>& ids) const {
+    std::string out;
+    for (int id : ids) out += decode_one(id);
+    return out;
+}
+
+std::vector<int> BpeTokenizer::chat_template(const std::string& user_prompt,
+                                             bool enable_thinking) const {
+    // <|im_start|>user\n PROMPT <|im_end|>\n<|im_start|>assistant\n
+    // [+ empty think block when thinking disabled]
+    // (reference: infer/tokenizer.c:214-262)
+    constexpr int IM_START = 151644, IM_END = 151645, USER = 872,
+                  ASSISTANT = 77091, NL = 198, THINK_O = 151667,
+                  THINK_C = 151668;
+    std::vector<int> ids = {IM_START, USER, NL};
+    std::vector<int> body = encode(user_prompt);
+    ids.insert(ids.end(), body.begin(), body.end());
+    int tail[] = {IM_END, NL, IM_START, ASSISTANT, NL};
+    ids.insert(ids.end(), std::begin(tail), std::end(tail));
+    if (!enable_thinking) {
+        int think[] = {THINK_O, NL, NL, THINK_C, NL, NL};
+        ids.insert(ids.end(), std::begin(think), std::end(think));
+    }
+    return ids;
+}
+
+// ===================================================================
+// kernels
+// ===================================================================
+
+static void rmsnorm(float* out, const float* x, const float* w, int n,
+                    float eps) {
+    float ss = 0.0f;
+    for (int i = 0; i < n; i++) ss += x[i] * x[i];
+    float inv = 1.0f / std::sqrt(ss / (float)n + eps);
+    for (int i = 0; i < n; i++) out[i] = x[i] * inv * w[i];
+}
+
+static void softmax_inplace(float* x, int n) {
+    float mx = x[0];
+    for (int i = 1; i < n; i++) mx = std::max(mx, x[i]);
+    float sum = 0.0f;
+    for (int i = 0; i < n; i++) { x[i] = std::exp(x[i] - mx); sum += x[i]; }
+    for (int i = 0; i < n; i++) x[i] /= sum;
+}
+
+// --- Q4K block decoding (format: SURVEY.md; reference infer/tensor.h:95-135)
+
+static constexpr int Q4K_BLOCK = 256, Q4K_GROUP = 32, Q4K_BYTES = 160;
+
+static inline int nearest_int(float f) {
+    // bit-exact with the reference rounding (infer/tensor.c:4-9)
+    float v = f + 12582912.0f;
+    int i;
+    std::memcpy(&i, &v, sizeof(int));
+    return (i & 0x007FFFFF) - 0x00400000;
+}
+
+static void q4k_block_scales(const uint8_t* blk, float* s, float* b) {
+    const uint8_t* sb = blk + 20;
+    float s_scale = read_le<float>(blk + 12);
+    float s_bias = read_le<float>(blk + 16);
+    for (int g = 0; g < 4; g++) {
+        s[g] = (float)(sb[g] & 0x3F) * s_scale;
+        b[g] = (float)(sb[g + 4] & 0x3F) * s_bias;
+        s[g + 4] = (float)((((sb[g] >> 6) << 4) | (sb[g + 8] & 0x0F)) & 0x3F)
+                   * s_scale;
+        b[g + 4] = (float)((((sb[g + 4] >> 6) << 4) | (sb[g + 8] >> 4)) & 0x3F)
+                   * s_bias;
+    }
+}
+
+// dequantize one block into out[0..len)
+static void q4k_block_dequant(const uint8_t* blk, float* out) {
+    uint32_t len = read_le<uint32_t>(blk + 4);
+    float s[8], b[8];
+    q4k_block_scales(blk, s, b);
+    const uint8_t* v = blk + 32;
+    for (uint32_t i = 0; i < len; i++) {
+        uint8_t nib = (i & 1) ? (v[i >> 1] >> 4) : (v[i >> 1] & 0x0F);
+        out[i] = (float)nib * s[i / Q4K_GROUP] - b[i / Q4K_GROUP];
+    }
+}
+
+// quantize-dequantize a vector with Q4K semantics (bit-exact rounding;
+// matches ops/q4k.py fake_quant_act and the reference activation
+// quantization, infer/infer.c:781-785)
+static void q4k_fake_quant(const float* x, float* out, int n) {
+    constexpr float FLT_TRUE_MIN_ = 1.401298464324817e-45f;
+    int nb = (n + Q4K_BLOCK - 1) / Q4K_BLOCK;
+    for (int blk = 0; blk < nb; blk++) {
+        int base = blk * Q4K_BLOCK;
+        int blk_len = std::min(Q4K_BLOCK, n - base);
+        float s[8], b[8];
+        for (int g = 0; g < 8; g++) {
+            float mn = 3.402823466e+38f, mx = FLT_TRUE_MIN_;
+            for (int i = g * Q4K_GROUP;
+                 i < (g + 1) * Q4K_GROUP && i < blk_len; i++) {
+                float v = x[base + i];
+                if (v > mx) mx = v;
+                if (v < mn) mn = v;
+            }
+            s[g] = (mn <= 0.0f) ? (mx - mn) / 15.0f : mx / 15.0f;
+            b[g] = (mn <= 0.0f) ? -mn : 0.0f;
+        }
+        float s_max = FLT_TRUE_MIN_, b_max = FLT_TRUE_MIN_;
+        for (int g = 0; g < 8; g++) {
+            if (s[g] > s_max) s_max = s[g];
+            if (b[g] > b_max) b_max = b[g];
+        }
+        float s_scale = s_max / 63.0f, s_bias = b_max / 63.0f;
+        for (int g = 0; g < 8; g++) {
+            uint8_t sq = (s_scale == 0.0f) ? 0
+                       : (uint8_t)(nearest_int(s[g] / s_scale) & 0x3F);
+            uint8_t bq = (s_bias == 0.0f) ? 0
+                       : (uint8_t)(nearest_int(b[g] / s_bias) & 0x3F);
+            float s_eff = (float)sq * s_scale;
+            float b_eff = (float)bq * s_bias;
+            for (int i = g * Q4K_GROUP;
+                 i < (g + 1) * Q4K_GROUP && i < blk_len; i++) {
+                uint8_t v = (s[g] == 0.0f) ? 0
+                    : (uint8_t)(nearest_int((x[base + i] + b[g]) / s[g])
+                                & 0x0F);
+                out[base + i] = (float)v * s_eff - b_eff;
+            }
+        }
+    }
+}
+
+static void matmul_f32(float* y, const Weight& w, const float* x) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    #pragma omp parallel for schedule(static)
+    for (int r = 0; r < rows; r++) {
+        const float* wr = w.f32 + (size_t)r * cols;
+        float acc = 0.0f;
+        for (int c = 0; c < cols; c++) acc += wr[c] * x[c];
+        y[r] = acc;
+    }
+}
+
+static void matmul_q80(float* y, const Weight& w, const float* x, int gs) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    #pragma omp parallel for schedule(static)
+    for (int r = 0; r < rows; r++) {
+        const int8_t* q = w.q80.q + (size_t)r * cols;
+        const float* s = w.q80.s + (size_t)r * (cols / gs);
+        float acc = 0.0f;
+        for (int c = 0; c < cols; c++)
+            acc += (float)q[c] * s[c / gs] * x[c];
+        y[r] = acc;
+    }
+}
+
+static void matmul_q4k(float* y, const Weight& w, const float* xq4) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    int bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
+    #pragma omp parallel for schedule(static)
+    for (int r = 0; r < rows; r++) {
+        float acc = 0.0f;
+        for (int blk = 0; blk < bpr; blk++) {
+            const uint8_t* block =
+                w.q4k.blocks + ((size_t)r * bpr + blk) * Q4K_BYTES;
+            uint32_t len = read_le<uint32_t>(block + 4);
+            float s[8], b[8];
+            q4k_block_scales(block, s, b);
+            const uint8_t* v = block + 32;
+            const float* xp = xq4 + blk * Q4K_BLOCK;
+            for (uint32_t i = 0; i < len; i++) {
+                uint8_t nib = (i & 1) ? (v[i >> 1] >> 4) : (v[i >> 1] & 0x0F);
+                acc += ((float)nib * s[i / Q4K_GROUP] - b[i / Q4K_GROUP])
+                       * xp[i];
+            }
+        }
+        y[r] = acc;
+    }
+}
+
+// ===================================================================
+// model runtime (activation buffers + KV cache)
+// ===================================================================
+
+struct Model::Runtime {
+    int max_seq = 0;
+    std::vector<float> x, xb, xq4, q, att_out, h1, h3, hb, logits;
+    std::vector<float> kc, vc;   // (L, max_seq, KV*D)
+    std::vector<float> att;      // per-head scores scratch (max_seq)
+};
+
+Model::Runtime* Model::new_runtime(int max_seq_len) const {
+    auto* rt = new Runtime();
+    const Config& c = cfg_;
+    int qdim = c.n_head * c.head_dim;
+    int kvdim = c.n_kv_head * c.head_dim;
+    rt->max_seq = max_seq_len;
+    rt->x.resize(c.n_embd);
+    rt->xb.resize(std::max(c.n_embd, qdim));
+    rt->xq4.resize(std::max({c.n_embd, qdim, c.n_hidden}) + Q4K_BLOCK);
+    rt->q.resize(qdim + 2 * kvdim);
+    rt->att_out.resize(qdim);
+    rt->h1.resize(c.n_hidden);
+    rt->h3.resize(c.n_hidden);
+    rt->hb.resize(c.n_hidden);
+    rt->logits.resize(c.vocab_size);
+    rt->kc.assign((size_t)c.n_layer * max_seq_len * kvdim, 0.0f);
+    rt->vc.assign((size_t)c.n_layer * max_seq_len * kvdim, 0.0f);
+    rt->att.resize((size_t)c.n_head * max_seq_len);
+    return rt;
+}
+
+void Model::free_runtime(Runtime* rt) const { delete rt; }
+
+// ===================================================================
+// model loading
+// ===================================================================
+
+Model::Model(const std::string& path) {
+    fd_ = ::open(path.c_str(), O_RDONLY);
+    if (fd_ < 0) throw std::runtime_error("cannot open " + path);
+    struct stat st;
+    ::fstat(fd_, &st);
+    size_ = (size_t)st.st_size;
+    data_ = (const uint8_t*)::mmap(nullptr, size_, PROT_READ, MAP_PRIVATE,
+                                   fd_, 0);
+    if (data_ == MAP_FAILED) throw std::runtime_error("mmap failed");
+
+    if (size_ < 256 || read_le<uint32_t>(data_) != MAGIC_0 ||
+        read_le<uint32_t>(data_ + 4) != MAGIC_1)
+        throw std::runtime_error("not a BD4SURLM .bin file");
+    arch_ = (Arch)read_le<uint32_t>(data_ + 16);
+    if (arch_ == Arch::Lora)
+        throw std::runtime_error("LoRA file given as base model");
+    std::memcpy(&cfg_, data_ + 24, sizeof(Config));
+    quant_ = (Quant)read_le<uint32_t>(data_ + 60);
+    group_size_ = read_le<uint32_t>(data_ + 64);
+    if (cfg_.head_dim == 0) cfg_.head_dim = cfg_.n_embd / cfg_.n_head;
+
+    size_t pos = 256;
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        bpe_.parse_field(data_, &pos, cfg_.vocab_size);
+    else
+        trie_.parse_field(data_, &pos);
+    map_weights(data_ + pos, size_ - pos);
+}
+
+Model::~Model() {
+    if (data_ && data_ != MAP_FAILED) ::munmap((void*)data_, size_);
+    if (fd_ >= 0) ::close(fd_);
+}
+
+void Model::map_weights(const uint8_t* base, size_t remaining) {
+    const Config& c = cfg_;
+    const uint8_t* p = base;
+    const uint8_t* limit = base + remaining;
+    auto take_f32 = [&](size_t count) -> const float* {
+        const float* out = (const float*)p;
+        p += count * 4;
+        if (p > limit) throw std::runtime_error("model file truncated");
+        return out;
+    };
+    int64_t L = c.n_layer, E = c.n_embd, V = c.vocab_size;
+    int64_t D = c.head_dim, H = c.n_head, KV = c.n_kv_head, F = c.n_hidden;
+
+    attn_norm_ = take_f32(L * E);
+    ffn_norm_ = take_f32(L * E);
+    final_norm_ = take_f32(E);
+
+    auto take_weight = [&](uint32_t rows, uint32_t cols) -> Weight {
+        Weight w;
+        w.rows = rows;
+        w.cols = cols;
+        w.quant = quant_;
+        size_t numel = (size_t)rows * cols;
+        if (quant_ == Quant::F32) {
+            w.f32 = take_f32(numel);
+        } else if (quant_ == Quant::Q80) {
+            w.q80.q = (const int8_t*)p;
+            p += numel;
+            w.q80.s = (const float*)p;
+            p += (numel / group_size_) * 4;
+            if (p > limit) throw std::runtime_error("model file truncated");
+        }
+        return w;
+    };
+    // Q4K files store ONE stacked self-describing frame per weight kind
+    // (reference: infer/tools/export_q4k.c); slice per layer by block
+    // ranges.
+    auto take_q4k_frame = [&](std::vector<Weight>* per_layer, Weight* single,
+                              uint32_t rows, uint32_t cols) {
+        uint64_t total = read_le<uint64_t>(p);
+        uint32_t ndim = read_le<uint32_t>(p + 12);
+        uint32_t nb = read_le<uint32_t>(p + 40);
+        const uint8_t* blocks = p + 44;
+        p += total;
+        if (p > limit) throw std::runtime_error("model file truncated");
+        uint32_t bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
+        if ((uint64_t)bpr * rows * (per_layer ? L : 1) != nb)
+            throw std::runtime_error("Q4K block count mismatch");
+        (void)ndim;
+        if (per_layer) {
+            per_layer->resize(L);
+            for (int64_t l = 0; l < L; l++) {
+                Weight w;
+                w.quant = Quant::Q4K;
+                w.rows = rows;
+                w.cols = cols;
+                w.q4k = {blocks + (size_t)l * rows * bpr * Q4K_BYTES,
+                         rows * bpr, rows, cols};
+                (*per_layer)[l] = w;
+            }
+        } else {
+            single->quant = Quant::Q4K;
+            single->rows = rows;
+            single->cols = cols;
+            single->q4k = {blocks, nb, rows, cols};
+        }
+    };
+
+    if (quant_ == Quant::Q4K) {
+        take_q4k_frame(nullptr, &tok_emb_, V, E);
+        take_q4k_frame(&wq_, nullptr, H * D, E);
+        take_q4k_frame(&wk_, nullptr, KV * D, E);
+        take_q4k_frame(&wv_, nullptr, KV * D, E);
+        take_q4k_frame(&wo_, nullptr, E, H * D);
+        take_q4k_frame(&w1_, nullptr, F, E);
+        take_q4k_frame(&w2_, nullptr, E, F);
+        take_q4k_frame(&w3_, nullptr, F, E);
+    } else {
+        tok_emb_ = take_weight(V, E);
+        auto stack = [&](std::vector<Weight>* v, uint32_t rows,
+                         uint32_t cols) {
+            v->resize(L);
+            for (int64_t l = 0; l < L; l++) (*v)[l] = take_weight(rows, cols);
+        };
+        stack(&wq_, H * D, E);
+        stack(&wk_, KV * D, E);
+        stack(&wv_, KV * D, E);
+        stack(&wo_, E, H * D);
+        stack(&w1_, F, E);
+        stack(&w2_, E, F);
+        stack(&w3_, F, E);
+    }
+
+    if (arch_ == Arch::Qwen2) {
+        if (quant_ == Quant::Q4K)
+            throw std::runtime_error("Q4K Qwen2 files are not well-formed");
+        bq_ = take_f32(L * H * D);
+        bk_ = take_f32(L * KV * D);
+        bv_ = take_f32(L * KV * D);
+    } else if (arch_ == Arch::Qwen3) {
+        q_norm_ = take_f32(L * D);
+        k_norm_ = take_f32(L * D);
+    }
+
+    if (arch_ == Arch::Qwen3) {
+        // theta=1e6 tables are recomputed, not read from the file
+        // (reference: infer/infer.c:189-204); F32/Q80 files still carry
+        // placeholder tables we must skip past.
+        rope_cos_.resize((size_t)c.block_size * (D / 2));
+        rope_sin_.resize((size_t)c.block_size * (D / 2));
+        for (int t = 0; t < c.block_size; t++) {
+            for (int i = 0; i < D / 2; i++) {
+                float freq = 1.0f / std::pow(1000000.0f,
+                                             (float)(2 * i) / (float)D);
+                rope_cos_[(size_t)t * (D / 2) + i] = std::cos(t * freq);
+                rope_sin_[(size_t)t * (D / 2) + i] = std::sin(t * freq);
+            }
+        }
+        if (quant_ != Quant::Q4K) {
+            take_f32((size_t)c.block_size * (D / 2));
+            take_f32((size_t)c.block_size * (D / 2));
+        }
+    } else {
+        const float* cosp = take_f32((size_t)c.block_size * (D / 2));
+        const float* sinp = take_f32((size_t)c.block_size * (D / 2));
+        rope_cos_.assign(cosp, cosp + (size_t)c.block_size * (D / 2));
+        rope_sin_.assign(sinp, sinp + (size_t)c.block_size * (D / 2));
+    }
+
+    if (quant_ == Quant::Q4K || c.shared_classifier) {
+        classifier_ = tok_emb_;
+    } else {
+        classifier_ = take_weight(V, E);
+    }
+
+    // fp32 embedding rows for quantized tables are dequantized on demand
+    // in forward() — no V x E shadow copy (the reference keeps one,
+    // infer/infer.c:126-127; on-demand is strictly cheaper).
+}
+
+void Model::attach_lora(const std::string& path) {
+    FILE* f = std::fopen(path.c_str(), "rb");
+    if (!f) throw std::runtime_error("cannot open " + path);
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    lora_blob_.resize(sz);
+    if (std::fread(lora_blob_.data(), 1, sz, f) != (size_t)sz) {
+        std::fclose(f);
+        throw std::runtime_error("short read on " + path);
+    }
+    std::fclose(f);
+    const uint8_t* d = lora_blob_.data();
+    if (read_le<uint32_t>(d) != MAGIC_0 ||
+        (Arch)read_le<uint32_t>(d + 16) != Arch::Lora)
+        throw std::runtime_error("not a LoRA .bin file");
+    auto lora = std::make_unique<Lora>();
+    lora->rank = read_le<int32_t>(d + 24);
+    lora->alpha = read_le<int32_t>(d + 28);
+    int32_t L = read_le<int32_t>(d + 32);
+    int32_t E = read_le<int32_t>(d + 36);
+    if (L != cfg_.n_layer || E != cfg_.n_embd)
+        throw std::runtime_error("LoRA does not match base model");
+    int r = lora->rank;
+    int64_t D = cfg_.head_dim, H = cfg_.n_head, KV = cfg_.n_kv_head;
+    const float* p = (const float*)(d + 256);
+    lora->layers.resize(L);
+    // file order: wq_a[L], wq_b[L], wk_a[L], wk_b[L], ... (export.py)
+    auto stack = [&](int64_t rows, int64_t cols,
+                     const float* LoraLayer::*field) {
+        for (int32_t l = 0; l < L; l++) {
+            lora->layers[l].*field = p;
+            p += rows * cols;
+        }
+    };
+    stack(r, E, &LoraLayer::qa);
+    stack(H * D, r, &LoraLayer::qb);
+    stack(r, E, &LoraLayer::ka);
+    stack(KV * D, r, &LoraLayer::kb);
+    stack(r, E, &LoraLayer::va);
+    stack(KV * D, r, &LoraLayer::vb);
+    stack(r, H * D, &LoraLayer::oa);
+    stack(E, r, &LoraLayer::ob);
+    lora_ = std::move(lora);
+}
+
+// ===================================================================
+// forward
+// ===================================================================
+
+static void dispatch_matmul(float* y, const Weight& w, const float* x,
+                            const float* xq4, int gs) {
+    if (w.quant == Quant::F32) {
+        matmul_f32(y, w, x);
+    } else if (w.quant == Quant::Q80) {
+        matmul_q80(y, w, x, gs);
+    } else {
+        matmul_q4k(y, w, xq4);
+    }
+}
+
+// y += scale * B (rows x r) @ (A (r x cols) @ x)
+static void lora_delta(float* y, const float* a, const float* b, int r,
+                       int rows, int cols, const float* x, float scale) {
+    std::vector<float> h(r, 0.0f);
+    for (int i = 0; i < r; i++) {
+        const float* ar = a + (size_t)i * cols;
+        float acc = 0.0f;
+        for (int c = 0; c < cols; c++) acc += ar[c] * x[c];
+        h[i] = acc;
+    }
+    #pragma omp parallel for schedule(static)
+    for (int o = 0; o < rows; o++) {
+        const float* br = b + (size_t)o * r;
+        float acc = 0.0f;
+        for (int i = 0; i < r; i++) acc += br[i] * h[i];
+        y[o] += scale * acc;
+    }
+}
+
+const float* Model::forward(Runtime* rt, int token, int pos) const {
+    const Config& c = cfg_;
+    int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
+    int qdim = H * D, kvdim = KV * D;
+    int rep = H / KV;
+    int gs = (int)group_size_;
+    // model-correct eps per arch, matching the JAX engine (the reference
+    // C engine hardcodes 1e-5 everywhere, a known divergence for Qwen)
+    const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
+    float* x = rt->x.data();
+
+    // embedding row (dequantize on demand for quantized tables)
+    if (tok_emb_.quant == Quant::F32) {
+        std::memcpy(x, tok_emb_.f32 + (size_t)token * E, E * sizeof(float));
+    } else if (tok_emb_.quant == Quant::Q80) {
+        const int8_t* q = tok_emb_.q80.q + (size_t)token * E;
+        const float* s = tok_emb_.q80.s + (size_t)token * (E / gs);
+        for (int i = 0; i < E; i++) x[i] = (float)q[i] * s[i / gs];
+    } else {
+        int bpr = (E + Q4K_BLOCK - 1) / Q4K_BLOCK;
+        for (int blk = 0; blk < bpr; blk++)
+            q4k_block_dequant(
+                tok_emb_.q4k.blocks +
+                    ((size_t)token * bpr + blk) * Q4K_BYTES,
+                x + blk * Q4K_BLOCK);
+    }
+    if (observation) observation(Phase::Embedding, -1, pos, x, E);
+
+    float* xb = rt->xb.data();
+    float* xq4 = rt->xq4.data();
+    float* q = rt->q.data();
+    float* k = q + qdim;
+    float* v = k + kvdim;
+
+    for (int l = 0; l < c.n_layer; l++) {
+        rmsnorm(xb, x, attn_norm_ + (size_t)l * E, E, EPS);
+        if (observation) observation(Phase::AttnNorm, l, pos, xb, E);
+
+        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
+        dispatch_matmul(q, wq_[l], xb, xq4, gs);
+        dispatch_matmul(k, wk_[l], xb, xq4, gs);
+        dispatch_matmul(v, wv_[l], xb, xq4, gs);
+        if (lora_) {
+            const LoraLayer& ll = lora_->layers[l];
+            float sc = lora_->scale();
+            lora_delta(q, ll.qa, ll.qb, lora_->rank, qdim, E, xb, sc);
+            lora_delta(k, ll.ka, ll.kb, lora_->rank, kvdim, E, xb, sc);
+            lora_delta(v, ll.va, ll.vb, lora_->rank, kvdim, E, xb, sc);
+        }
+        if (arch_ == Arch::Qwen2) {
+            for (int i = 0; i < qdim; i++) q[i] += bq_[(size_t)l * qdim + i];
+            for (int i = 0; i < kvdim; i++) {
+                k[i] += bk_[(size_t)l * kvdim + i];
+                v[i] += bv_[(size_t)l * kvdim + i];
+            }
+        }
+        if (arch_ == Arch::Qwen3) {
+            // per-head q/k RMSNorm (reference: infer/infer.c:824-835)
+            for (int h = 0; h < H; h++)
+                rmsnorm(q + h * D, q + h * D, q_norm_ + (size_t)l * D, D, 1e-6f);
+            for (int h = 0; h < KV; h++)
+                rmsnorm(k + h * D, k + h * D, k_norm_ + (size_t)l * D, D, 1e-6f);
+        }
+        if (observation) observation(Phase::QKV, l, pos, q, qdim);
+
+        // RoPE
+        const float* cosr = rope_cos_.data() + (size_t)pos * (D / 2);
+        const float* sinr = rope_sin_.data() + (size_t)pos * (D / 2);
+        bool half = (arch_ == Arch::Qwen3);
+        auto rope = [&](float* vec, int heads) {
+            for (int h = 0; h < heads; h++) {
+                float* hd = vec + h * D;
+                for (int i = 0; i < D / 2; i++) {
+                    float cr = cosr[i], sr = sinr[i];
+                    if (half) {
+                        float a = hd[i], bb = hd[i + D / 2];
+                        hd[i] = a * cr - bb * sr;
+                        hd[i + D / 2] = a * sr + bb * cr;
+                    } else {
+                        float a = hd[2 * i], bb = hd[2 * i + 1];
+                        hd[2 * i] = a * cr - bb * sr;
+                        hd[2 * i + 1] = a * sr + bb * cr;
+                    }
+                }
+            }
+        };
+        rope(q, H);
+        rope(k, KV);
+        if (observation) observation(Phase::Rope, l, pos, q, qdim);
+
+        // write KV cache
+        float* kcache = rt->kc.data() + (size_t)l * rt->max_seq * kvdim;
+        float* vcache = rt->vc.data() + (size_t)l * rt->max_seq * kvdim;
+        std::memcpy(kcache + (size_t)pos * kvdim, k, kvdim * sizeof(float));
+        std::memcpy(vcache + (size_t)pos * kvdim, v, kvdim * sizeof(float));
+
+        // attention over the cache, parallel across heads
+        float* att_out = rt->att_out.data();
+        float inv_sqrt_d = 1.0f / std::sqrt((float)D);
+        #pragma omp parallel for schedule(static)
+        for (int h = 0; h < H; h++) {
+            const float* qh = q + h * D;
+            int kvh = h / rep;
+            float* scores = rt->att.data() + (size_t)h * rt->max_seq;
+            for (int t = 0; t <= pos; t++) {
+                const float* kt = kcache + (size_t)t * kvdim + kvh * D;
+                float acc = 0.0f;
+                for (int i = 0; i < D; i++) acc += qh[i] * kt[i];
+                scores[t] = acc * inv_sqrt_d;
+            }
+            softmax_inplace(scores, pos + 1);
+            float* oh = att_out + h * D;
+            std::memset(oh, 0, D * sizeof(float));
+            for (int t = 0; t <= pos; t++) {
+                const float* vt = vcache + (size_t)t * kvdim + kvh * D;
+                float p = scores[t];
+                for (int i = 0; i < D; i++) oh[i] += p * vt[i];
+            }
+        }
+        if (observation) observation(Phase::Attention, l, pos, att_out, qdim);
+
+        if (quant_ == Quant::Q4K) q4k_fake_quant(att_out, xq4, qdim);
+        dispatch_matmul(xb, wo_[l], att_out, xq4, gs);
+        if (lora_) {
+            const LoraLayer& ll = lora_->layers[l];
+            lora_delta(xb, ll.oa, ll.ob, lora_->rank, E, qdim, att_out,
+                       lora_->scale());
+        }
+        if (observation) observation(Phase::AttnOut, l, pos, xb, E);
+        for (int i = 0; i < E; i++) x[i] += xb[i];
+
+        rmsnorm(xb, x, ffn_norm_ + (size_t)l * E, E, EPS);
+        if (observation) observation(Phase::FfnNorm, l, pos, xb, E);
+        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
+        dispatch_matmul(rt->h1.data(), w1_[l], xb, xq4, gs);
+        dispatch_matmul(rt->h3.data(), w3_[l], xb, xq4, gs);
+        float* hb = rt->hb.data();
+        for (int i = 0; i < c.n_hidden; i++) {
+            float a = rt->h1[i];
+            hb[i] = (a / (1.0f + std::exp(-a))) * rt->h3[i];  // SiLU * w3
+        }
+        if (quant_ == Quant::Q4K) q4k_fake_quant(hb, xq4, c.n_hidden);
+        dispatch_matmul(xb, w2_[l], hb, xq4, gs);
+        if (observation) observation(Phase::Ffn, l, pos, xb, E);
+        for (int i = 0; i < E; i++) x[i] += xb[i];
+        if (observation) observation(Phase::Residual, l, pos, x, E);
+    }
+
+    rmsnorm(x, x, final_norm_, E, EPS);
+    if (observation) observation(Phase::FinalNorm, -1, pos, x, E);
+    if (quant_ == Quant::Q4K) q4k_fake_quant(x, xq4, E);
+    dispatch_matmul(rt->logits.data(), classifier_, x, xq4, gs);
+    if (observation)
+        observation(Phase::Logits, -1, pos, rt->logits.data(), c.vocab_size);
+    return rt->logits.data();
+}
+
+std::vector<int> Model::seq2seq(Runtime* rt, const std::vector<int>& input
+                                ) const {
+    // Global (non-causal) attention.  Layer l's KV depends on layer l-1's
+    // outputs under GLOBAL attention, so a single sweep cannot converge
+    // the cache: run n_layer fix-point sweeps over the sequence (the
+    // cache starts zeroed; after sweep i the first i+1 layers are
+    // converged), then a final sweep for per-position argmax
+    // (reference: infer/infer.c:1365-1402 uses the same L-sweep scheme).
+    const Config& c = cfg_;
+    int S = (int)input.size();
+    std::vector<int> out(S);
+    for (int sweep = 0; sweep < c.n_layer; sweep++)
+        for (int t = 0; t < S; t++) forward_global(rt, input[t], t, S);
+    for (int t = 0; t < S; t++) {
+        const float* logits = forward_global(rt, input[t], t, S);
+        int best = 0;
+        for (int i = 1; i < c.vocab_size; i++)
+            if (logits[i] > logits[best]) best = i;
+        out[t] = best;
+    }
+    return out;
+}
+
+const float* Model::forward_global(Runtime* rt, int token, int pos,
+                                   int total) const {
+    // forward() variant with attention over [0, total) — used by seq2seq.
+    // The KV cache must already hold keys/values for all `total`
+    // positions (pass 1 of seq2seq); this pass re-derives q at `pos` and
+    // attends globally.  Cache writes at `pos` re-write identical values.
+    const Config& c = cfg_;
+    int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
+    int qdim = H * D, kvdim = KV * D;
+    int rep = H / KV;
+    int gs = (int)group_size_;
+    const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
+    float* x = rt->x.data();
+    if (tok_emb_.quant == Quant::F32) {
+        std::memcpy(x, tok_emb_.f32 + (size_t)token * E, E * sizeof(float));
+    } else if (tok_emb_.quant == Quant::Q80) {
+        const int8_t* qq = tok_emb_.q80.q + (size_t)token * E;
+        const float* ss = tok_emb_.q80.s + (size_t)token * (E / gs);
+        for (int i = 0; i < E; i++) x[i] = (float)qq[i] * ss[i / gs];
+    } else {
+        int bpr = (E + Q4K_BLOCK - 1) / Q4K_BLOCK;
+        for (int blk = 0; blk < bpr; blk++)
+            q4k_block_dequant(tok_emb_.q4k.blocks +
+                              ((size_t)token * bpr + blk) * Q4K_BYTES,
+                              x + blk * Q4K_BLOCK);
+    }
+    float* xb = rt->xb.data();
+    float* xq4 = rt->xq4.data();
+    float* q = rt->q.data();
+    float* k = q + qdim;
+    float* v = k + kvdim;
+    for (int l = 0; l < c.n_layer; l++) {
+        rmsnorm(xb, x, attn_norm_ + (size_t)l * E, E, EPS);
+        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
+        dispatch_matmul(q, wq_[l], xb, xq4, gs);
+        dispatch_matmul(k, wk_[l], xb, xq4, gs);
+        dispatch_matmul(v, wv_[l], xb, xq4, gs);
+        const float* cosr = rope_cos_.data() + (size_t)pos * (D / 2);
+        const float* sinr = rope_sin_.data() + (size_t)pos * (D / 2);
+        for (int h = 0; h < H; h++) {
+            float* hd = q + h * D;
+            for (int i = 0; i < D / 2; i++) {
+                float a = hd[2 * i], bb = hd[2 * i + 1];
+                hd[2 * i] = a * cosr[i] - bb * sinr[i];
+                hd[2 * i + 1] = a * sinr[i] + bb * cosr[i];
+            }
+        }
+        // RoPE on k as well, then refresh the cache at this position
+        for (int h = 0; h < KV; h++) {
+            float* hd = k + h * D;
+            for (int i = 0; i < D / 2; i++) {
+                float a = hd[2 * i], bb = hd[2 * i + 1];
+                hd[2 * i] = a * cosr[i] - bb * sinr[i];
+                hd[2 * i + 1] = a * sinr[i] + bb * cosr[i];
+            }
+        }
+        float* kcache = rt->kc.data() + (size_t)l * rt->max_seq * kvdim;
+        float* vcache = rt->vc.data() + (size_t)l * rt->max_seq * kvdim;
+        std::memcpy(kcache + (size_t)pos * kvdim, k, kvdim * sizeof(float));
+        std::memcpy(vcache + (size_t)pos * kvdim, v, kvdim * sizeof(float));
+        float* att_out = rt->att_out.data();
+        float inv_sqrt_d = 1.0f / std::sqrt((float)D);
+        #pragma omp parallel for schedule(static)
+        for (int h = 0; h < H; h++) {
+            const float* qh = q + h * D;
+            int kvh = h / rep;
+            float* scores = rt->att.data() + (size_t)h * rt->max_seq;
+            for (int t = 0; t < total; t++) {
+                const float* kt = kcache + (size_t)t * kvdim + kvh * D;
+                float acc = 0.0f;
+                for (int i = 0; i < D; i++) acc += qh[i] * kt[i];
+                scores[t] = acc * inv_sqrt_d;
+            }
+            softmax_inplace(scores, total);
+            float* oh = att_out + h * D;
+            std::memset(oh, 0, D * sizeof(float));
+            for (int t = 0; t < total; t++) {
+                const float* vt = vcache + (size_t)t * kvdim + kvh * D;
+                float pp = scores[t];
+                for (int i = 0; i < D; i++) oh[i] += pp * vt[i];
+            }
+        }
+        if (quant_ == Quant::Q4K) q4k_fake_quant(att_out, xq4, qdim);
+        dispatch_matmul(xb, wo_[l], att_out, xq4, gs);
+        for (int i = 0; i < E; i++) x[i] += xb[i];
+        rmsnorm(xb, x, ffn_norm_ + (size_t)l * E, E, EPS);
+        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
+        dispatch_matmul(rt->h1.data(), w1_[l], xb, xq4, gs);
+        dispatch_matmul(rt->h3.data(), w3_[l], xb, xq4, gs);
+        float* hb = rt->hb.data();
+        for (int i = 0; i < c.n_hidden; i++) {
+            float a = rt->h1[i];
+            hb[i] = (a / (1.0f + std::exp(-a))) * rt->h3[i];
+        }
+        if (quant_ == Quant::Q4K) q4k_fake_quant(hb, xq4, c.n_hidden);
+        dispatch_matmul(xb, w2_[l], hb, xq4, gs);
+        for (int i = 0; i < E; i++) x[i] += xb[i];
+    }
+    rmsnorm(x, x, final_norm_, E, EPS);
+    if (quant_ == Quant::Q4K) q4k_fake_quant(x, xq4, E);
+    dispatch_matmul(rt->logits.data(), classifier_, x, xq4, gs);
+    return rt->logits.data();
+}
+
+// ===================================================================
+// tokenizer dispatch + templates
+// ===================================================================
+
+std::vector<int> Model::encode(const std::string& text) const {
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        return bpe_.encode(text);
+    return trie_.encode(text);
+}
+
+std::string Model::decode(const std::vector<int>& ids) const {
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        return bpe_.decode(ids);
+    return trie_.decode(ids);
+}
+
+std::string Model::decode_one(int id) const {
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        return bpe_.decode_one(id);
+    return trie_.decode_one(id);
+}
+
+std::vector<int> Model::prompt_ids(const std::string& prompt,
+                                   bool template_) const {
+    if (!template_) return encode(prompt);
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        return bpe_.chat_template(prompt, /*enable_thinking=*/false);
+    return encode("<|instruct_mark|>" + prompt + "<|response_mark|>");
+}
+
+bool Model::is_stop_token(int id) const {
+    if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
+        return id == 151643 || id == 151645;
+    return id == 0 || id == 3;   // <|padding|>, <|eos|>
+}
+
+// ===================================================================
+// sampler
+// ===================================================================
+
+float Sampler::random_f32() {
+    // xorshift* (public-domain algorithm; same parameters as the
+    // reference so cross-engine stochastic runs reproduce,
+    // infer/utils.c:959-968)
+    rng_state ^= rng_state >> 12;
+    rng_state ^= rng_state << 25;
+    rng_state ^= rng_state >> 27;
+    uint32_t u = (uint32_t)((rng_state * 0x2545F4914F6CDD1DULL) >> 32);
+    return (float)(u >> 8) / 16777216.0f;
+}
+
+int Sampler::sample(float* logits, int vocab_size,
+                    const std::vector<bool>& seen) {
+    if (repetition_penalty != 1.0f)
+        for (int i = 0; i < vocab_size; i++)
+            if (seen[i]) logits[i] /= repetition_penalty;
+
+    if (temperature <= 0.0f) {
+        int best = 0;
+        for (int i = 1; i < vocab_size; i++)
+            if (logits[i] > logits[best]) best = i;
+        return best;
+    }
+    for (int i = 0; i < vocab_size; i++) logits[i] /= temperature;
+    softmax_inplace(logits, vocab_size);
+
+    // nucleus sampling: sort desc, keep while cumulative-before <= p,
+    // inverse-CDF walk with r = coin * kept_mass (same math as
+    // ops/sampling.py sample_with_coin)
+    std::vector<std::pair<float, int>> pairs;
+    pairs.reserve(vocab_size);
+    // prefilter: tokens below (1-p)/(V-1) can never be in the nucleus
+    float cutoff = (top_p > 0.0f && top_p < 1.0f)
+                       ? (1.0f - top_p) / (float)(vocab_size - 1)
+                       : 0.0f;
+    for (int i = 0; i < vocab_size; i++)
+        if (logits[i] >= cutoff) pairs.emplace_back(logits[i], i);
+    std::sort(pairs.begin(), pairs.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+
+    float cum = 0.0f;
+    size_t last = pairs.size() - 1;
+    if (top_p > 0.0f && top_p < 1.0f) {
+        for (size_t i = 0; i < pairs.size(); i++) {
+            cum += pairs[i].first;
+            if (cum > top_p) { last = i; break; }
+        }
+    } else {
+        for (auto& pr : pairs) cum += pr.first;
+    }
+    float r = random_f32() * cum;
+    float acc = 0.0f;
+    for (size_t i = 0; i <= last; i++) {
+        acc += pairs[i].first;
+        if (acc > r) return pairs[i].second;
+    }
+    return pairs[last].second;
+}
+
+// ===================================================================
+// session
+// ===================================================================
+
+Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
+                 std::vector<int> prompt_ids, int max_seq_len,
+                 int max_new_tokens)
+    : model_(model), rt_(rt), sampler_(sampler),
+      prompt_ids_(std::move(prompt_ids)), max_seq_len_(max_seq_len),
+      max_new_tokens_(max_new_tokens) {
+    seen_.assign(model.config().vocab_size, false);
+    if ((int)prompt_ids_.size() >= max_seq_len_)
+        prompt_ids_.resize(max_seq_len_ - 1);
+}
+
+int Session::step() {
+    if (state_ == State::Finished) return -1;
+    int n = (int)prompt_ids_.size();
+    if (state_ == State::Prefilling) {
+        const float* logits = model_.forward(rt_, prompt_ids_[pos_], pos_);
+        seen_[prompt_ids_[pos_]] = true;
+        if (pos_ + 1 < n) {
+            pos_++;
+            return prompt_ids_[pos_];  // forced next prompt token
+        }
+        // sample the first generated token
+        std::vector<float> lg(logits, logits + model_.config().vocab_size);
+        cur_tok_ = sampler_->sample(lg.data(), model_.config().vocab_size,
+                                    seen_);
+        pos_++;
+        state_ = State::Decoding;
+        t_first_ = now_s();
+        if (model_.is_stop_token(cur_tok_)) { state_ = State::Finished;
+                                              return -1; }
+        seen_[cur_tok_] = true;
+        output_ids_.push_back(cur_tok_);
+        return cur_tok_;
+    }
+    if (pos_ + 1 >= max_seq_len_ ||
+        (int)output_ids_.size() >= max_new_tokens_) {
+        state_ = State::Finished;
+        return -1;
+    }
+    const float* logits = model_.forward(rt_, cur_tok_, pos_);
+    std::vector<float> lg(logits, logits + model_.config().vocab_size);
+    cur_tok_ = sampler_->sample(lg.data(), model_.config().vocab_size, seen_);
+    pos_++;
+    if (model_.is_stop_token(cur_tok_)) {
+        state_ = State::Finished;
+        return -1;
+    }
+    seen_[cur_tok_] = true;
+    output_ids_.push_back(cur_tok_);
+    size_t nout = output_ids_.size();
+    if (nout > 1) tps_ = (double)(nout - 1) / std::max(now_s() - t_first_,
+                                                       1e-9);
+    if ((int)nout >= max_new_tokens_) state_ = State::Finished;
+    return cur_tok_;
+}
+
+}  // namespace nano

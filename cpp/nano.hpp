@@ -1,0 +1,262 @@
+// nano_tpu C++ host engine — portable CPU inference for .bin models.
+//
+// This is the framework's native counterpart of the reference C engine
+// (reference: infer/infer.{c,h}, infer/tensor.c, infer/tokenizer.c): it
+// consumes the same self-contained .bin format (F32/Q80/Q4K + embedded
+// tokenizer + LoRA sidecars) and exposes the same session semantics
+// (one-token-per-step, prefill forces prompt tokens, stop-token sets per
+// arch), but is a fresh C++17 design: RAII mmap views, std containers,
+// OpenMP row-parallel kernels, and numerics aligned with the JAX engine
+// (f32 dequant + f32 dot; Q4K activations fake-quantized with the same
+// bit-exact rounding) so it doubles as the framework's cross-engine
+// bit-exactness oracle and edge-deploy artifact.
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <memory>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace nano {
+
+// ------------------------------------------------------------------
+// model file constants (format spec: SURVEY.md §2.7; reference
+// README.md:239-255, infer/infer.c:220-320)
+// ------------------------------------------------------------------
+constexpr uint32_t MAGIC_0 = 0x42443453;  // "BD4S"
+constexpr uint32_t MAGIC_1 = 0x55524C4D;  // "URLM"
+
+enum class Arch : uint32_t { Nano = 0, Qwen2 = 2, Qwen3 = 3, Lora = 10 };
+enum class Quant : uint32_t { F32 = 0x00, Q80 = 0x80, Q4K = 0x42 };
+
+struct Config {
+    int32_t block_size = 0;
+    int32_t vocab_size = 0;
+    int32_t n_layer = 0;
+    int32_t n_embd = 0;
+    int32_t n_head = 0;
+    int32_t n_kv_head = 0;
+    int32_t n_hidden = 0;
+    int32_t shared_classifier = 1;
+    int32_t head_dim = 0;
+};
+
+// ------------------------------------------------------------------
+// quantized-weight views (zero-copy into the mmap)
+// ------------------------------------------------------------------
+struct Q80View {                 // per-group symmetric int8
+    const int8_t* q = nullptr;   // (rows * cols)
+    const float* s = nullptr;    // (rows * cols / group)
+};
+
+struct Q4KView {                 // packed 160-byte blocks, 256 values each
+    const uint8_t* blocks = nullptr;
+    uint32_t n_blocks = 0;       // total blocks (rows * blocks_per_row)
+    uint32_t rows = 0;
+    uint32_t cols = 0;           // true columns (n_pad = bpr * 256)
+};
+
+// One weight matrix in any quantization; `rows x cols`, row-major.
+struct Weight {
+    Quant quant = Quant::F32;
+    uint32_t rows = 0, cols = 0;
+    const float* f32 = nullptr;
+    Q80View q80;
+    Q4KView q4k;
+};
+
+// ------------------------------------------------------------------
+// tokenizers
+// ------------------------------------------------------------------
+class TrieTokenizer {
+  public:
+    void parse_field(const uint8_t* data, size_t* offset);
+    std::vector<int> encode(const std::string& utf8) const;
+    std::string decode(const std::vector<int>& ids) const;
+    std::string decode_one(int id) const;
+    int vocab_size() const { return (int)itos_.size(); }
+
+  private:
+    struct Node {
+        std::unordered_map<char32_t, int> children;  // -> node index
+        int token_id = -1;
+    };
+    std::vector<Node> nodes_;
+    std::vector<std::u32string> itos_;
+    std::unordered_map<char32_t, int> char_ids_;
+    void add_token(const std::u32string& t, int id);
+};
+
+class BpeTokenizer {
+  public:
+    void parse_field(const uint8_t* data, size_t* offset, int vocab_size);
+    std::vector<int> encode(const std::string& utf8) const;
+    std::string decode(const std::vector<int>& ids) const;
+    std::string decode_one(int id) const;
+    std::vector<int> chat_template(const std::string& user_prompt,
+                                   bool enable_thinking) const;
+
+  private:
+    std::vector<std::string> vocab_;     // raw bytes per token
+    std::vector<float> scores_;          // merge-rank scores
+    std::unordered_map<std::string, int> stoi_;
+};
+
+// ------------------------------------------------------------------
+// LoRA sidecar (reference format: export.py:119-224)
+// ------------------------------------------------------------------
+struct LoraLayer {
+    const float *qa, *qb, *ka, *kb, *va, *vb, *oa, *ob;
+};
+struct Lora {
+    int rank = 0, alpha = 0;
+    std::vector<LoraLayer> layers;
+    float scale() const { return (float)alpha / (float)rank; }
+};
+
+// ------------------------------------------------------------------
+// observation hook (reference: infer/infer.h:63-87 — a per-phase tap
+// used by UIs to visualize inference internals)
+// ------------------------------------------------------------------
+enum class Phase {
+    Embedding, AttnNorm, QKV, Rope, Attention, AttnOut, FfnNorm,
+    Ffn, Residual, FinalNorm, Logits, Sample
+};
+using ObservationHook =
+    std::function<void(Phase, int layer, int pos, const float* data, int n)>;
+
+// ------------------------------------------------------------------
+// model
+// ------------------------------------------------------------------
+class Model {
+  public:
+    // mmap + parse; throws std::runtime_error on malformed files
+    explicit Model(const std::string& path);
+    ~Model();
+    Model(const Model&) = delete;
+    Model& operator=(const Model&) = delete;
+
+    const Config& config() const { return cfg_; }
+    Arch arch() const { return arch_; }
+    Quant quant() const { return quant_; }
+
+    std::vector<int> encode(const std::string& text) const;
+    std::string decode(const std::vector<int>& ids) const;
+    std::string decode_one(int id) const;
+    std::vector<int> prompt_ids(const std::string& prompt,
+                                bool template_) const;
+    bool is_stop_token(int id) const;
+
+    // forward one token at `pos`; returns logits (vocab_size floats,
+    // valid until the next call).  Not thread-safe across sessions —
+    // create one Runtime per concurrent stream.
+    struct Runtime;
+    Runtime* new_runtime(int max_seq_len) const;
+
+    void attach_lora(const std::string& path);
+    void detach_lora() { lora_.reset(); }
+
+    ObservationHook observation;   // optional per-phase tap
+
+    const float* forward(Runtime* rt, int token, int pos) const;
+    // global-attention single-position pass (used by seq2seq)
+    const float* forward_global(Runtime* rt, int token, int pos,
+                                int total) const;
+    // non-causal full-sequence decode for seq2seq models
+    // (reference: infer/infer.c:1365-1402)
+    std::vector<int> seq2seq(Runtime* rt, const std::vector<int>& input) const;
+
+    void free_runtime(Runtime* rt) const;
+
+  private:
+    void map_weights(const uint8_t* p, size_t remaining);
+
+    int fd_ = -1;
+    const uint8_t* data_ = nullptr;
+    size_t size_ = 0;
+
+    Config cfg_;
+    Arch arch_ = Arch::Nano;
+    Quant quant_ = Quant::F32;
+    uint32_t group_size_ = 0;
+
+    TrieTokenizer trie_;
+    BpeTokenizer bpe_;
+
+    // weights
+    const float *attn_norm_ = nullptr, *ffn_norm_ = nullptr,
+                *final_norm_ = nullptr;
+    Weight tok_emb_;
+    std::vector<float> tok_emb_f32_;      // dequantized shadow for lookup
+    std::vector<Weight> wq_, wk_, wv_, wo_, w1_, w2_, w3_;
+    Weight classifier_;
+    const float *bq_ = nullptr, *bk_ = nullptr, *bv_ = nullptr;  // qwen2
+    const float *q_norm_ = nullptr, *k_norm_ = nullptr;          // qwen3
+    std::vector<float> rope_cos_, rope_sin_;   // (block_size, head_dim/2)
+
+    std::unique_ptr<Lora> lora_;
+    std::vector<uint8_t> lora_blob_;
+
+    friend struct Runtime;
+};
+
+// ------------------------------------------------------------------
+// sampler (reference semantics: infer/infer.c:1026-1193 — argmax at
+// temperature 0; softmax + nucleus top-p; repetition penalty divides
+// logits of seen tokens; xorshift* RNG)
+// ------------------------------------------------------------------
+class Sampler {
+  public:
+    float temperature = 1.0f;
+    float top_p = 0.8f;
+    float repetition_penalty = 1.1f;
+    uint64_t rng_state = 39;
+
+    int sample(float* logits, int vocab_size,
+               const std::vector<bool>& seen);
+
+  private:
+    float random_f32();
+};
+
+// ------------------------------------------------------------------
+// session — one token per step() (reference: infer/infer.c:1196-1308)
+// ------------------------------------------------------------------
+class Session {
+  public:
+    Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
+            std::vector<int> prompt_ids, int max_seq_len,
+            int max_new_tokens);
+
+    // -> next token id, or -1 when finished.  During prefill this
+    // consumes prompt tokens (several per call is allowed via step());
+    // the caller distinguishes phases via is_prefilling().
+    int step();
+    bool finished() const { return state_ == State::Finished; }
+    bool is_prefilling() const { return state_ == State::Prefilling; }
+    double tps() const { return tps_; }
+    float prefill_progress() const {
+        return prompt_ids_.empty() ? 1.0f
+             : (float)pos_ / (float)prompt_ids_.size();
+    }
+    const std::vector<int>& output_ids() const { return output_ids_; }
+
+  private:
+    enum class State { Prefilling, Decoding, Finished };
+    const Model& model_;
+    Model::Runtime* rt_;
+    Sampler* sampler_;
+    std::vector<int> prompt_ids_;
+    std::vector<int> output_ids_;
+    std::vector<bool> seen_;
+    int max_seq_len_, max_new_tokens_;
+    int pos_ = 0;
+    int cur_tok_ = 0;
+    State state_ = State::Prefilling;
+    double t_first_ = 0.0, tps_ = 0.0;
+};
+
+}  // namespace nano

@@ -1,0 +1,218 @@
+"""C++ host engine: three-way greedy parity (C++ vs JAX vs reference C)
+on shared .bin files, logits agreement, tokenizers, LoRA, seq2seq."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.models import gpt
+from nano_tpu.io import binfmt
+from nano_tpu.infer import engine
+from nano_tpu.ops import sampling
+from nano_tpu.tokenizer.trie import TrieTokenizer
+from nano_tpu import cpp_engine
+from .conftest import REPO_ROOT
+from .test_cross_engine import oracle_ok, run_oracle
+
+cpp_ok = cpp_engine.build()
+
+
+def make_tiny(tmp_path, quant, seed=7):
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(seed), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / f"tiny_{quant}.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant=quant)
+    return cfg, params, tok, path
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
+def test_cpp_greedy_matches_jax(tmp_path, quant):
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    prompt_ids = tok.encode("abcdefgh")
+
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        assert eng.vocab_size == 64
+        assert eng.encode("abcdefgh") == prompt_ids
+        cpp_out = eng.generate(prompt_ids, 16)
+
+    ctx = engine.LLMContext.from_bin(
+        path, max_seq_len=64, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    session = engine.Session(ctx, "abcdefgh", max_new_tokens=16)
+    jax_out = []
+    while (t := session.step()) is not None:
+        jax_out.append(t)
+    assert cpp_out == jax_out, f"cpp={cpp_out} jax={jax_out}"
+
+
+@pytest.mark.skipif(not (cpp_ok and oracle_ok),
+                    reason="C++ engine or reference oracle unavailable")
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
+def test_cpp_greedy_matches_reference_c(tmp_path, quant):
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    prompt = "abcdefgh"
+    ref_prompt_ids, ref_out = run_oracle(path, prompt, max_new=16,
+                                         temperature=0.0)
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        assert eng.encode(prompt) == ref_prompt_ids
+        cpp_out = eng.generate(ref_prompt_ids, 16)
+    ref_trimmed = [t for t in ref_out if t not in (0, 3)]
+    assert cpp_out == ref_trimmed[:len(cpp_out)]
+    assert len(cpp_out) >= min(8, len(ref_trimmed))
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_logits_close_to_jax_f32(tmp_path):
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    with cpp_engine.CppEngine(path, max_seq_len=64) as eng:
+        cpp_logits = eng.forward(5, 0)
+    ctx = engine.LLMContext.from_bin(path, max_seq_len=64, dtype=jnp.float32)
+    cache = gpt.KVCache.create(cfg, 1, 64, jnp.float32)
+    logits, _ = gpt.forward_with_cache(
+        ctx.params, jnp.asarray([[5]], jnp.int32), cache, jnp.int32(0),
+        cfg, jnp.float32)
+    # note: the C++ engine hardcodes rmsnorm eps=1e-5 like the reference C
+    np.testing.assert_allclose(cpp_logits, np.asarray(logits[0, 0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_lora_changes_output_and_matches_jax(tmp_path):
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    rng = np.random.RandomState(0)
+    L, E, H, KV, D = (cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_kv_head,
+                      cfg.head_dim)
+    r = 4
+    lora = {
+        "wq_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wq_b": rng.randn(L, r, H * D).astype(np.float32) * 0.2,
+        "wk_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wk_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wv_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wv_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wo_a": rng.randn(L, H * D, r).astype(np.float32) * 0.2,
+        "wo_b": rng.randn(L, r, E).astype(np.float32) * 0.2,
+    }
+    lora_path = str(tmp_path / "l.bin")
+    binfmt.write_lora(lora_path, lora, cfg, rank=r, alpha=8)
+    ids = tok.encode("abcdef")
+
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        base = eng.generate(ids, 10)
+        eng.attach_lora(lora_path)
+        with_lora = eng.generate(ids, 10)
+        eng.detach_lora()
+        again = eng.generate(ids, 10)
+    assert base == again
+    assert base != with_lora
+
+    ctx = engine.LLMContext.from_bin(
+        path, max_seq_len=64, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    ctx.load_lora(lora_path)
+    jax_out = engine.generate_on_device(ctx, ids, 10).tolist()
+    jax_out = [t for t in jax_out if t not in engine.NANO_STOP_TOKENS]
+    assert with_lora == jax_out[:len(with_lora)]
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_seq2seq_matches_jax(tmp_path):
+    cfg = ModelConfig(block_size=16, vocab_size=32, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=4, n_hidden=64, is_causal=False)
+    params = gpt.init_params(jax.random.PRNGKey(3), cfg)
+    tok = TrieTokenizer()
+    tok.build(list("0123456789"))
+    path = str(tmp_path / "s2s.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="f32")
+    ids = tok.encode("3141592653589793")
+
+    ctx = engine.LLMContext.from_bin(path, max_seq_len=16, dtype=jnp.float32)
+    jax_out = engine.seq2seq(ctx, ids)
+    with cpp_engine.CppEngine(path, max_seq_len=16) as eng:
+        cpp_out = eng.seq2seq(ids)
+    assert cpp_out == list(jax_out)
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_stochastic_sampling_reproducible(tmp_path):
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    ids = tok.encode("abc")
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.9,
+                              top_p=0.8, repetition_penalty=1.1,
+                              seed=42) as eng:
+        a = eng.generate(ids, 12)
+        eng.set_sampler(0.9, 0.8, 1.1, seed=42)
+        b = eng.generate(ids, 12)
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_tokenizer_roundtrip(tmp_path):
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    with cpp_engine.CppEngine(path) as eng:
+        ids = eng.encode("hello world")
+        assert ids == tok.encode("hello world")
+        assert eng.decode(ids) == tok.decode(ids)
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_rejects_garbage_file(tmp_path):
+    p = tmp_path / "garbage.bin"
+    p.write_bytes(b"\x00" * 1024)
+    with pytest.raises(RuntimeError):
+        cpp_engine.CppEngine(str(p))
+
+
+def test_cpp_qwen3_matches_jax(tmp_path):
+    """Qwen3 arch through the C++ engine: BPE field parse, chat template,
+    qk-norm + half RoPE + untied classifier, greedy parity with JAX."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    if not cpp_ok:
+        pytest.skip("C++ engine not built")
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+    from nano_tpu.io.qwen import convert_hf_qwen
+    from .test_qwen import _write_toy_hf_tokenizer_json
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    qcfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rope_theta=1e6,
+        rms_norm_eps=1e-6, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    Qwen3ForCausalLM(qcfg).save_pretrained(str(d), safe_serialization=True)
+    _write_toy_hf_tokenizer_json(str(d / "tokenizer.json"), 512)
+    out = str(tmp_path / "qwen3.bin")
+    convert_hf_qwen(str(d), out, quant="f32")
+
+    ctx = engine.LLMContext.from_bin(
+        out, max_seq_len=64, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    ids = ctx.encode("hello")
+    jax_out = [t for t in engine.generate_on_device(ctx, ids, 10).tolist()
+               if t not in ctx.stop_tokens]
+    with cpp_engine.CppEngine(out, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        assert eng.encode("hello") == ids
+        cpp_out = eng.generate(ids, 10)
+    assert cpp_out == jax_out[:len(cpp_out)] and len(cpp_out) >= 5
