@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Dataset preprocessing CLI.
+
+Mirrors the reference preprocessing (reference: data.py): raw text ->
+shuffled (block_size+1)-token training shards; SFT JSONL {question,answer}
+-> padded ids + answer-only loss masks.  Shards are packed .npz instead of
+the reference's base64-pickled lines; `convert` translates old files.
+
+    python data.py pretrain -i corpus.txt [corpus2.txt ...] \\
+        -k tokenizer/nano_16384.json -b 512 -o dataset/pt
+    python data.py sft -i qa.jsonl -k tok.json -b 512 -o dataset/sft
+    python data.py convert -i old.base64 -o new.npz
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Nano dataset preprocessing")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("pretrain")
+    pt.add_argument("-i", "--input", nargs="+", required=True)
+    pt.add_argument("-k", "--tokenizer", required=True,
+                    help="tokenizer config JSON")
+    pt.add_argument("-b", "--block_size", type=int, default=512)
+    pt.add_argument("-o", "--output_prefix", required=True)
+    pt.add_argument("--val_ratio", type=float, default=0.05)
+    pt.add_argument("-j", "--workers", type=int, default=0)
+    pt.add_argument("-s", "--seed", type=int, default=39)
+
+    sft = sub.add_parser("sft")
+    sft.add_argument("-i", "--input", nargs="+", required=True)
+    sft.add_argument("-k", "--tokenizer", required=True)
+    sft.add_argument("-b", "--block_size", type=int, default=512)
+    sft.add_argument("-o", "--output_prefix", required=True)
+    sft.add_argument("--val_ratio", type=float, default=0.05)
+    sft.add_argument("-s", "--seed", type=int, default=39)
+
+    cv = sub.add_parser("convert",
+                        help="reference base64-line file -> .npz shard")
+    cv.add_argument("-i", "--input", required=True)
+    cv.add_argument("-o", "--output", required=True)
+
+    tk = sub.add_parser("tokenizer",
+                        help="build a charset tokenizer from raw text "
+                             "(reference: tokenizer.py:327-412 builders)")
+    tk.add_argument("-i", "--input", nargs="+", required=True)
+    tk.add_argument("-o", "--output", required=True,
+                    help="tokenizer config JSON path")
+
+    args = ap.parse_args()
+
+    from nano_tpu.data import preprocess
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+
+    if args.cmd == "convert":
+        preprocess.convert_base64_to_shard(args.input, args.output)
+        print(f"converted {args.input} -> {args.output}")
+        return
+    if args.cmd == "tokenizer":
+        text = "".join(open(p, encoding="utf-8").read()
+                       for p in args.input)
+        tok = TrieTokenizer()
+        tok.build_from_text(text)
+        tok.dump_config_file(args.output)
+        print(f"built {tok.vocab_size}-token vocab -> {args.output}")
+        return
+
+    tok = TrieTokenizer.from_file(args.tokenizer)
+    if args.cmd == "pretrain":
+        train, val = preprocess.generate_pretrain_dataset(
+            args.input, tok, args.block_size, args.output_prefix,
+            val_ratio=args.val_ratio, num_workers=args.workers,
+            seed=args.seed)
+    else:
+        train, val = preprocess.generate_sft_dataset(
+            args.input, tok, args.block_size, args.output_prefix,
+            val_ratio=args.val_ratio, seed=args.seed)
+    print(f"wrote {train} and {val}")
+
+
+if __name__ == "__main__":
+    main()

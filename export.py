@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Export checkpoints to the self-contained .bin format.
+
+Mirrors the reference exporter (reference: export.py:515-544):
+
+    python export.py out.bin --checkpoint ckpt.npz      # FP32
+    python export.py out.bin --quant ckpt.npz           # Q80 int8
+    python export.py out.bin --q4k ckpt.npz             # Q4K 4-bit
+    python export.py out.bin --lora lora_ckpt.npz       # LoRA sidecar
+    python export.py out.bin --repack model.bin [--to q4k|q80|f32]
+
+The .bin embeds the tokenizer from the checkpoint, so the inference
+engines need no sidecar files.
+"""
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Nano .bin exporter")
+    ap.add_argument("output", help="output .bin path")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--checkpoint", help="FP32 export from .npz checkpoint")
+    g.add_argument("--quant", help="Q80 export from .npz checkpoint")
+    g.add_argument("--q4k", help="Q4K export from .npz checkpoint")
+    g.add_argument("--lora", help="LoRA export from .npz checkpoint")
+    g.add_argument("--repack", help="re-quantize an existing .bin")
+    ap.add_argument("--to", default="q4k", choices=["f32", "q80", "q4k"],
+                    help="target quant for --repack")
+    ap.add_argument("--group_size", type=int, default=128)
+    args = ap.parse_args()
+
+    from nano_tpu.io import binfmt
+
+    if args.repack:
+        binfmt.repack(args.repack, args.output, quant=args.to,
+                      group_size=args.group_size)
+        print(f"repacked {args.repack} -> {args.output} ({args.to})")
+        return
+
+    import jax
+    import numpy as np
+    from nano_tpu.config import ModelConfig
+    from nano_tpu.io.checkpoint import Checkpoint
+    from nano_tpu.models import gpt
+
+    src = args.checkpoint or args.quant or args.q4k or args.lora
+    ck = Checkpoint(src)
+    cfg = ModelConfig.from_dict(ck.model_config)
+
+    if args.lora:
+        tc = ck.train_config or {}
+        rank = int(tc.get("lora_rank", 16))
+        alpha = int(tc.get("lora_alpha", 32))
+        like = gpt.init_lora_params(jax.random.PRNGKey(0), cfg, rank)
+        lora = jax.tree.map(np.asarray, ck.load_lora(like))
+        binfmt.write_lora(args.output, lora, cfg, rank=rank, alpha=alpha)
+        print(f"exported LoRA (rank={rank}, alpha={alpha}) -> {args.output}")
+        return
+
+    quant = "f32" if args.checkpoint else ("q80" if args.quant else "q4k")
+    like = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(np.asarray, ck.load_params(like))
+    binfmt.write_model(args.output, params, cfg, ck.tokenizer_config,
+                       quant=quant, group_size=args.group_size)
+    print(f"exported {quant} -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Interactive inference REPL (TPU engine).
+
+Mirrors the reference PyTorch CLI (reference: infer.py): loads a training
+checkpoint (.npz) or an exported .bin, wraps prompts in the instruct
+template, streams tokens typewriter-style, reports TPS, supports LoRA and
+the denoise decode mode.
+
+    python infer.py -i -m checkpoint.npz [-l lora.npz] [-p]
+    python infer.py -i -m model.bin [-l lora.bin]
+    python infer.py -m model.bin -q "one-shot prompt"
+    python infer.py -d -m denoise_model.npz        # denoise generation
+"""
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Nano TPU inference")
+    ap.add_argument("-m", "--model", required=True,
+                    help=".npz checkpoint or .bin model file")
+    ap.add_argument("-l", "--lora", default=None)
+    ap.add_argument("-i", "--instruct", action="store_true",
+                    help="wrap prompts in the instruct/chat template")
+    ap.add_argument("-p", "--profile", action="store_true",
+                    help="print tokens/sec")
+    ap.add_argument("-d", "--denoise", action="store_true")
+    ap.add_argument("-q", "--prompt", default=None, help="one-shot prompt")
+    ap.add_argument("-n", "--max_new_tokens", type=int, default=512)
+    ap.add_argument("-c", "--max_seq_len", type=int, default=None)
+    ap.add_argument("-t", "--temperature", type=float, default=1.0)
+    ap.add_argument("--top_p", type=float, default=0.8)
+    ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
+    ap.add_argument("-s", "--seed", type=int, default=39)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+
+    sampler = sampling.SamplerConfig(
+        temperature=args.temperature, top_p=args.top_p,
+        repetition_penalty=args.repetition_penalty)
+    loader = (engine.LLMContext.from_bin if args.model.endswith(".bin")
+              else engine.LLMContext.from_checkpoint)
+    ctx = loader(args.model, max_seq_len=args.max_seq_len,
+                 sampler=sampler, random_seed=args.seed)
+    if args.lora:
+        if args.lora.endswith(".bin"):
+            ctx.load_lora(args.lora)
+        else:
+            ctx.load_lora_checkpoint(args.lora)
+    cfg = ctx.cfg
+    print(f"loaded {args.model}: {cfg.n_layer}L/{cfg.n_embd}E/"
+          f"{cfg.n_head}H vocab={cfg.vocab_size} ctx={ctx.max_seq_len}",
+          file=sys.stderr)
+
+    def run(prompt: str):
+        if args.denoise:
+            ids = ctx.encode(prompt)
+            out = engine.denoise_generate(ctx, ids)
+            print(ctx.decode(list(out)))
+            return
+        t0 = time.time()
+        n_tok = [0]
+
+        def on_decoding(session, tok, text):
+            print(text, end="", flush=True)
+            n_tok[0] += 1
+
+        engine.generate_sync(ctx, prompt,
+                             max_new_tokens=args.max_new_tokens,
+                             template=args.instruct,
+                             on_decoding=on_decoding)
+        print()
+        if args.profile and n_tok[0]:
+            dt = time.time() - t0
+            print(f"[{n_tok[0]} tokens, {n_tok[0]/dt:.1f} tok/s]",
+                  file=sys.stderr)
+
+    if args.prompt is not None:
+        run(args.prompt)
+        return
+    print("REPL — empty line or EOF quits", file=sys.stderr)
+    while True:
+        try:
+            line = input(">> ")
+        except EOFError:
+            break
+        if not line:
+            break
+        run(line)
+
+
+if __name__ == "__main__":
+    main()

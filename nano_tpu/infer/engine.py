@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nano_tpu.config import ModelConfig
+from nano_tpu import observe
 from nano_tpu.models import gpt
 from nano_tpu.ops import sampling
 from nano_tpu.io import binfmt
@@ -54,9 +55,15 @@ def _bucket(n: int, minimum: int = 16) -> int:
 # jitted step programs
 # =====================================================================
 
-@partial(jax.jit, static_argnames=("cfg", "dtype"))
-def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype):
-    """Run the whole (padded) prompt through the model, fill the cache."""
+@partial(jax.jit, static_argnames=("cfg", "dtype", "observed"))
+def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype,
+             observed=False):
+    """Run the whole (padded) prompt through the model, fill the cache.
+
+    `observed` is a cache-busting static flag: attaching an observer
+    (nano_tpu.observe) re-traces so the phase taps appear in the program.
+    """
+    del observed
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, jnp.int32(0), cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
@@ -71,15 +78,18 @@ def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype):
 NUCLEUS_WINDOW = 128
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy",
+                                   "observed"))
 def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                 greedy=False):
+                 greedy=False, observed=False):
     """One decode step: forward 1 token, sample the next, update state.
 
     `greedy` is a static flag so the temperature==0 path compiles to a
-    bare argmax with no sampling machinery in the graph.
+    bare argmax with no sampling machinery in the graph.  `observed`
+    busts the jit cache when an observer is (de)attached.
     """
+    del observed
     logits, cache = gpt.forward_with_cache(
         params, tok[:, None], cache, pos, cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
@@ -106,6 +116,7 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
         next_tok = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
 
     next_tok = next_tok.astype(jnp.int32)
+    observe.tap(observe.Phase.SAMPLE, -1, next_tok)
     seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
     return next_tok, cache, seen_mask, key_out, logits
 
@@ -149,7 +160,7 @@ class LLMContext:
     lora_scale: float = 0.0
     sampler: sampling.SamplerConfig = field(default_factory=sampling.SamplerConfig)
     random_seed: int = 39
-    observation: Optional[Callable] = None   # see observe.py
+    observation: Optional[Callable] = None   # nano_tpu/observe.py
     stop_tokens: Tuple[int, ...] = NANO_STOP_TOKENS
     arch: str = "nano"                  # "nano" | "qwen2" | "qwen3"
     enable_thinking: bool = False       # Qwen chat template switch
@@ -183,6 +194,40 @@ class LLMContext:
         return cls(cfg=bm.config, params=params, tokenizer=tok,
                    max_seq_len=max_seq_len or bm.config.block_size,
                    dtype=dtype, **kw)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, max_seq_len: Optional[int] = None,
+                        dtype=jnp.bfloat16, **kw) -> "LLMContext":
+        """Load a training checkpoint (.npz) directly, like the reference
+        PyTorch CLI loads .pt files (reference: infer.py:43-83)."""
+        from nano_tpu.io.checkpoint import Checkpoint
+        ck = Checkpoint(path)
+        cfg = ModelConfig.from_dict(ck.model_config)
+        like = gpt.init_params(jax.random.PRNGKey(0), cfg)
+        if ck.is_lora and not ck.has("model"):
+            raise ValueError("LoRA-only checkpoint: pass the base model via "
+                             "from_checkpoint(base) + load_lora_checkpoint")
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype)
+                              if np.asarray(x).ndim >= 2
+                              else jnp.asarray(x, jnp.float32),
+                              ck.load_params(like))
+        tok = TrieTokenizer.from_config_dict(ck.tokenizer_config)
+        ctx = cls(cfg=cfg, params=params, tokenizer=tok,
+                  max_seq_len=max_seq_len or cfg.block_size, dtype=dtype,
+                  **kw)
+        return ctx
+
+    def load_lora_checkpoint(self, path: str) -> None:
+        """Attach LoRA weights from a training checkpoint (.npz)."""
+        from nano_tpu.io.checkpoint import Checkpoint
+        ck = Checkpoint(path)
+        tc = ck.train_config or {}
+        rank = int(tc.get("lora_rank", 16))
+        alpha = int(tc.get("lora_alpha", 32))
+        like = gpt.init_lora_params(jax.random.PRNGKey(0), self.cfg, rank)
+        self.lora = jax.tree.map(lambda x: jnp.asarray(x, self.dtype),
+                                 ck.load_lora(like))
+        self.lora_scale = alpha / rank
 
     def load_lora(self, path: str) -> None:
         """Hot-swap a LoRA module (reference: infer/infer.c:500-549)."""
@@ -262,9 +307,11 @@ class Session:
         pad_len = min(_bucket(n), ctx.max_seq_len)
         ids = np.zeros((1, pad_len), np.int32)
         ids[0, :n] = self.prompt_ids
+        observe.set_observer(ctx.observation)
         logits, self._cache = _prefill(
             ctx.params, ctx.lora, ctx.lora_scale,
-            jnp.asarray(ids), self._cache, cfg, ctx.dtype)
+            jnp.asarray(ids), self._cache, cfg, ctx.dtype,
+            observed=observe.active())
         # seen mask over prompt tokens (repetition penalty scope:
         # infer/infer.c:1158-1160)
         self._seen = sampling.seen_mask_from_ids(
@@ -299,12 +346,13 @@ class Session:
                 self.state = Session.FINISHED
                 return None
             s = ctx.sampler
+            observe.set_observer(ctx.observation)
             next_tok, self._cache, self._seen, self._key, _ = _decode_step(
                 ctx.params, ctx.lora, ctx.lora_scale,
                 self._cur_tok, jnp.int32(self.pos), self._cache, self._seen,
                 self._key, jnp.float32(s.temperature), jnp.float32(s.top_p),
                 jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k,
-                s.temperature <= 0.0)
+                s.temperature <= 0.0, observed=observe.active())
             self._cur_tok = next_tok
             self.pos += 1
             tok = int(next_tok[0])

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from nano_tpu.config import ModelConfig
+from nano_tpu import observe
+from nano_tpu.observe import Phase
 from nano_tpu.ops.qmatmul import Q80Tensor, q80_matmul
 from nano_tpu.ops.q4k import Q4KTensor, q4k_matmul
 
@@ -180,6 +182,7 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
               lora: Optional[Params] = None, lora_scale: float = 0.0,
               kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
               start_pos: Optional[jnp.ndarray] = None,
+              layer_idx: Any = -1,
               ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One attention layer.  Returns (output, updated kv cache or None).
 
@@ -210,6 +213,7 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         k = k + layer["bk"].astype(dtype)
         v = v + layer["bv"].astype(dtype)
 
+    observe.tap(Phase.QKV, layer_idx, q)
     q = q.reshape(B, S, H, D)
     k = k.reshape(B, S, KV, D)
     v = v.reshape(B, S, KV, D)
@@ -222,6 +226,7 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
     if cos is not None:
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
+        observe.tap(Phase.ROPE, layer_idx, q)
 
     new_cache = None
     if kv_cache is not None:
@@ -236,11 +241,13 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
     heads = _gqa_out(probs, v)
+    observe.tap(Phase.ATTENTION, layer_idx, heads)
 
     out = _dense(heads, layer["wo"], dtype)
     if lora is not None:
         # reference applies LoRA to the wo input (the concatenated heads)
         out = out + _lora_delta(heads, lora["wo_a"], lora["wo_b"], lora_scale, dtype)
+    observe.tap(Phase.ATTN_OUT, layer_idx, out)
     return out, new_cache
 
 
@@ -259,13 +266,21 @@ def feed_forward(x: jnp.ndarray, layer: Params, dtype) -> jnp.ndarray:
 def block(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
           cos, sin, mask, dtype,
           lora: Optional[Params] = None, lora_scale: float = 0.0,
-          kv_cache=None, start_pos=None):
+          kv_cache=None, start_pos=None, layer_idx: Any = -1):
     """Pre-norm residual block (reference: model.py:310-322)."""
+    xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    observe.tap(Phase.ATTN_NORM, layer_idx, xn)
     a, new_cache = attention(
-        rms_norm(x, layer["attn_norm"], cfg.norm_eps), layer, cfg,
-        cos, sin, mask, dtype, lora, lora_scale, kv_cache, start_pos)
+        xn, layer, cfg,
+        cos, sin, mask, dtype, lora, lora_scale, kv_cache, start_pos,
+        layer_idx)
     h = x + a
-    out = h + feed_forward(rms_norm(h, layer["ffn_norm"], cfg.norm_eps), layer, dtype)
+    hn = rms_norm(h, layer["ffn_norm"], cfg.norm_eps)
+    observe.tap(Phase.FFN_NORM, layer_idx, hn)
+    f = feed_forward(hn, layer, dtype)
+    observe.tap(Phase.FFN, layer_idx, f)
+    out = h + f
+    observe.tap(Phase.RESIDUAL, layer_idx, out)
     return out, new_cache
 
 
@@ -291,6 +306,7 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
     """
     B, S = idx.shape
     h = embed_tokens(params, idx, dtype)
+    observe.tap(Phase.EMBEDDING, -1, h)
 
     if cfg.use_rope:
         cos, sin = precompute_rope(cfg.head_dim, S, cfg.rope_theta)
@@ -301,18 +317,23 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
     mask = _causal_mask(S) if cfg.is_causal else None
 
     def body(carry, xs):
-        layer, lora_layer = xs
+        layer, lora_layer, li = xs
         out, _ = block(carry, layer, cfg, cos, sin, mask, dtype,
-                       lora_layer, lora_scale)
+                       lora_layer, lora_scale, layer_idx=li)
         return out, None
 
     if remat:
         body = jax.checkpoint(body)
 
-    h, _ = jax.lax.scan(body, h, (params["blocks"], lora))
+    h, _ = jax.lax.scan(body, h,
+                        (params["blocks"], lora,
+                         jnp.arange(cfg.n_layer)))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return compute_logits(h, params, dtype)
+    observe.tap(Phase.FINAL_NORM, -1, h)
+    logits = compute_logits(h, params, dtype)
+    observe.tap(Phase.LOGITS, -1, logits)
+    return logits
 
 
 def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
@@ -384,18 +405,25 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
         mask = jnp.where(j < start_pos + S, 0.0, -jnp.inf).astype(jnp.float32)
         mask = jnp.broadcast_to(mask, (S, T))
 
+    observe.tap(Phase.EMBEDDING, -1, h)
+
     def body(carry, xs):
-        layer, lora_layer, (ck, cv) = xs
+        layer, lora_layer, (ck, cv), li = xs
         out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
                             lora_layer, lora_scale,
-                            kv_cache=(ck, cv), start_pos=start_pos)
+                            kv_cache=(ck, cv), start_pos=start_pos,
+                            layer_idx=li)
         return out, new_kv
 
     h, (new_k, new_v) = jax.lax.scan(
-        body, h, (params["blocks"], lora, (cache.k, cache.v)))
+        body, h, (params["blocks"], lora, (cache.k, cache.v),
+                  jnp.arange(cfg.n_layer)))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return compute_logits(h, params, dtype), KVCache(k=new_k, v=new_v)
+    observe.tap(Phase.FINAL_NORM, -1, h)
+    logits = compute_logits(h, params, dtype)
+    observe.tap(Phase.LOGITS, -1, logits)
+    return logits, KVCache(k=new_k, v=new_v)
 
 
 # =====================================================================
