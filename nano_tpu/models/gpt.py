@@ -65,9 +65,12 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    # cos/sin: (S, D/2) -> broadcast over batch and heads: (S, 1, D/2)
-    cos = cos[:, None, :]
-    sin = sin[:, None, :]
+    # cos/sin: (S, D/2) -> broadcast over batch and heads: (S, 1, D/2).
+    # Higher-rank tables (already broadcast-shaped, e.g. per-slot decode
+    # positions in continuous batching) pass through unchanged.
+    if cos.ndim == 2:
+        cos = cos[:, None, :]
+        sin = sin[:, None, :]
     if style == "interleaved":
         xr = xf[..., 0::2]
         xi = xf[..., 1::2]
@@ -231,8 +234,14 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
     new_cache = None
     if kv_cache is not None:
         ck, cv = kv_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
+        if getattr(start_pos, "ndim", 0) == 1:
+            # per-slot positions (continuous batching): S must be 1
+            bidx = jnp.arange(B)
+            ck = ck.at[bidx, start_pos].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[bidx, start_pos].set(v[:, 0].astype(cv.dtype))
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
         new_cache = (ck, cv)
         k, v = ck.astype(dtype), cv.astype(dtype)
 
@@ -424,6 +433,55 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
     logits = compute_logits(h, params, dtype)
     observe.tap(Phase.LOGITS, -1, logits)
     return logits, KVCache(k=new_k, v=new_v)
+
+
+def forward_decode_batched(params: Params, tok: jnp.ndarray,
+                           cache: KVCache, pos: jnp.ndarray,
+                           cfg: ModelConfig, dtype=jnp.bfloat16,
+                           lora: Optional[Params] = None,
+                           lora_scale: float = 0.0,
+                           ) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step with PER-SLOT positions — the continuous-batching
+    primitive: slot b holds an independent stream at position pos[b].
+
+    tok: (B,) current token per slot; pos: (B,) absolute positions.
+    Returns logits (B, V) and the updated cache.  Inactive slots simply
+    compute garbage that the caller ignores — shapes stay static.
+    """
+    B = tok.shape[0]
+    T = cache.max_seq
+    h = embed_tokens(params, tok[:, None], dtype)         # (B, 1, E)
+
+    if cfg.use_rope:
+        cos_t, sin_t = precompute_rope(cfg.head_dim, T, cfg.rope_theta)
+        cos = cos_t[pos][:, None, None, :]                # (B, 1, 1, D/2)
+        sin = sin_t[pos][:, None, None, :]
+    else:
+        cos = sin = None
+        h = h + params["wpe"][pos][:, None, :].astype(dtype)
+
+    j = jnp.arange(T)[None, :]
+    if cfg.is_causal:
+        m = jnp.where(j <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
+    else:
+        m = jnp.where(j <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
+    mask = m[:, None, None, None, :]                      # (B,1,1,1,T)
+
+    def body(carry, xs):
+        layer, lora_layer, (ck, cv), li = xs
+        out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
+                            lora_layer, lora_scale,
+                            kv_cache=(ck, cv), start_pos=pos,
+                            layer_idx=li)
+        return out, new_kv
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, h, (params["blocks"], lora, (cache.k, cache.v),
+                  jnp.arange(cfg.n_layer)))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = compute_logits(h, params, dtype)
+    return logits[:, 0], KVCache(k=new_k, v=new_v)
 
 
 # =====================================================================

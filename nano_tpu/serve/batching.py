@@ -1,0 +1,208 @@
+"""Continuous batching: many independent generation streams share one
+batched decode step.
+
+The reference serves ONE stream per process, pacing a single session off
+the WebSocket writable callback (reference: infer/main_wss.c:62-108).
+TPU-native replacement: a slot-based engine — the KV cache carries a
+batch axis, every slot advances one token per `step()` regardless of
+where each stream is in its sequence (per-slot positions), and slots
+attach/detach without recompiling (shapes are static; idle slots compute
+garbage that is ignored).  Batch-1 decode leaves the MXU idle, so extra
+slots are nearly free until HBM bandwidth saturates.
+
+Per-slot sampler parameters (temperature/top_p/repetition_penalty) ride
+as (B,) vectors through the jitted step; greedy slots are selected with a
+where() on temperature==0 instead of a static flag.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.models import gpt
+from nano_tpu.infer import engine as eng
+from nano_tpu.ops import sampling
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k"))
+def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
+                  temperature, top_p, rep_penalty, cfg, dtype, top_k):
+    """One decode step for all B slots (per-slot positions + samplers)."""
+    logits, cache = gpt.forward_decode_batched(
+        params, tok, cache, pos, cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale)
+    logits = logits.astype(jnp.float32)
+    logits = jnp.where(seen, logits / rep_penalty[:, None], logits)
+
+    greedy_tok = jnp.argmax(logits, axis=-1)
+
+    window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
+    l = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    top_logits, top_idx = jax.lax.top_k(l, window)
+    probs = jax.nn.softmax(top_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) <= top_p[:, None]
+    use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)[:, None]
+    probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
+                      probs, 0.0)
+    key_out, sub = jax.random.split(key)
+    draw = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)),
+                                  axis=-1)
+    sampled = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
+
+    next_tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
+                         ).astype(jnp.int32)
+    seen = seen.at[jnp.arange(tok.shape[0]), next_tok].set(True)
+    return next_tok, pos + 1, cache, seen, key_out
+
+
+@dataclass
+class Slot:
+    active: bool = False
+    prompt_len: int = 0
+    generated: int = 0
+    max_new_tokens: int = 0
+    finished_reason: Optional[str] = None
+
+
+class BatchedEngine:
+    """Slot-based continuous batching over one LLMContext."""
+
+    def __init__(self, ctx: "eng.LLMContext", n_slots: int = 8):
+        self.ctx = ctx
+        self.n_slots = n_slots
+        cfg = ctx.cfg
+        T = ctx.max_seq_len
+        self.cache = gpt.KVCache.create(cfg, n_slots, T, ctx.dtype)
+        self.pos = jnp.zeros((n_slots,), jnp.int32)
+        self.tok = jnp.zeros((n_slots,), jnp.int32)
+        self.seen = jnp.zeros((n_slots, cfg.vocab_size), jnp.bool_)
+        self.key = jax.random.PRNGKey(ctx.random_seed)
+        self.temperature = np.full(n_slots, 1.0, np.float32)
+        self.top_p = np.full(n_slots, 0.8, np.float32)
+        self.rep_penalty = np.full(n_slots, 1.0, np.float32)
+        self.slots: List[Slot] = [Slot() for _ in range(n_slots)]
+        self.lock = threading.Lock()   # one device mutator at a time
+
+    # ------------------------------------------------------------
+    def free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                return i
+        return None
+
+    @property
+    def n_active(self) -> int:
+        return sum(s.active for s in self.slots)
+
+    # ------------------------------------------------------------
+    def add(self, prompt_ids: List[int], max_new_tokens: int = 256,
+            temperature: float = 1.0, top_p: float = 0.8,
+            repetition_penalty: float = 1.1) -> Optional[tuple]:
+        """Attach a stream.  Returns (slot, first_token or None-if-stopped),
+        or None when no slot is free (caller queues/retries)."""
+        ctx = self.ctx
+        cfg = ctx.cfg
+        with self.lock:
+            slot = self.free_slot()
+            if slot is None:
+                return None
+            n = len(prompt_ids)
+            if n >= ctx.max_seq_len:
+                prompt_ids = prompt_ids[: ctx.max_seq_len - 1]
+                n = len(prompt_ids)
+
+            # prefill on a batch-1 cache, then scatter into the slot
+            pad = min(eng._bucket(n), ctx.max_seq_len)
+            ids = np.zeros((1, pad), np.int32)
+            ids[0, :n] = prompt_ids
+            tmp = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+            logits, tmp = eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
+                                       jnp.asarray(ids), tmp, cfg, ctx.dtype)
+            self.cache = gpt.KVCache(
+                k=self.cache.k.at[:, slot].set(tmp.k[:, 0]),
+                v=self.cache.v.at[:, slot].set(tmp.v[:, 0]))
+
+            seen_row = sampling.seen_mask_from_ids(
+                jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
+            last = logits[0, n - 1].astype(jnp.float32)
+            last = jnp.where(seen_row, last / repetition_penalty, last)
+            if temperature <= 0.0:
+                first = int(jnp.argmax(last))
+            else:
+                self.key, sub = jax.random.split(self.key)
+                first = int(sampling.sample(
+                    sub, last[None, :], sampling.SamplerConfig(
+                        temperature=temperature, top_p=top_p,
+                        repetition_penalty=1.0))[0])
+            seen_row = seen_row.at[first].set(True)
+
+            self.pos = self.pos.at[slot].set(n)
+            self.tok = self.tok.at[slot].set(first)
+            self.seen = self.seen.at[slot].set(seen_row)
+            self.temperature[slot] = temperature
+            self.top_p[slot] = top_p
+            self.rep_penalty[slot] = repetition_penalty
+
+            st = self.slots[slot]
+            st.active = True
+            st.prompt_len = n
+            st.generated = 0
+            st.max_new_tokens = max_new_tokens
+            st.finished_reason = None
+
+            if first in ctx.stop_tokens:
+                st.active = False
+                st.finished_reason = "stop"
+                return slot, None
+            st.generated = 1
+            return slot, first
+
+    def release(self, slot: int) -> None:
+        with self.lock:
+            self.slots[slot].active = False
+
+    # ------------------------------------------------------------
+    def step(self) -> Dict[int, Optional[int]]:
+        """Advance every active slot one token.
+
+        Returns {slot: token} for streams that produced a token, and
+        {slot: None} for streams that just finished (stop token / length).
+        """
+        ctx = self.ctx
+        with self.lock:
+            if self.n_active == 0:
+                return {}
+            self.tok, self.pos, self.cache, self.seen, self.key = \
+                _batched_step(
+                    ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,
+                    self.cache, self.seen, self.key,
+                    jnp.asarray(self.temperature), jnp.asarray(self.top_p),
+                    jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
+                    ctx.sampler.top_k)
+            toks = np.asarray(self.tok)
+            pos = np.asarray(self.pos)
+            out: Dict[int, Optional[int]] = {}
+            for i, st in enumerate(self.slots):
+                if not st.active:
+                    continue
+                t = int(toks[i])
+                if t in ctx.stop_tokens:
+                    st.active = False
+                    st.finished_reason = "stop"
+                    out[i] = None
+                    continue
+                st.generated += 1
+                out[i] = t
+                if (st.generated >= st.max_new_tokens or
+                        int(pos[i]) + 1 >= ctx.max_seq_len):
+                    st.active = False
+                    st.finished_reason = "length"
+            return out

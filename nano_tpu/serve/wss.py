@@ -1,0 +1,189 @@
+"""WebSocket streaming inference server with continuous batching.
+
+Replaces the reference's libwebsockets single-stream server (reference:
+infer/main_wss.c) and its flask-socketio big-model gateway ("Mio",
+infer/web/server.py): one asyncio process serves many concurrent chats,
+all sharing one batched decode step on the TPU (serve/batching.py).
+
+Protocols (auto-detected per message):
+  * reference "chat" protocol: a text message of `NNNNN` (5-digit length)
+    + prompt (reference: infer/main_wss.c:41-52); tokens stream back as
+    plain text frames, then an empty frame terminates the reply.
+  * JSON: {"prompt": ..., "max_new_tokens": 256, "temperature": 1.0,
+    "top_p": 0.8, "repetition_penalty": 1.1, "template": true};
+    responses are {"token": id, "text": ...} frames then
+    {"done": true, "reason": ...}.
+
+Run: python -m nano_tpu.serve.wss --model m.bin --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+from typing import Optional
+
+from nano_tpu.serve.batching import BatchedEngine
+
+logger = logging.getLogger("nano_tpu.serve")
+
+
+class WSServer:
+    def __init__(self, ctx, n_slots: int = 8, template: bool = True):
+        self.ctx = ctx
+        self.engine = BatchedEngine(ctx, n_slots=n_slots)
+        self.template = template
+        self.queues = {}          # slot -> asyncio.Queue
+        self._wake = asyncio.Event()
+        self._stepper: Optional[asyncio.Task] = None
+
+    # ------------------------------------------------------------
+    async def _step_loop(self):
+        """Single background task advancing all active streams."""
+        loop = asyncio.get_running_loop()
+        while True:
+            if self.engine.n_active == 0:
+                self._wake.clear()
+                await self._wake.wait()
+            # the jax call blocks — run it off the event loop
+            out = await loop.run_in_executor(None, self.engine.step)
+            for slot, tok in out.items():
+                q = self.queues.get(slot)
+                if q is None:
+                    continue
+                q.put_nowait(tok)
+                if tok is not None and not self.engine.slots[slot].active:
+                    q.put_nowait(None)   # finished by length: terminator
+
+    def _ensure_stepper(self):
+        if self._stepper is None or self._stepper.done():
+            self._stepper = asyncio.create_task(self._step_loop())
+
+    # ------------------------------------------------------------
+    async def handle(self, websocket):
+        """One connection; one request at a time per connection."""
+        async for message in websocket:
+            try:
+                await self._serve_request(websocket, message)
+            except Exception as e:  # pragma: no cover - network edge
+                logger.exception("request failed")
+                try:
+                    await websocket.send(json.dumps({"error": str(e)}))
+                except Exception:
+                    break
+
+    async def _serve_request(self, websocket, message: str):
+        self._ensure_stepper()
+        json_mode = False
+        s = self.ctx.sampler   # server-level defaults, like the reference's
+        # CLI-configured sampler (infer/main_wss.c:125-168)
+        params = dict(max_new_tokens=256, temperature=s.temperature,
+                      top_p=s.top_p,
+                      repetition_penalty=s.repetition_penalty,
+                      template=self.template)
+        if isinstance(message, bytes):
+            message = message.decode("utf-8", errors="replace")
+        if message.lstrip().startswith("{"):
+            req = json.loads(message)
+            prompt = req.get("prompt", "")
+            for k in ("max_new_tokens", "temperature", "top_p",
+                      "repetition_penalty", "template"):
+                if k in req:
+                    params[k] = req[k]
+            json_mode = True
+        else:
+            # reference protocol: 5-digit length prefix + prompt
+            # (infer/main_wss.c:41-52)
+            n = int(message[:5])
+            prompt = message[5:5 + n]
+
+        ids = self.ctx.build_prompt_ids(prompt, bool(params["template"]))
+
+        # wait for a free slot (continuous batching: joins mid-flight)
+        loop = asyncio.get_running_loop()
+        while True:
+            res = await loop.run_in_executor(
+                None, self.engine.add, ids, int(params["max_new_tokens"]),
+                float(params["temperature"]), float(params["top_p"]),
+                float(params["repetition_penalty"]))
+            if res is not None:
+                break
+            await asyncio.sleep(0.02)
+        slot, first = res
+        q: asyncio.Queue = asyncio.Queue()
+        self.queues[slot] = q
+        self._wake.set()
+
+        async def send_tok(tok: int):
+            text = self.ctx.decode([tok])
+            if json_mode:
+                await websocket.send(json.dumps(
+                    {"token": int(tok), "text": text}, ensure_ascii=False))
+            else:
+                await websocket.send(text)
+
+        try:
+            if first is not None:
+                await send_tok(first)
+                while self.engine.slots[slot].active:
+                    tok = await q.get()
+                    if tok is None:
+                        break
+                    await send_tok(tok)
+                # drain any tokens raced in after the active check
+                while not q.empty():
+                    tok = q.get_nowait()
+                    if tok is not None:
+                        await send_tok(tok)
+            reason = self.engine.slots[slot].finished_reason or "stop"
+            if json_mode:
+                await websocket.send(json.dumps({"done": True,
+                                                 "reason": reason}))
+            else:
+                await websocket.send("")   # reference: empty frame ends reply
+        finally:
+            self.queues.pop(slot, None)
+            self.engine.release(slot)
+
+
+async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
+                n_slots: int = 8, template: bool = True):
+    import websockets
+    server = WSServer(ctx, n_slots=n_slots, template=template)
+    async with websockets.serve(server.handle, host, port, max_size=2 ** 22):
+        logger.info("listening on ws://%s:%d (%d slots)", host, port, n_slots)
+        await asyncio.Future()
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Nano TPU WebSocket server")
+    ap.add_argument("--model", required=True, help=".bin model path")
+    ap.add_argument("--lora", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max_seq_len", type=int, default=None)
+    ap.add_argument("--no_template", action="store_true")
+    ap.add_argument("-t", "--temperature", type=float, default=1.0)
+    ap.add_argument("-p", "--top_p", type=float, default=0.8)
+    ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    ctx = engine.LLMContext.from_bin(
+        args.model, max_seq_len=args.max_seq_len,
+        sampler=sampling.SamplerConfig(
+            temperature=args.temperature, top_p=args.top_p,
+            repetition_penalty=args.repetition_penalty))
+    if args.lora:
+        ctx.load_lora(args.lora)
+    asyncio.run(serve(ctx, args.host, args.port, args.slots,
+                      template=not args.no_template))
+
+
+if __name__ == "__main__":
+    main()

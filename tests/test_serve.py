@@ -1,0 +1,180 @@
+"""Continuous batching + WebSocket server tests."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.models import gpt
+from nano_tpu.io import binfmt
+from nano_tpu.infer import engine
+from nano_tpu.ops import sampling
+from nano_tpu.tokenizer.trie import TrieTokenizer
+from nano_tpu.serve.batching import BatchedEngine
+
+
+def make_ctx(tmp_path, **kw):
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(7), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="f32")
+    kw.setdefault("sampler", sampling.SamplerConfig(temperature=0.0,
+                                                    repetition_penalty=1.0))
+    return engine.LLMContext.from_bin(path, max_seq_len=64,
+                                      dtype=jnp.float32, **kw)
+
+
+def solo_greedy(ctx, prompt, n):
+    session = engine.Session(ctx, prompt, max_new_tokens=n)
+    out = []
+    while (t := session.step()) is not None:
+        out.append(t)
+    return out
+
+
+def collect(be, ctx, prompt, n, **kw):
+    """Run one stream to completion through the batched engine."""
+    slot, first = be.add(ctx.encode(prompt), max_new_tokens=n,
+                         temperature=0.0, repetition_penalty=1.0, **kw)
+    toks = [] if first is None else [first]
+    while be.slots[slot].active:
+        out = be.step()
+        t = out.get(slot)
+        if t is not None:
+            toks.append(t)
+    be.release(slot)
+    return toks
+
+
+def test_batched_matches_single_stream(tmp_path):
+    ctx = make_ctx(tmp_path)
+    be = BatchedEngine(ctx, n_slots=4)
+    for prompt in ("abcdef", "zzz", "hello"):
+        assert collect(be, ctx, prompt, 12) == solo_greedy(ctx, prompt, 12)
+
+
+def test_continuous_batching_join_midflight(tmp_path):
+    """A stream that joins while others are decoding produces exactly its
+    solo greedy output — per-slot positions are truly independent."""
+    ctx = make_ctx(tmp_path)
+    be = BatchedEngine(ctx, n_slots=4)
+
+    s1, f1 = be.add(ctx.encode("abcdef"), max_new_tokens=10,
+                    temperature=0.0, repetition_penalty=1.0)
+    out1 = [f1]
+    for _ in range(4):                       # advance stream 1 alone
+        t = be.step().get(s1)
+        if t is not None:
+            out1.append(t)
+
+    s2, f2 = be.add(ctx.encode("qrs"), max_new_tokens=10,
+                    temperature=0.0, repetition_penalty=1.0)
+    assert s2 != s1
+    out2 = [f2]
+    while be.slots[s1].active or be.slots[s2].active:
+        out = be.step()
+        if out.get(s1) is not None:
+            out1.append(out[s1])
+        if out.get(s2) is not None:
+            out2.append(out[s2])
+
+    assert out1 == solo_greedy(ctx, "abcdef", 10)
+    assert out2 == solo_greedy(ctx, "qrs", 10)
+
+
+def test_slots_exhaust_and_recycle(tmp_path):
+    ctx = make_ctx(tmp_path)
+    be = BatchedEngine(ctx, n_slots=2)
+    a = be.add(ctx.encode("ab"), max_new_tokens=4, temperature=0.0,
+               repetition_penalty=1.0)
+    b = be.add(ctx.encode("cd"), max_new_tokens=4, temperature=0.0,
+               repetition_penalty=1.0)
+    assert a and b
+    assert be.add(ctx.encode("ef")) is None      # full
+    while be.n_active:
+        be.step()
+    be.release(a[0]); be.release(b[0])
+    assert be.add(ctx.encode("ef"), max_new_tokens=2) is not None
+
+
+@pytest.mark.parametrize("proto", ["reference", "json"])
+def test_wss_server_end_to_end(tmp_path, proto):
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+    expect = ctx.decode(solo_greedy(ctx, "abcdef", 8))
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_srv:
+            port = list(ws_srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                if proto == "reference":
+                    await c.send(f"{6:05d}abcdef")
+                    chunks = []
+                    while True:
+                        m = await asyncio.wait_for(c.recv(), 60)
+                        if m == "":
+                            break
+                        chunks.append(m)
+                    return "".join(chunks)
+                await c.send(json.dumps({
+                    "prompt": "abcdef", "max_new_tokens": 8,
+                    "temperature": 0.0, "repetition_penalty": 1.0,
+                    "template": False}))
+                chunks = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done"):
+                        assert m["reason"] in ("stop", "length")
+                        break
+                    chunks.append(m["text"])
+                return "".join(chunks)
+
+    got = asyncio.run(run())
+    # both are greedy with rp=1.0 here; the reference protocol has no
+    # in-band max_new_tokens, so the server reply may be longer
+    n = min(len(got), len(expect))
+    assert n >= 6 and got[:n] == expect[:n]
+
+
+def test_wss_concurrent_clients(tmp_path):
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+    prompts = ["abcdef", "qrs", "hello"]
+    expects = [ctx.decode(solo_greedy(ctx, p, 8)) for p in prompts]
+
+    async def client(port, prompt):
+        import websockets as ws
+        async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+            await c.send(json.dumps({
+                "prompt": prompt, "max_new_tokens": 8, "temperature": 0.0,
+                "repetition_penalty": 1.0, "template": False}))
+            chunks = []
+            while True:
+                m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                if m.get("done"):
+                    break
+                chunks.append(m["text"])
+            return "".join(chunks)
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)  # < n_clients
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as ws_srv:
+            port = list(ws_srv.sockets)[0].getsockname()[1]
+            return await asyncio.gather(*[client(port, p) for p in prompts])
+
+    got = asyncio.run(run())
+    for g, e in zip(got, expects):
+        assert g == e[:len(g)] and len(g) >= 6
