@@ -164,6 +164,41 @@ class LLMContext:
     stop_tokens: Tuple[int, ...] = NANO_STOP_TOKENS
     arch: str = "nano"                  # "nano" | "qwen2" | "qwen3"
     enable_thinking: bool = False       # Qwen chat template switch
+    mesh: Optional[Any] = None          # set via shard()
+
+    def shard(self, mesh, tensor_parallel: bool = True) -> "LLMContext":
+        """Tensor-parallel serving: place params (dense or quantized)
+        with Megatron-style shardings over the mesh's "model" axis; KV
+        caches created afterwards shard their head dim to match (SURVEY
+        §7 phase 5 — a sharding spec, not new code; XLA inserts the
+        all-reduces over ICI)."""
+        from nano_tpu.parallel import mesh as meshlib
+        self.mesh = mesh
+        if tensor_parallel:
+            self.params = meshlib.shard_inference_params(self.params, mesh)
+        else:
+            rep = meshlib.replicated(mesh)
+            self.params = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                       self.params)
+        if self.lora is not None:
+            rep = meshlib.replicated(mesh)
+            self.lora = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                     self.lora)
+        return self
+
+    def new_cache(self, batch: int) -> "gpt.KVCache":
+        cache = gpt.KVCache.create(self.cfg, batch, self.max_seq_len,
+                                   self.dtype)
+        if self.mesh is not None:
+            from nano_tpu.parallel import mesh as meshlib
+            from jax.sharding import NamedSharding
+            spec = meshlib.kv_cache_spec()
+            if not meshlib._divisible(cache.k.shape, spec, self.mesh):
+                spec = meshlib.P()   # e.g. KV heads < model-axis size
+            sh = NamedSharding(self.mesh, spec)
+            cache = gpt.KVCache(k=jax.device_put(cache.k, sh),
+                                v=jax.device_put(cache.v, sh))
+        return cache
 
     @classmethod
     def from_bin(cls, path: str, max_seq_len: Optional[int] = None,
@@ -290,7 +325,7 @@ class Session:
 
         # device state
         cfg = ctx.cfg
-        self._cache = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+        self._cache = ctx.new_cache(1)
         self._key = jax.random.PRNGKey(ctx.random_seed)
         self._seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
         self._cur_tok: Optional[jnp.ndarray] = None
@@ -411,7 +446,7 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     pad_len = min(_bucket(n), ctx.max_seq_len)
     ids = np.zeros((1, pad_len), np.int32)
     ids[0, :n] = prompt_ids
-    cache = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+    cache = ctx.new_cache(1)
     logits, cache = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
                              jnp.asarray(ids), cache, cfg, ctx.dtype)
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),

@@ -83,6 +83,91 @@ def shard_params(params: Any, mesh: Mesh,
         params, specs)
 
 
+def infer_param_specs(params: Any) -> Any:
+    """Tensor-parallel PartitionSpecs for INFERENCE params.
+
+    Handles dense (L, in, out) stacks and quantized Q80/Q4K pytrees whose
+    leaves keep the file's (L, out, in) layout: column-parallel
+    projections (wq/wk/wv/wqkv/w1/w3/w13) shard the OUT dim, row-parallel
+    (wo/w2) shard the IN dim — Megatron-style, expressed purely as
+    sharding specs (SURVEY §2.2).  Norms, embeddings and the classifier
+    stay replicated (the models are small; vocab matmul is one op).
+    """
+    from nano_tpu.ops.qmatmul import Q80Tensor
+    from nano_tpu.ops.q4k import Q4KTensor
+
+    COL = ("wq", "wk", "wv", "wqkv", "w1", "w3", "w13")
+    ROW = ("wo", "w2")
+
+    def qspec(key: str, w) -> Any:
+        # quantized leaves: q/packed (L, out, in[/2]), scales (L, out, g)
+        if key in COL:      # shard out (dim -2)
+            leaf = P(None, MODEL_AXIS, None)
+        elif key in ROW:    # shard in (dim -1); groups follow the in dim
+            leaf = P(None, None, MODEL_AXIS)
+        else:
+            leaf = P()
+        if isinstance(w, Q80Tensor):
+            return Q80Tensor(q=leaf, scales=leaf, group_size=w.group_size)
+        return Q4KTensor(packed=leaf, scales=leaf, biases=leaf,
+                         in_dim=w.in_dim)
+
+    def spec_for(key: str, w) -> Any:
+        from nano_tpu.ops.qmatmul import Q80Tensor as Q80
+        from nano_tpu.ops.q4k import Q4KTensor as Q4K
+        if isinstance(w, (Q80, Q4K)):
+            return qspec(key, w)
+        if key in COL:      # dense stacked (L, in, out)
+            return P(None, None, MODEL_AXIS)
+        if key in ROW:
+            return P(None, MODEL_AXIS, None)
+        if key in ("bq", "bk", "bv"):
+            return P(None, MODEL_AXIS)
+        return P()
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            out[k] = walk(v) if isinstance(v, dict) else spec_for(k, v)
+        return out
+
+    return walk(params)
+
+
+def kv_cache_spec() -> P:
+    """KV cache (L, B, T, KV, D): shard KV heads over the model axis.
+
+    The batch axis stays unsharded — decode batches are small (often 1)
+    and slot counts need not divide the data axis.
+    """
+    return P(None, None, None, MODEL_AXIS, None)
+
+
+def _divisible(shape, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in zip(shape, tuple(spec) + (None,) * len(shape)):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def shard_inference_params(params: Any, mesh: Mesh) -> Any:
+    """device_put params with TP shardings (leaf-wise, quantization-aware).
+
+    Leaves whose sharded dim does not divide the mesh axis (e.g. a single
+    quantization group in toy models) fall back to replication.
+    """
+    specs = infer_param_specs(params)
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_s = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(flat_p) == len(flat_s), (len(flat_p), len(flat_s))
+    out = []
+    for x, s in zip(flat_p, flat_s):
+        if not _divisible(np.shape(x), s, mesh):
+            s = P()
+        out.append(jax.device_put(x, NamedSharding(mesh, s)))
+    return jax.tree.unflatten(treedef, out)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

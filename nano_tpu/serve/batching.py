@@ -80,7 +80,7 @@ class BatchedEngine:
         self.n_slots = n_slots
         cfg = ctx.cfg
         T = ctx.max_seq_len
-        self.cache = gpt.KVCache.create(cfg, n_slots, T, ctx.dtype)
+        self.cache = ctx.new_cache(n_slots)
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.tok = jnp.zeros((n_slots,), jnp.int32)
         self.seen = jnp.zeros((n_slots, cfg.vocab_size), jnp.bool_)
@@ -123,7 +123,7 @@ class BatchedEngine:
             pad = min(eng._bucket(n), ctx.max_seq_len)
             ids = np.zeros((1, pad), np.int32)
             ids[0, :n] = prompt_ids
-            tmp = gpt.KVCache.create(cfg, 1, ctx.max_seq_len, ctx.dtype)
+            tmp = ctx.new_cache(1)
             logits, tmp = eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
                                        jnp.asarray(ids), tmp, cfg, ctx.dtype)
             self.cache = gpt.KVCache(
