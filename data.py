@@ -45,9 +45,16 @@ def main():
     tk = sub.add_parser("tokenizer",
                         help="build a charset tokenizer from raw text "
                              "(reference: tokenizer.py:327-412 builders)")
-    tk.add_argument("-i", "--input", nargs="+", required=True)
+    tk.add_argument("-i", "--input", nargs="*", default=[])
     tk.add_argument("-o", "--output", required=True,
                     help="tokenizer config JSON path")
+    tk.add_argument("--preset", type=int, default=None,
+                    choices=[4096, 6000, 8192, 16384, 32768],
+                    help="Unicode-range preset vocab instead of corpus "
+                         "charset")
+    tk.add_argument("--wordlist", default=None,
+                    help="optional word-list file (one token per line) "
+                         "merged into a --preset vocab")
 
     args = ap.parse_args()
 
@@ -59,10 +66,19 @@ def main():
         print(f"converted {args.input} -> {args.output}")
         return
     if args.cmd == "tokenizer":
-        text = "".join(open(p, encoding="utf-8").read()
-                       for p in args.input)
         tok = TrieTokenizer()
-        tok.build_from_text(text)
+        if args.preset:
+            extra = None
+            if args.wordlist:
+                with open(args.wordlist, encoding="utf-8") as f:
+                    extra = [w.rstrip("\n") for w in f if w.strip()]
+            tok.build_preset(args.preset, extra_tokens=extra)
+        else:
+            if not args.input:
+                ap.error("tokenizer requires -i files or --preset")
+            text = "".join(open(p, encoding="utf-8").read()
+                           for p in args.input)
+            tok.build_from_text(text)
         tok.dump_config_file(args.output)
         print(f"built {tok.vocab_size}-token vocab -> {args.output}")
         return

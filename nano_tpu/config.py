@@ -137,6 +137,7 @@ class TrainConfig:
     mesh_shape: Optional[dict] = None     # e.g. {"data": 8} or {"data": 4, "model": 2}
     param_dtype: str = "float32"          # master weights
     remat: bool = False                   # jax.checkpoint the blocks
+    remat_policy: str = "full"            # "full" | "dots" (see gpt.forward)
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

@@ -158,6 +158,49 @@ def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
 # Attention
 # =====================================================================
 
+def _use_flash(cfg: ModelConfig, S: int, kv_cache) -> bool:
+    """Opt-in Pallas flash-attention for full-sequence causal attention.
+
+    Measured on the target v5e chip, XLA's fused attention BEATS the
+    bundled Pallas flash kernel throughout this framework's regime
+    (training step, bf16, remat): 942 vs 1347 ms/step at S=512/D=48
+    (Nano-168M, batch 64), 519 vs 625 at S=512/D=128, and 971 vs 1156
+    even at S=2048/D=128 — so flash stays opt-in via NANO_TPU_FLASH=1
+    (useful headroom for much longer contexts or other TPU generations).
+    Losses match to 4+ digits either way."""
+    import os
+    if os.environ.get("NANO_TPU_FLASH", "0") != "1":
+        return False
+    if kv_cache is not None or not cfg.is_causal:
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return S >= 128 and S % 128 == 0
+
+
+def _flash_attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """(B, S, H|KV, D) -> (B, S, H*D) via the bundled Pallas kernel.
+
+    KV heads are broadcast to H (the kernel wants equal head counts);
+    at block_size 512 the expanded K/V are far smaller than the S x S
+    score matrix the einsum path would materialize.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    B, S, H, D = q.shape
+    KV = k.shape[2]
+    rep = H // KV
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qh = q.transpose(0, 2, 1, 3).astype(dtype)   # (B, H, S, D)
+    kh = k.transpose(0, 2, 1, 3).astype(dtype)
+    vh = v.transpose(0, 2, 1, 3).astype(dtype)
+    out = fa.flash_attention(qh, kh, vh, causal=True,
+                             sm_scale=1.0 / math.sqrt(D))
+    return out.transpose(0, 2, 1, 3).reshape(B, S, H * D).astype(dtype)
+
+
 def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Grouped-head attention scores without expanding KV.
 
@@ -245,11 +288,14 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         new_cache = (ck, cv)
         k, v = ck.astype(dtype), cv.astype(dtype)
 
-    scores = _gqa_scores(q, k, cfg)                       # fp32
-    if mask is not None:
-        scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    heads = _gqa_out(probs, v)
+    if kv_cache is None and _use_flash(cfg, S, kv_cache):
+        heads = _flash_attend(q, k, v, cfg, dtype)
+    else:
+        scores = _gqa_scores(q, k, cfg)                   # fp32
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        heads = _gqa_out(probs, v)
     observe.tap(Phase.ATTENTION, layer_idx, heads)
 
     out = _dense(heads, layer["wo"], dtype)
@@ -332,7 +378,17 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
         return out, None
 
     if remat:
-        body = jax.checkpoint(body)
+        # remat="dots" saves non-batch matmul outputs and recomputes only
+        # attention: measured +14% on v5e (39.6k vs 34.8k tokens/s,
+        # Nano-168M batch 64 bf16) but needs ~3 GB more HBM than full
+        # remat — it OOMs a 16 GB chip once Adam state is resident, so
+        # full remat stays the default.
+        if remat == "dots":
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        else:
+            body = jax.checkpoint(body)
 
     h, _ = jax.lax.scan(body, h,
                         (params["blocks"], lora,

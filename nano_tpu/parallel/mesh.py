@@ -30,6 +30,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_distributed_init() -> bool:
+    """Multi-host bring-up: initialize the JAX distributed runtime when a
+    multi-host launch is detected (replaces the reference's torchrun
+    env-var rendezvous, train.py:171-186).  On a single host this is a
+    no-op.  Set COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID (or run
+    under a TPU pod launcher, where JAX autodetects everything)."""
+    import os
+    if jax.process_count() > 1:
+        return True           # already initialized by the launcher
+    if "COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build a ("data", "model") mesh over the available devices."""

@@ -74,6 +74,46 @@ class TrieTokenizer:
         self.vocab_size = len(itos)
         self._build_trie()
 
+    def build_preset(self, vocab_size: int,
+                     extra_tokens: Optional[List[str]] = None) -> None:
+        """Build a fixed-size vocab from Unicode ranges (the reference
+        ships 4096..32768 presets built the same way, tokenizer.py:327-412
+        — its embedded English word lists are replaced by the optional
+        `extra_tokens`, e.g. loaded from a word-list file).
+
+        Ranges cover ASCII/Latin/Cyrillic, general punctuation/symbols,
+        kana/bopomofo, CJK unified ideographs, fullwidth forms and emoji;
+        the CJK block is truncated so the total is exactly `vocab_size`.
+        """
+        ranges = [
+            (0x0000, 0x04FF),   # basic latin .. cyrillic
+            (0x2000, 0x206F),   # general punctuation
+            (0x3000, 0x312F),   # CJK punctuation, kana, bopomofo
+            (0xFF00, 0xFFEF),   # fullwidth forms
+        ]
+        if vocab_size >= 32768:
+            ranges.append((0x1F300, 0x1F9FF))   # emoji
+        tokens: List[str] = list(extra_tokens or [])
+        for lo, hi in ranges:
+            tokens.extend(chr(c) for c in range(lo, hi + 1))
+        budget = vocab_size - len(SPECIAL_TOKENS)
+        seen = set()
+        uniq = []
+        for t in tokens:
+            if t not in seen and t not in SPECIAL_TOKENS:
+                seen.add(t)
+                uniq.append(t)
+        # fill the rest with CJK unified ideographs (most-used block)
+        c = 0x4E00
+        while len(uniq) < budget and c <= 0x9FFF:
+            ch = chr(c)
+            if ch not in seen:
+                uniq.append(ch)
+                seen.add(ch)
+            c += 1
+        self.build(uniq[:budget])
+        assert self.vocab_size <= vocab_size
+
     def build_from_text(self, text: str) -> None:
         """Charset vocab from a corpus (reference: tokenizer.py:420-424)."""
         self.build(sorted(set(text)))

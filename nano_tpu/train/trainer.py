@@ -224,7 +224,8 @@ class Trainer:
         dtype = self.dtype
         use_lora = tc.use_lora
         lora_scale = tc.lora_alpha / tc.lora_rank if use_lora else 0.0
-        remat = tc.remat
+        remat = (tc.remat_policy if (tc.remat and
+                 tc.remat_policy != "full") else tc.remat)
         tx = self._tx
 
         def compute_loss(trainable, frozen, x, y, m):

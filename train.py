@@ -28,6 +28,9 @@ def main():
                          "model (reference: train.py:374-377)")
     ap.add_argument("--max_steps", type=int, default=None,
                     help="override max training steps")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of the run "
+                         "(view with tensorboard/xprof)")
     args = ap.parse_args()
 
     with open(args.model_config, "r", encoding="utf-8") as f:
@@ -40,12 +43,23 @@ def main():
     max_steps = (args.max_steps or tc.get("max_steps") or
                  tc.get("max_iters") or 10 ** 10)
 
+    from nano_tpu.parallel.mesh import maybe_distributed_init
+    maybe_distributed_init()
+
     from nano_tpu.train.trainer import Trainer
     t = Trainer(mc, tc, max_steps=int(max_steps),
                 is_continued_pretrain=args.continue_pretrain)
     t.init()
     t.load_data()
-    t.start(denoise=bool(tc.get("denoise", False)))
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        t.start(denoise=bool(tc.get("denoise", False)))
+    finally:
+        if args.profile_dir:
+            import jax
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":
