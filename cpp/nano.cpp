@@ -476,7 +476,18 @@ Model::Model(const std::string& path) {
     data_ = (const uint8_t*)::mmap(nullptr, size_, PROT_READ, MAP_PRIVATE,
                                    fd_, 0);
     if (data_ == MAP_FAILED) throw std::runtime_error("mmap failed");
+    parse_();
+}
 
+Model::Model(const uint8_t* buffer, size_t len)
+    : fd_(-1), data_(buffer), size_(len) {
+    // in-memory model (e.g. compiled-in byte array, the reference's
+    // embedded-deploy pattern from infer/main_sort.c); caller keeps the
+    // buffer alive
+    parse_();
+}
+
+void Model::parse_() {
     if (size_ < 256 || read_le<uint32_t>(data_) != MAGIC_0 ||
         read_le<uint32_t>(data_ + 4) != MAGIC_1)
         throw std::runtime_error("not a BD4SURLM .bin file");
@@ -497,8 +508,10 @@ Model::Model(const std::string& path) {
 }
 
 Model::~Model() {
-    if (data_ && data_ != MAP_FAILED) ::munmap((void*)data_, size_);
-    if (fd_ >= 0) ::close(fd_);
+    if (fd_ >= 0) {
+        if (data_ && data_ != MAP_FAILED) ::munmap((void*)data_, size_);
+        ::close(fd_);
+    }
 }
 
 void Model::map_weights(const uint8_t* base, size_t remaining) {

@@ -135,6 +135,9 @@ class Model {
   public:
     // mmap + parse; throws std::runtime_error on malformed files
     explicit Model(const std::string& path);
+    // parse an in-memory model buffer (embedded deploys); the caller
+    // keeps the buffer alive for the Model's lifetime
+    Model(const uint8_t* buffer, size_t len);
     ~Model();
     Model(const Model&) = delete;
     Model& operator=(const Model&) = delete;
@@ -172,6 +175,7 @@ class Model {
     void free_runtime(Runtime* rt) const;
 
   private:
+    void parse_();
     void map_weights(const uint8_t* p, size_t remaining);
 
     int fd_ = -1;

@@ -28,6 +28,9 @@ def main():
     pt.add_argument("--val_ratio", type=float, default=0.05)
     pt.add_argument("-j", "--workers", type=int, default=0)
     pt.add_argument("-s", "--seed", type=int, default=39)
+    pt.add_argument("--part_blocks", type=int, default=0,
+                    help="TB-scale mode: spill every N blocks to its own "
+                         "shuffled shard (bounded RAM, two-level shuffle)")
 
     sft = sub.add_parser("sft")
     sft.add_argument("-i", "--input", nargs="+", required=True)
@@ -85,6 +88,17 @@ def main():
 
     tok = TrieTokenizer.from_file(args.tokenizer)
     if args.cmd == "pretrain":
+        if args.part_blocks:
+            trains, vals = preprocess.generate_pretrain_dataset_parts(
+                args.input, tok, args.block_size, args.output_prefix,
+                part_blocks=args.part_blocks, val_ratio=args.val_ratio,
+                num_workers=args.workers, seed=args.seed)
+            print(f"wrote {len(trains)} parts:")
+            for t, v in zip(trains, vals):
+                print(f"  {t}  {v}")
+            print('train_config dataset_path: '
+                  + str([[t, v] for t, v in zip(trains, vals)]))
+            return
         train, val = preprocess.generate_pretrain_dataset(
             args.input, tok, args.block_size, args.output_prefix,
             val_ratio=args.val_ratio, num_workers=args.workers,

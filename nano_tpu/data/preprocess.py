@@ -127,6 +127,92 @@ def generate_pretrain_dataset(
     return train_path, val_path
 
 
+def generate_pretrain_dataset_parts(
+        text_paths: Sequence[str], tokenizer: TrieTokenizer, block_size: int,
+        output_prefix: str, part_blocks: int, val_ratio: float = 0.05,
+        chunk_chars: int = 100_000, num_workers: int = 0, seed: int = 39
+        ) -> Tuple[List[str], List[str]]:
+    """TB-scale variant: bounded-RAM two-level shuffle.
+
+    Mirrors the reference's scheme (reference: data.py:66-168): blocks are
+    accumulated into fixed-size PARTS, each part is shuffled in RAM and
+    spilled to its own shard file, then the part ORDER is shuffled — at no
+    point does more than one part live in memory.  Each part donates its
+    last val_ratio as validation (reference: data.py:134-137).  The
+    trainer's curriculum DataLoader consumes the resulting file lists
+    directly.
+
+    Returns (train_paths, val_paths) in the shuffled part order.
+    """
+    rng = np.random.RandomState(seed)
+    dtype = _id_dtype(tokenizer.vocab_size)
+
+    def chunks():
+        for p in text_paths:
+            with open(p, "r", encoding="utf-8") as f:
+                while True:
+                    c = f.read(chunk_chars)
+                    if not c:
+                        break
+                    yield c
+
+    def encoded_chunks():
+        if num_workers > 1:
+            with Pool(num_workers, initializer=_init_worker,
+                      initargs=(tokenizer.config,)) as pool:
+                yield from pool.imap(_encode_chunk, chunks(), chunksize=1)
+        else:
+            for c in chunks():
+                yield tokenizer.encode(c)
+
+    train_tmp: List[str] = []
+    val_tmp: List[str] = []
+    part: List[np.ndarray] = []
+    leftover: List[int] = []
+
+    def flush_part():
+        if not part:
+            return
+        ids = np.stack(part)
+        part.clear()
+        perm = rng.permutation(len(ids))        # intra-part shuffle
+        ids = ids[perm]
+        n_val = max(1, int(len(ids) * val_ratio)) if len(ids) > 1 else 0
+        i = len(train_tmp)
+        tp = f"{output_prefix}_train_part{i:04d}.npz"
+        vp = f"{output_prefix}_val_part{i:04d}.npz"
+        save_shard(tp, ids[:len(ids) - n_val])
+        save_shard(vp, ids[len(ids) - n_val:] if n_val else ids[-1:])
+        train_tmp.append(tp)
+        val_tmp.append(vp)
+
+    for tok_ids in encoded_chunks():
+        leftover.extend(tok_ids)
+        n = len(leftover) // (block_size + 1)
+        for i in range(n):
+            part.append(np.asarray(
+                leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
+                dtype))
+            if len(part) >= part_blocks:
+                flush_part()
+        leftover = leftover[n * (block_size + 1):]
+    flush_part()
+    if not train_tmp:
+        raise ValueError("corpus too small for one block")
+
+    # inter-part shuffle: rename files into a shuffled order
+    order = rng.permutation(len(train_tmp))
+    train_paths, val_paths = [], []
+    for new_i, old_i in enumerate(order):
+        tp = f"{output_prefix}_train_{new_i:04d}.npz"
+        vp = f"{output_prefix}_val_{new_i:04d}.npz"
+        os.replace(train_tmp[old_i], tp)
+        os.replace(val_tmp[old_i], vp)
+        train_paths.append(tp)
+        val_paths.append(vp)
+    return train_paths, val_paths
+
+
 # =====================================================================
 # SFT
 # =====================================================================

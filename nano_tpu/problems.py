@@ -220,6 +220,7 @@ def run_problem(task: str, out_dir: str, seq_length: int = 8,
                 n_train: int = 50_000, n_val: int = 5_000,
                 n_eval: int = 1000, learning_rate: float = 1e-3,
                 seed: int = 39, dtype: str = "bfloat16",
+                export_bin: str = "",
                 **model_overrides) -> float:
     """generate_dataset(); train; evaluate accuracy — returns accuracy
     (reference: problem.py:336-400 closed loop)."""
@@ -249,4 +250,15 @@ def run_problem(task: str, out_dir: str, seq_length: int = 8,
                              random.Random(seed + 1), n_eval)
     trainer.log(f"[{task}] exact-match accuracy over {n_eval} fresh samples: "
                 f"{acc * 100:.1f}%")
+    if export_bin:
+        # self-contained model (embedded tokenizer) for the C++ engine /
+        # embedded demo (reference ships its sort model the same way,
+        # infer/main_sort.c)
+        import jax
+        import numpy as np
+        from nano_tpu.io import binfmt
+        binfmt.write_model(export_bin,
+                           jax.tree.map(np.asarray, trainer.params), cfg,
+                           problem.tokenizer.config, quant="f32")
+        trainer.log(f"[{task}] exported {export_bin}")
     return acc

@@ -195,3 +195,31 @@ def test_trainer_uses_all_8_devices(corpus_shards, tmp_path):
     t.load_data()
     t.start()
     assert t.step_count == 3
+
+
+def test_pretrain_parts_two_level_shuffle(tmp_path):
+    """Bounded-RAM part-wise preprocessing: full coverage, shuffled order,
+    consumable by the curriculum DataLoader."""
+    from nano_tpu.data import preprocess
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+    from nano_tpu.train.data import DataLoader
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(12000))
+    p = tmp_path / "c.txt"
+    p.write_text(text)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(26)])
+    trains, vals = preprocess.generate_pretrain_dataset_parts(
+        [str(p)], tok, block_size=16, output_prefix=str(tmp_path / "pt"),
+        part_blocks=100, val_ratio=0.05, seed=3)
+    assert len(trains) >= 5 and len(trains) == len(vals)
+    total = 0
+    for t in trains + vals:
+        ids, mask = preprocess.load_shard(t)
+        assert ids.shape[1] == 17
+        total += len(ids)
+    assert total == 12000 // 17
+
+    dl = DataLoader(trains, seed=0)
+    (x, y, m) = dl.get_batch(8, 16)
+    assert x.shape == (8, 16) and y.shape == (8, 16)
