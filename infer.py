@@ -65,10 +65,19 @@ def main():
             return
         t0 = time.time()
         n_tok = [0]
+        stamps = []
 
         def on_decoding(session, tok, text):
             print(text, end="", flush=True)
             n_tok[0] += 1
+            if args.profile:
+                # sliding 4-token TPS window (reference: infer.py:91-99)
+                stamps.append(time.time())
+                if len(stamps) > 4:
+                    del stamps[0]
+                if len(stamps) == 4:
+                    tps = 3.0 / max(stamps[-1] - stamps[0], 1e-9)
+                    print(f" [{tps:.1f} tok/s]", end="", flush=True)
 
         engine.generate_sync(ctx, prompt,
                              max_new_tokens=args.max_new_tokens,

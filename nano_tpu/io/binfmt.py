@@ -567,7 +567,8 @@ def _read_model_q4k(data: bytes, hdr: BinHeader, cfg: ModelConfig,
                     rope_cos=rope_cos, rope_sin=rope_sin)
 
 
-def _q4k_device_params(bm: "BinModel", fuse: bool) -> Dict[str, Any]:
+def _q4k_device_params(bm: "BinModel", fuse: bool,
+                       clf_dequant: str = "f32") -> Dict[str, Any]:
     """Q4K frames -> device pytree of stacked Q4KTensors (SoA re-layout)."""
     from nano_tpu.ops.q4k import Q4KTensor
     import jax.numpy as jnp
@@ -605,12 +606,14 @@ def _q4k_device_params(bm: "BinModel", fuse: bool) -> Dict[str, Any]:
                        for n in ("wq", "wk", "wv", "w1", "w3")})
     V, E = bm.config.vocab_size, bm.config.n_embd
     tok = Q4KTensor.from_blocks(bm.qparams["tok_embeddings"].blocks, V, E)
-    return {"tok_embeddings": tok,
-            "norm": jnp.asarray(bm.params["norm"]), "blocks": blocks}
+    params = {"tok_embeddings": tok,
+              "norm": jnp.asarray(bm.params["norm"]), "blocks": blocks}
+    _attach_clf_dequant(params, bm, clf_dequant)
+    return params
 
 
-def quantized_device_params(bm: "BinModel", fuse: bool = True
-                            ) -> Dict[str, Any]:
+def quantized_device_params(bm: "BinModel", fuse: bool = True,
+                            clf_dequant: str = "f32") -> Dict[str, Any]:
     """Build a device params pytree keeping matmul weights quantized.
 
     Matmul weights become stacked Q80Tensors (int8 + scales, (L, out, in)
@@ -626,7 +629,7 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True
 
     assert bm.qparams is not None, "not a quantized model file"
     if bm.header.quant_type == QUANT_Q4K:
-        return _q4k_device_params(bm, fuse)
+        return _q4k_device_params(bm, fuse, clf_dequant)
     gs = bm.header.group_size
 
     def stack_q(qt_lists) -> Q80Tensor:
@@ -675,7 +678,32 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True
     }
     if "output" in bm.qparams:
         params["output"] = single_q(bm.qparams["output"])
+    _attach_clf_dequant(params, bm, clf_dequant)
     return params
+
+
+def _attach_clf_dequant(params: Dict[str, Any], bm: "BinModel",
+                        clf_dequant: str) -> None:
+    """Dequantize the LM-head matrix at LOAD time.
+
+    Measured at Qwen3-0.6B scale (PERF.md): per-step dequantization of a
+    152k x 1024 classifier dominates quantized decode (108 -> 232 tok/s
+    when hoisted).  "f32" keeps the values bit-identical to the fused
+    path (same dequant math, same f32-HIGHEST dot); "none" restores the
+    fully-fused behavior (minimum HBM); "bf16" halves the table at ~1%
+    logits drift.  Costs V x E x 4 (or x2) bytes of HBM.
+    """
+    import jax.numpy as jnp
+    if clf_dequant == "none":
+        return
+    dtype = jnp.float32 if clf_dequant == "f32" else jnp.bfloat16
+    src = bm.params.get("output")          # ours (E, V) when untied
+    if src is not None:
+        params["output_deq"] = jnp.asarray(np.ascontiguousarray(src), dtype)
+    else:
+        params["output_deq"] = jnp.asarray(
+            np.ascontiguousarray(np.asarray(
+                bm.params["tok_embeddings"], np.float32).T), dtype)
 
 
 def repack(in_path: str, out_path: str, quant: str = "q4k",

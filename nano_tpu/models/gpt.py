@@ -135,6 +135,17 @@ def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
 def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
     """LM head: untied uses params['output'] (in, out); tied uses the
     embedding table (V, E) transposed (reference: model.py:348)."""
+    w = params.get("output_deq")
+    if w is not None:
+        # classifier dequantized at load (see binfmt._attach_clf_dequant):
+        # f32 table -> same values as the fused dequant dot, 2-3x faster
+        # at large vocab
+        if w.dtype == jnp.float32:
+            return jnp.dot(h.astype(jnp.float32), w,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(h.astype(w.dtype), w,
+                       preferred_element_type=jnp.float32)
     w = params.get("output")
     if w is None:
         w = params["tok_embeddings"]

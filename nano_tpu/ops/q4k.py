@@ -398,11 +398,20 @@ def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
 
 def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
                    dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Fake-quant x, dot with dequantized w (CPU / odd-shape fallback)."""
+    """Fake-quant x, dot with dequantized w (the default XLA-fused path).
+
+    NANO_TPU_DEQUANT=bf16 relaxes the dot to bf16 (see ops/qmatmul.py).
+    """
+    from nano_tpu.ops.qmatmul import _DEQ
     xq = fake_quant_act(x)
-    wf = w.dequantize(jnp.float32)
-    y = jnp.dot(xq, wf.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    if _DEQ == "bf16":
+        wf = w.dequantize(jnp.bfloat16)
+        y = jnp.dot(xq.astype(jnp.bfloat16), wf.T,
+                    preferred_element_type=jnp.float32)
+    else:
+        wf = w.dequantize(jnp.float32)
+        y = jnp.dot(xq, wf.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return y.astype(dtype)
 
 

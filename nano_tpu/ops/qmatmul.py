@@ -164,6 +164,11 @@ def _on_tpu() -> bool:
 # experimentation via NANO_TPU_QMATMUL=pallas.
 import os as _os
 _IMPL = _os.environ.get("NANO_TPU_QMATMUL", "xla")
+# dequant/dot precision: "f32" (default) matches the C engine's f32 math;
+# "bf16" halves MXU passes and dequant traffic — measured 2-3x faster at
+# Qwen3-0.6B scale with greedy outputs that may occasionally diverge from
+# the C engine on near-ties.
+_DEQ = _os.environ.get("NANO_TPU_DEQUANT", "f32")
 
 
 def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
@@ -188,8 +193,13 @@ def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
         if Bp != B:
             y = y[:B]
         return y.reshape(*lead, out).astype(dtype)
-    wf = w.dequantize(jnp.float32)
-    y = jnp.dot(x.reshape(B, inn).astype(jnp.float32), wf.T,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    if _DEQ == "bf16":
+        wf = w.dequantize(jnp.bfloat16)
+        y = jnp.dot(x.reshape(B, inn).astype(jnp.bfloat16), wf.T,
+                    preferred_element_type=jnp.float32)
+    else:
+        wf = w.dequantize(jnp.float32)
+        y = jnp.dot(x.reshape(B, inn).astype(jnp.float32), wf.T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return y.reshape(*lead, out).astype(dtype)

@@ -178,3 +178,48 @@ def test_wss_concurrent_clients(tmp_path):
     got = asyncio.run(run())
     for g, e in zip(got, expects):
         assert g == e[:len(g)] and len(g) >= 6
+
+
+def test_hf_gateway_end_to_end(tmp_path):
+    """The Mio-equivalent gateway streams a transformers model over the
+    same JSON WebSocket protocol."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    websockets = pytest.importorskip("websockets")
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM, AutoTokenizer
+    from .test_qwen import _write_toy_hf_tokenizer_json
+    from nano_tpu.serve.gateway import HFGateway
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    qcfg = Qwen3Config(
+        vocab_size=512, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    Qwen3ForCausalLM(qcfg).save_pretrained(str(d), safe_serialization=True)
+    # minimal HF fast-tokenizer files
+    _write_toy_hf_tokenizer_json(str(d / "tokenizer.json"), 512)
+    (d / "tokenizer_config.json").write_text(json.dumps(
+        {"tokenizer_class": "PreTrainedTokenizerFast"}))
+
+    async def run():
+        gw = HFGateway(str(d))
+        async with websockets.serve(gw.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({"prompt": "he", "template": False,
+                                         "max_new_tokens": 6,
+                                         "temperature": 0.0}))
+                chunks = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("error"):
+                        raise AssertionError(m["error"])
+                    if m.get("done"):
+                        return "".join(chunks)
+                    chunks.append(m["text"])
+
+    out = asyncio.run(run())
+    assert isinstance(out, str) and len(out) > 0
