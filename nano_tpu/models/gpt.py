@@ -491,6 +491,8 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
                             layer_idx=li)
         return out, new_kv
 
+    # NOTE: scan over layers measured FASTER than unrolling (1090 vs
+    # ~1000 tok/s batch-1 decode at 24L) — keep the scan.
     h, (new_k, new_v) = jax.lax.scan(
         body, h, (params["blocks"], lora, (cache.k, cache.v),
                   jnp.arange(cfg.n_layer)))

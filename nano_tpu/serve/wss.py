@@ -62,11 +62,34 @@ class WSServer:
             self._stepper = asyncio.create_task(self._step_loop())
 
     # ------------------------------------------------------------
+    @staticmethod
+    def _is_stop(message) -> bool:
+        """Mid-stream interrupt (reference Mio gateway supports the same,
+        infer/web/server.py:258-266): {"stop": true} or "STOP"."""
+        if isinstance(message, bytes):
+            message = message.decode("utf-8", errors="replace")
+        if message.strip() == "STOP":
+            return True
+        try:
+            return bool(json.loads(message).get("stop"))
+        except Exception:
+            return False
+
     async def handle(self, websocket):
         """One connection; one request at a time per connection."""
-        async for message in websocket:
+        pending = None
+        while True:
+            if pending is not None:
+                message, pending = pending, None
+            else:
+                try:
+                    message = await websocket.recv()
+                except Exception:
+                    break
+            if self._is_stop(message):
+                continue           # stray stop outside a generation
             try:
-                await self._serve_request(websocket, message)
+                pending = await self._serve_request(websocket, message)
             except Exception as e:  # pragma: no cover - network edge
                 logger.exception("request failed")
                 try:
@@ -124,28 +147,53 @@ class WSServer:
             else:
                 await websocket.send(text)
 
+        interrupted = False
+        pending_msg = None
+        recv_task = asyncio.create_task(websocket.recv())
         try:
             if first is not None:
                 await send_tok(first)
-                while self.engine.slots[slot].active:
-                    tok = await q.get()
-                    if tok is None:
-                        break
-                    await send_tok(tok)
-                # drain any tokens raced in after the active check
-                while not q.empty():
-                    tok = q.get_nowait()
-                    if tok is not None:
+                while self.engine.slots[slot].active and not interrupted:
+                    get_task = asyncio.create_task(q.get())
+                    done, _ = await asyncio.wait(
+                        {get_task, recv_task},
+                        return_when=asyncio.FIRST_COMPLETED)
+                    if recv_task in done:
+                        try:
+                            msg = recv_task.result()
+                        except Exception:
+                            msg, interrupted = None, True
+                        if msg is not None:
+                            if self._is_stop(msg):
+                                interrupted = True
+                            else:   # pipelined next request: stash it
+                                pending_msg = msg
+                                recv_task = asyncio.create_task(
+                                    websocket.recv())
+                    if get_task in done:
+                        tok = get_task.result()
+                        if tok is None:
+                            break
                         await send_tok(tok)
-            reason = self.engine.slots[slot].finished_reason or "stop"
+                    else:
+                        get_task.cancel()
+                if not interrupted:
+                    while not q.empty():   # drain post-finish stragglers
+                        tok = q.get_nowait()
+                        if tok is not None:
+                            await send_tok(tok)
+            reason = ("interrupted" if interrupted else
+                      self.engine.slots[slot].finished_reason or "stop")
             if json_mode:
                 await websocket.send(json.dumps({"done": True,
                                                  "reason": reason}))
             else:
                 await websocket.send("")   # reference: empty frame ends reply
         finally:
+            recv_task.cancel()
             self.queues.pop(slot, None)
             self.engine.release(slot)
+        return pending_msg
 
 
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,

@@ -223,3 +223,49 @@ def test_hf_gateway_end_to_end(tmp_path):
 
     out = asyncio.run(run())
     assert isinstance(out, str) and len(out) > 0
+
+
+def test_wss_interrupt_midstream(tmp_path):
+    """{"stop": true} mid-generation ends the reply with
+    reason=interrupted and frees the slot for the next request."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def run():
+        server = WSServer(ctx, n_slots=1, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({
+                    "prompt": "abcdef", "max_new_tokens": 4000,
+                    "temperature": 0.0, "repetition_penalty": 1.0,
+                    "template": False}))
+                got = 0
+                reason = None
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        reason = m["reason"]
+                        break
+                    got += 1
+                    if got == 3:
+                        await c.send(json.dumps({"stop": True}))
+                assert reason == "interrupted", reason
+                assert got < 4000
+                # slot is free again: a follow-up request works
+                await c.send(json.dumps({
+                    "prompt": "qrs", "max_new_tokens": 4,
+                    "temperature": 0.0, "repetition_penalty": 1.0,
+                    "template": False}))
+                chunks = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        break
+                    chunks.append(m["text"])
+                return "".join(chunks)
+
+    out = asyncio.run(run())
+    assert len(out) > 0
