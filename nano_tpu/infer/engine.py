@@ -165,6 +165,7 @@ class LLMContext:
     arch: str = "nano"                  # "nano" | "qwen2" | "qwen3"
     enable_thinking: bool = False       # Qwen chat template switch
     mesh: Optional[Any] = None          # set via shard()
+    kv_cache_dtype: Optional[Any] = None   # jnp.int8 halves cache HBM
 
     def shard(self, mesh, tensor_parallel: bool = True) -> "LLMContext":
         """Tensor-parallel serving: place params (dense or quantized)
@@ -188,7 +189,7 @@ class LLMContext:
 
     def new_cache(self, batch: int) -> "gpt.KVCache":
         cache = gpt.KVCache.create(self.cfg, batch, self.max_seq_len,
-                                   self.dtype)
+                                   self.kv_cache_dtype or self.dtype)
         if self.mesh is not None:
             from nano_tpu.parallel import mesh as meshlib
             from jax.sharding import NamedSharding
@@ -196,8 +197,14 @@ class LLMContext:
             if not meshlib._divisible(cache.k.shape, spec, self.mesh):
                 spec = meshlib.P()   # e.g. KV heads < model-axis size
             sh = NamedSharding(self.mesh, spec)
+            sspec = meshlib.P(*spec[:-1])          # scales drop the D dim
+            ssh = NamedSharding(self.mesh, sspec)
+            put_s = (lambda x: None if x is None
+                     else jax.device_put(x, ssh))
             cache = gpt.KVCache(k=jax.device_put(cache.k, sh),
-                                v=jax.device_put(cache.v, sh))
+                                v=jax.device_put(cache.v, sh),
+                                k_scale=put_s(cache.k_scale),
+                                v_scale=put_s(cache.v_scale))
         return cache
 
     @classmethod

@@ -287,17 +287,35 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
 
     new_cache = None
     if kv_cache is not None:
-        ck, cv = kv_cache
+        ck, cv, ks, vs = kv_cache
+        quant = ck.dtype == jnp.int8
+        if quant:
+            kq, k_sc = _kv_quantize(k)
+            vq, v_sc = _kv_quantize(v)
+        else:
+            kq, vq = k.astype(ck.dtype), v.astype(cv.dtype)
         if getattr(start_pos, "ndim", 0) == 1:
             # per-slot positions (continuous batching): S must be 1
             bidx = jnp.arange(B)
-            ck = ck.at[bidx, start_pos].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[bidx, start_pos].set(v[:, 0].astype(cv.dtype))
+            ck = ck.at[bidx, start_pos].set(kq[:, 0])
+            cv = cv.at[bidx, start_pos].set(vq[:, 0])
+            if quant:
+                ks = ks.at[bidx, start_pos].set(k_sc[:, 0])
+                vs = vs.at[bidx, start_pos].set(v_sc[:, 0])
         else:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, start_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, start_pos, 0, 0))
-        new_cache = (ck, cv)
-        k, v = ck.astype(dtype), cv.astype(dtype)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, start_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, start_pos, 0, 0))
+            if quant:
+                ks = jax.lax.dynamic_update_slice(ks, k_sc,
+                                                  (0, start_pos, 0))
+                vs = jax.lax.dynamic_update_slice(vs, v_sc,
+                                                  (0, start_pos, 0))
+        new_cache = (ck, cv, ks, vs)
+        if quant:
+            k = (ck.astype(jnp.float32) * ks[..., None]).astype(dtype)
+            v = (cv.astype(jnp.float32) * vs[..., None]).astype(dtype)
+        else:
+            k, v = ck.astype(dtype), cv.astype(dtype)
 
     if kv_cache is None and _use_flash(cfg, S, kv_cache):
         heads = _flash_attend(q, k, v, cfg, dtype)
@@ -432,19 +450,42 @@ def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
 # =====================================================================
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache, stacked over layers: (L, B, T, KV, D)."""
+    """Static-shape KV cache, stacked over layers: (L, B, T, KV, D).
+
+    dtype=jnp.int8 stores per-(position, head) symmetrically quantized
+    vectors with f32 scales (L, B, T, KV) — half the HBM of bf16 for
+    long-context serving (cf. int8 KV-cache literature, PAPERS.md);
+    quantize-on-write / dequantize-on-read happens inside attention().
+    """
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None   # f32 (L, B, T, KV) when int8
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int, max_seq: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.n_layer, batch, max_seq, cfg.n_kv_head, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1]
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[2]
+
+
+def _kv_quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., D) -> int8 values + f32 per-vector scale."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = absmax / 127.0
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.round(x.astype(jnp.float32) / safe[..., None]).astype(jnp.int8)
+    return q, scale
 
 
 def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
@@ -484,24 +525,26 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
     observe.tap(Phase.EMBEDDING, -1, h)
 
     def body(carry, xs):
-        layer, lora_layer, (ck, cv), li = xs
+        layer, lora_layer, kvc, li = xs
         out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
                             lora_layer, lora_scale,
-                            kv_cache=(ck, cv), start_pos=start_pos,
+                            kv_cache=kvc, start_pos=start_pos,
                             layer_idx=li)
         return out, new_kv
 
     # NOTE: scan over layers measured FASTER than unrolling (1090 vs
     # ~1000 tok/s batch-1 decode at 24L) — keep the scan.
-    h, (new_k, new_v) = jax.lax.scan(
-        body, h, (params["blocks"], lora, (cache.k, cache.v),
+    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, h, (params["blocks"], lora,
+                  (cache.k, cache.v, cache.k_scale, cache.v_scale),
                   jnp.arange(cfg.n_layer)))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     observe.tap(Phase.FINAL_NORM, -1, h)
     logits = compute_logits(h, params, dtype)
     observe.tap(Phase.LOGITS, -1, logits)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, KVCache(k=new_k, v=new_v, k_scale=new_ks,
+                           v_scale=new_vs)
 
 
 def forward_decode_batched(params: Params, tok: jnp.ndarray,
@@ -537,20 +580,22 @@ def forward_decode_batched(params: Params, tok: jnp.ndarray,
     mask = m[:, None, None, None, :]                      # (B,1,1,1,T)
 
     def body(carry, xs):
-        layer, lora_layer, (ck, cv), li = xs
+        layer, lora_layer, kvc, li = xs
         out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
                             lora_layer, lora_scale,
-                            kv_cache=(ck, cv), start_pos=pos,
+                            kv_cache=kvc, start_pos=pos,
                             layer_idx=li)
         return out, new_kv
 
-    h, (new_k, new_v) = jax.lax.scan(
-        body, h, (params["blocks"], lora, (cache.k, cache.v),
+    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, h, (params["blocks"], lora,
+                  (cache.k, cache.v, cache.k_scale, cache.v_scale),
                   jnp.arange(cfg.n_layer)))
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = compute_logits(h, params, dtype)
-    return logits[:, 0], KVCache(k=new_k, v=new_v)
+    return logits[:, 0], KVCache(k=new_k, v=new_v, k_scale=new_ks,
+                                 v_scale=new_vs)
 
 
 # =====================================================================

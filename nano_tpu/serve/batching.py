@@ -128,7 +128,13 @@ class BatchedEngine:
                                        jnp.asarray(ids), tmp, cfg, ctx.dtype)
             self.cache = gpt.KVCache(
                 k=self.cache.k.at[:, slot].set(tmp.k[:, 0]),
-                v=self.cache.v.at[:, slot].set(tmp.v[:, 0]))
+                v=self.cache.v.at[:, slot].set(tmp.v[:, 0]),
+                k_scale=(None if tmp.k_scale is None else
+                         self.cache.k_scale.at[:, slot].set(
+                             tmp.k_scale[:, 0])),
+                v_scale=(None if tmp.v_scale is None else
+                         self.cache.v_scale.at[:, slot].set(
+                             tmp.v_scale[:, 0])))
 
             seen_row = sampling.seen_mask_from_ids(
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]

@@ -136,3 +136,72 @@ def test_denoise_smoke():
                                   top_k=4)
     assert len(out) >= 8
     assert all(0 <= t < ctx.cfg.vocab_size for t in out)
+
+
+def test_int8_kv_cache_close_to_dense(tmp_path):
+    """int8 KV cache (per-vector scales): half the cache HBM, greedy
+    output should track the dense-cache run closely on a trained-ish
+    model; logits stay finite and close."""
+    import numpy as np
+    from nano_tpu.io import binfmt
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(7), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="f32")
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+
+    dense = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                       dtype=jnp.float32, sampler=samp)
+    i8 = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                    dtype=jnp.float32, sampler=samp,
+                                    kv_cache_dtype=jnp.int8)
+    ids = dense.encode("abcdef")
+    out_d = engine.generate_on_device(dense, ids, 12).tolist()
+    out_q = engine.generate_on_device(i8, ids, 12).tolist()
+    # int8 KV introduces ~0.4% error per vector; on this random-init toy
+    # model greedy may diverge late — require a matching prefix
+    n = 0
+    for a, b in zip(out_d, out_q):
+        if a != b:
+            break
+        n += 1
+    assert n >= 6, (out_d, out_q)
+
+    # cache memory really is int8 + scales
+    c = i8.new_cache(1)
+    assert c.k.dtype == jnp.int8 and c.k_scale is not None
+
+
+def test_int8_kv_cache_batched_engine(tmp_path):
+    import numpy as np
+    from nano_tpu.io import binfmt
+    from nano_tpu.serve.batching import BatchedEngine
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(7), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="f32")
+    ctx = engine.LLMContext.from_bin(
+        path, max_seq_len=64, dtype=jnp.float32, kv_cache_dtype=jnp.int8,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    be = BatchedEngine(ctx, n_slots=2)
+    slot, first = be.add(ctx.encode("abc"), max_new_tokens=6,
+                         temperature=0.0, repetition_penalty=1.0)
+    toks = [first]
+    while be.slots[slot].active:
+        t = be.step().get(slot)
+        if t is not None:
+            toks.append(t)
+    assert len(toks) >= 2 and all(isinstance(t, int) for t in toks)
