@@ -1,0 +1,95 @@
+"""CLI surface smoke tests: the repo-root scripts drive end to end via
+subprocess (the reference's user surface, SURVEY §2.1)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import REPO_ROOT
+
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+
+
+def run_cli(args, timeout=300, **kw):
+    return subprocess.run([sys.executable] + args, cwd=REPO_ROOT, env=ENV,
+                          capture_output=True, text=True, timeout=timeout,
+                          **kw)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """tokenizer -> dataset -> train -> export, shared by the tests."""
+    d = tmp_path_factory.mktemp("cli")
+    corpus = d / "corpus.txt"
+    corpus.write_text("the cat sat on the mat " * 800)
+
+    r = run_cli(["data.py", "tokenizer", "-i", str(corpus),
+                 "-o", str(d / "tok.json")])
+    assert r.returncode == 0, r.stderr
+
+    r = run_cli(["data.py", "pretrain", "-i", str(corpus),
+                 "-k", str(d / "tok.json"), "-b", "32",
+                 "-o", str(d / "pt")])
+    assert r.returncode == 0, r.stderr
+
+    (d / "model.json").write_text(json.dumps(dict(
+        block_size=32, vocab_size=32, n_layer=2, n_embd=32,
+        n_head=4, n_kv_head=2, n_hidden=64)))
+    (d / "train.json").write_text(json.dumps(dict(
+        learning_rate=1e-3, batch_size=8, gradient_accumulation_steps=1,
+        eval_interval=10, eval_iters=1, log_interval=5, max_steps=20,
+        dtype="float32", warmup_iters=2, random_seed=1,
+        dataset_path=[[str(d / "pt_train.npz"), str(d / "pt_val.npz")]],
+        tokenizer_path=str(d / "tok.json"),
+        save_checkpoint_to=str(d))))
+    r = run_cli(["train.py", "-m", str(d / "model.json"),
+                 "-t", str(d / "train.json")])
+    assert r.returncode == 0, r.stderr
+    ckpt = d / "checkpoint.npz"
+    assert ckpt.exists()
+
+    r = run_cli(["export.py", str(d / "m.bin"), "--checkpoint", str(ckpt)])
+    assert r.returncode == 0, r.stderr
+    return d
+
+
+def test_infer_cli_one_shot(pipeline):
+    d = pipeline
+    r = run_cli(["infer.py", "-m", str(d / "m.bin"), "-q", "the cat ",
+                 "-t", "0", "-n", "6"])
+    assert r.returncode == 0, r.stderr
+    assert "loaded" in r.stderr   # model loaded and ran (a barely-trained
+    # toy model may legitimately emit a stop token first, so stdout may
+    # be empty)
+
+
+def test_infer_cli_from_checkpoint(pipeline):
+    d = pipeline
+    r = run_cli(["infer.py", "-m", str(d / "checkpoint.npz"),
+                 "-q", "the cat ", "-t", "0", "-n", "6"])
+    assert r.returncode == 0, r.stderr
+
+
+def test_export_repack_and_eval(pipeline):
+    d = pipeline
+    r = run_cli(["export.py", str(d / "m_q4k.bin"),
+                 "--repack", str(d / "m.bin"), "--to", "q4k"])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["eval.py", "-m", str(d / "m_q4k.bin"),
+                 "-i", str(d / "corpus.txt"), "-b", "32",
+                 "--compare", str(d / "m.bin")])
+    assert r.returncode == 0, r.stderr
+    assert "delta" in r.stdout
+
+
+def test_plot_loss_cli(pipeline, tmp_path):
+    log = tmp_path / "t.log"
+    log.write_text("\n".join(
+        f"Epoch: 0 | Step: {i} | Loss: {3.0 - i * 0.01}" for i in range(20)))
+    r = run_cli(["plot_loss.py", str(log), "-o", str(tmp_path / "l.png")])
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "l.png").exists()
