@@ -103,14 +103,17 @@ class TrieTokenizer:
             if t not in seen and t not in SPECIAL_TOKENS:
                 seen.add(t)
                 uniq.append(t)
-        # fill the rest with CJK unified ideographs (most-used block)
-        c = 0x4E00
-        while len(uniq) < budget and c <= 0x9FFF:
-            ch = chr(c)
-            if ch not in seen:
-                uniq.append(ch)
-                seen.add(ch)
-            c += 1
+        # fill the rest with CJK unified ideographs (most-used block),
+        # then CJK Ext-A and Hangul syllables for the larger presets
+        for lo, hi in ((0x4E00, 0x9FFF), (0x3400, 0x4DBF),
+                       (0xAC00, 0xD7A3)):
+            c = lo
+            while len(uniq) < budget and c <= hi:
+                ch = chr(c)
+                if ch not in seen:
+                    uniq.append(ch)
+                    seen.add(ch)
+                c += 1
         self.build(uniq[:budget])
         assert self.vocab_size <= vocab_size
 
