@@ -310,9 +310,14 @@ class Trainer:
 
     def save_checkpoint(self, path: Optional[str] = None) -> str:
         tc = self.train_config
-        os.makedirs(tc.save_checkpoint_to or ".", exist_ok=True)
-        path = path or os.path.join(tc.save_checkpoint_to or ".",
-                                    self.ckpt_filename)
+        if path is None:
+            dest = tc.save_checkpoint_to or "."
+            if dest.endswith(".npz"):    # a file path, not a directory
+                path = dest
+                os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+            else:
+                os.makedirs(dest, exist_ok=True)
+                path = os.path.join(dest, self.ckpt_filename)
         ckpt_io.save_checkpoint(
             path,
             params=None if tc.use_lora else self.params,
@@ -361,6 +366,13 @@ class Trainer:
                 self.params = trainable
 
             self.step_count += 1
+            # throttle async dispatch: without an occasional readback an
+            # unbounded in-flight queue can wedge XLA:CPU's in-process
+            # collectives (observed as a stuck AllReduce check-failure
+            # after ~100 steps with log_interval=inf); one scalar sync
+            # every 16 steps costs nothing
+            if self.step_count % 16 == 0:
+                jax.block_until_ready(loss)
             dt = time.time() - step_t0
             if self.step_count % tc.log_interval == 0:
                 loss_f = float(loss)

@@ -223,3 +223,50 @@ def test_pretrain_parts_two_level_shuffle(tmp_path):
     dl = DataLoader(trains, seed=0)
     (x, y, m) = dl.get_batch(8, 16)
     assert x.shape == (8, 16) and y.shape == (8, 16)
+
+
+def test_denoise_training_end_to_end(tmp_path):
+    """Denoise objective (reference: train.py:101-108, model.py:581-638):
+    train a tiny model to reconstruct masked tokens, then denoise-generate."""
+    import jax.numpy as jnp
+    from nano_tpu.data.preprocess import save_shard
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+    from nano_tpu.train.trainer import Trainer
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+
+    # highly regular data: the model should learn to fill masks
+    tok = TrieTokenizer()
+    tok.build(list("abcd"))
+    seq = (tok.encode("abcdabcdabcdabcd") * 2)[:17]
+    ids = np.tile(np.asarray(seq, np.uint16), (256, 1))
+    save_shard(str(tmp_path / "d_train.npz"), ids)
+    save_shard(str(tmp_path / "d_val.npz"), ids[:16])
+
+    mc = dict(block_size=16, vocab_size=tok.vocab_size, n_layer=2,
+              n_embd=32, n_head=4, n_kv_head=2, n_hidden=64,
+              is_causal=False, use_rope=True)
+    tok_path = str(tmp_path / "tok.json")
+    tok.dump_config_file(tok_path)
+    tc = dict(batch_size=32, gradient_accumulation_steps=1,
+              learning_rate=2e-3, eval_interval=10 ** 9, eval_iters=1,
+              log_interval=25, dtype="float32", random_seed=3,
+              dataset_path=[[str(tmp_path / "d_train.npz"),
+                             str(tmp_path / "d_val.npz")]],
+              tokenizer_path=tok_path,
+              save_checkpoint_to=str(tmp_path / "ck.npz"))
+    t = Trainer(mc, tc, max_steps=150)
+    t.init()
+    t.load_data()
+    t.start(denoise=True)
+    assert t.loss_history[-1][1] < t.loss_history[0][1]
+
+    from nano_tpu.config import ModelConfig
+    ctx = engine.LLMContext(
+        cfg=ModelConfig.from_dict(mc), params=t.params, tokenizer=tok,
+        max_seq_len=16, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    out = engine.denoise_generate(ctx, tok.encode("abcd"),
+                                  max_new_tokens=12)
+    assert len(out) > 0
