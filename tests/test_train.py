@@ -270,3 +270,63 @@ def test_denoise_training_end_to_end(tmp_path):
     out = engine.denoise_generate(ctx, tok.encode("abcd"),
                                   max_new_tokens=12)
     assert len(out) > 0
+
+
+def test_trained_lora_export_and_hotswap(corpus_shards, tmp_path):
+    """The full reference LoRA workflow: pretrain -> LoRA fine-tune ->
+    export both .bins -> hot-swap in the JAX and C++ engines with
+    matching greedy outputs (reference: config/lora.json lifecycle)."""
+    from nano_tpu.io import binfmt
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    from nano_tpu import cpp_engine
+
+    d, tok_path, train_p, val_p = corpus_shards
+    base = dict(batch_size=4, gradient_accumulation_steps=1,
+                learning_rate=5e-3, eval_interval=1000, eval_iters=1,
+                log_interval=5, tokenizer_path=tok_path,
+                dataset_path=[[train_p, val_p]], dtype="float32",
+                save_checkpoint_to=str(tmp_path), random_seed=0)
+    t1 = Trainer(TINY, base, max_steps=2, ckpt_filename="b.npz")
+    t1.init(); t1.load_data(); t1.start()
+    t2 = Trainer(TINY, dict(base, from_checkpoint=str(tmp_path / "b.npz"),
+                            use_lora=True, lora_rank=4, lora_alpha=8),
+                 max_steps=6, ckpt_filename="l.npz")
+    t2.init(); t2.load_data(); t2.start()
+
+    cfg = ModelConfig(**TINY)
+    base_bin = str(tmp_path / "base.bin")
+    lora_bin = str(tmp_path / "lora.bin")
+    binfmt.write_model(base_bin, jax.tree.map(np.asarray, t2.params), cfg,
+                       t2.tokenizer.config, quant="f32")
+    binfmt.write_lora(lora_bin, jax.tree.map(np.asarray, t2.lora), cfg,
+                      rank=4, alpha=8)
+
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    ctx = engine.LLMContext.from_bin(base_bin, max_seq_len=32,
+                                     dtype=jnp.float32, sampler=samp)
+    ids = ctx.encode("ab")
+    base_logits = gpt.forward(ctx.params, jnp.asarray([ids], jnp.int32),
+                              cfg, dtype=jnp.float32)
+    ctx.load_lora(lora_bin)
+    lora_logits = gpt.forward(ctx.params, jnp.asarray([ids], jnp.int32),
+                              cfg, dtype=jnp.float32, lora=ctx.lora,
+                              lora_scale=ctx.lora_scale)
+    # the trained adapter measurably shifts the logits (greedy argmax may
+    # or may not flip after only 6 steps)
+    assert float(jnp.abs(lora_logits - base_logits).max()) > 1e-3
+    lora_out = engine.generate_on_device(ctx, ids, 8).tolist()
+
+    if cpp_engine.build():
+        with cpp_engine.CppEngine(base_bin, max_seq_len=32,
+                                  temperature=0.0,
+                                  repetition_penalty=1.0) as eng:
+            eng.attach_lora(lora_bin)
+            cpp_out = eng.generate(ids, 8)
+        stop = engine.NANO_STOP_TOKENS
+        trimmed = []
+        for t in lora_out:
+            if t in stop:
+                break
+            trimmed.append(t)
+        assert cpp_out == trimmed[:len(cpp_out)]
