@@ -63,6 +63,29 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     return next_tok, pos + 1, cache, seen, key_out
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps"))
+def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
+                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
+                  n_steps):
+    """n_steps batched decode steps in ONE dispatched program.
+
+    Multi-step scheduling: the per-dispatch fixed cost (30 ms through
+    this setup's TPU tunnel; ~0.1 ms on directly-attached chips) is paid
+    once per burst instead of once per token.  Streams that hit a stop
+    token mid-burst decode a few garbage tokens that the host discards.
+    """
+    def body(carry, _):
+        tok, pos, cache, seen, key = carry
+        tok, pos, cache, seen, key = _batched_step(
+            params, lora, lora_scale, tok, pos, cache, seen, key,
+            temperature, top_p, rep_penalty, cfg, dtype, top_k)
+        return (tok, pos, cache, seen, key), tok
+
+    (tok, pos, cache, seen, key), toks = jax.lax.scan(
+        body, (tok, pos, cache, seen, key), None, length=n_steps)
+    return toks, tok, pos, cache, seen, key
+
+
 @dataclass
 class Slot:
     active: bool = False
@@ -176,39 +199,66 @@ class BatchedEngine:
             self.slots[slot].active = False
 
     # ------------------------------------------------------------
+    def _consume(self, toks_2d: np.ndarray, pos: np.ndarray
+                 ) -> Dict[int, list]:
+        """Host-side slot bookkeeping over an (n_steps, B) token burst.
+
+        Returns {slot: [tokens...]} — an empty trailing list element is
+        represented by ending the stream (finished_reason set); tokens
+        after a stop token within the burst are discarded.
+        """
+        ctx = self.ctx
+        n_steps = toks_2d.shape[0]
+        out: Dict[int, list] = {}
+        for i, st in enumerate(self.slots):
+            if not st.active:
+                continue
+            got: list = []
+            for k in range(n_steps):
+                t = int(toks_2d[k, i])
+                if t in ctx.stop_tokens:
+                    st.active = False
+                    st.finished_reason = "stop"
+                    break
+                st.generated += 1
+                got.append(t)
+                if (st.generated >= st.max_new_tokens or
+                        int(pos[i]) - (n_steps - 1 - k) + 1
+                        >= ctx.max_seq_len):
+                    st.active = False
+                    st.finished_reason = "length"
+                    break
+            out[i] = got
+        return out
+
+    def step_burst(self, n_steps: int = 1) -> Dict[int, list]:
+        """Advance every active slot up to n_steps tokens in one dispatch.
+
+        Returns {slot: [tokens...]}; an ended stream has
+        slots[slot].active == False after the call (check
+        finished_reason).  n_steps=1 is the classic per-token scheduler.
+        """
+        ctx = self.ctx
+        with self.lock:
+            if self.n_active == 0:
+                return {}
+            toks, self.tok, self.pos, self.cache, self.seen, self.key = \
+                _batched_scan(
+                    ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,
+                    self.cache, self.seen, self.key,
+                    jnp.asarray(self.temperature), jnp.asarray(self.top_p),
+                    jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
+                    ctx.sampler.top_k, n_steps)
+            return self._consume(np.asarray(toks), np.asarray(self.pos))
+
     def step(self) -> Dict[int, Optional[int]]:
         """Advance every active slot one token.
 
         Returns {slot: token} for streams that produced a token, and
         {slot: None} for streams that just finished (stop token / length).
         """
-        ctx = self.ctx
-        with self.lock:
-            if self.n_active == 0:
-                return {}
-            self.tok, self.pos, self.cache, self.seen, self.key = \
-                _batched_step(
-                    ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,
-                    self.cache, self.seen, self.key,
-                    jnp.asarray(self.temperature), jnp.asarray(self.top_p),
-                    jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
-                    ctx.sampler.top_k)
-            toks = np.asarray(self.tok)
-            pos = np.asarray(self.pos)
-            out: Dict[int, Optional[int]] = {}
-            for i, st in enumerate(self.slots):
-                if not st.active:
-                    continue
-                t = int(toks[i])
-                if t in ctx.stop_tokens:
-                    st.active = False
-                    st.finished_reason = "stop"
-                    out[i] = None
-                    continue
-                st.generated += 1
-                out[i] = t
-                if (st.generated >= st.max_new_tokens or
-                        int(pos[i]) + 1 >= ctx.max_seq_len):
-                    st.active = False
-                    st.finished_reason = "length"
-            return out
+        burst = self.step_burst(1)
+        out: Dict[int, Optional[int]] = {}
+        for slot, toks in burst.items():
+            out[slot] = toks[0] if toks else None
+        return out

@@ -31,10 +31,15 @@ logger = logging.getLogger("nano_tpu.serve")
 
 
 class WSServer:
-    def __init__(self, ctx, n_slots: int = 8, template: bool = True):
+    def __init__(self, ctx, n_slots: int = 8, template: bool = True,
+                 burst: int = 1):
         self.ctx = ctx
         self.engine = BatchedEngine(ctx, n_slots=n_slots)
         self.template = template
+        # multi-step scheduling: decode `burst` tokens per dispatched
+        # program (amortizes fixed dispatch cost; tokens stream in small
+        # groups instead of one-by-one)
+        self.burst = max(1, burst)
         self.queues = {}          # slot -> asyncio.Queue
         self._wake = asyncio.Event()
         self._stepper: Optional[asyncio.Task] = None
@@ -48,14 +53,16 @@ class WSServer:
                 self._wake.clear()
                 await self._wake.wait()
             # the jax call blocks — run it off the event loop
-            out = await loop.run_in_executor(None, self.engine.step)
-            for slot, tok in out.items():
+            out = await loop.run_in_executor(
+                None, self.engine.step_burst, self.burst)
+            for slot, toks in out.items():
                 q = self.queues.get(slot)
                 if q is None:
                     continue
-                q.put_nowait(tok)
-                if tok is not None and not self.engine.slots[slot].active:
-                    q.put_nowait(None)   # finished by length: terminator
+                for tok in toks:
+                    q.put_nowait(tok)
+                if not self.engine.slots[slot].active:
+                    q.put_nowait(None)   # stream ended: terminator
 
     def _ensure_stepper(self):
         if self._stepper is None or self._stepper.done():
@@ -197,9 +204,9 @@ class WSServer:
 
 
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
-                n_slots: int = 8, template: bool = True):
+                n_slots: int = 8, template: bool = True, burst: int = 1):
     import websockets
-    server = WSServer(ctx, n_slots=n_slots, template=template)
+    server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst)
     async with websockets.serve(server.handle, host, port, max_size=2 ** 22):
         logger.info("listening on ws://%s:%d (%d slots)", host, port, n_slots)
         await asyncio.Future()
@@ -212,6 +219,10 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--burst", type=int, default=1,
+                    help="tokens decoded per dispatch (multi-step "
+                         "scheduling; higher = more throughput, chunkier "
+                         "streaming)")
     ap.add_argument("--max_seq_len", type=int, default=None)
     ap.add_argument("--no_template", action="store_true")
     ap.add_argument("-t", "--temperature", type=float, default=1.0)
@@ -230,7 +241,7 @@ def main():
     if args.lora:
         ctx.load_lora(args.lora)
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
-                      template=not args.no_template))
+                      template=not args.no_template, burst=args.burst))
 
 
 if __name__ == "__main__":

@@ -269,3 +269,46 @@ def test_wss_interrupt_midstream(tmp_path):
 
     out = asyncio.run(run())
     assert len(out) > 0
+
+
+def test_step_burst_matches_single_steps(tmp_path):
+    """Multi-step scheduling yields exactly the per-token stream, and
+    stop-token truncation inside a burst works."""
+    ctx = make_ctx(tmp_path)
+    expect = solo_greedy(ctx, "abcdef", 11)
+
+    be = BatchedEngine(ctx, n_slots=2)
+    slot, first = be.add(ctx.encode("abcdef"), max_new_tokens=11,
+                         temperature=0.0, repetition_penalty=1.0)
+    toks = [first]
+    while be.slots[slot].active:
+        toks.extend(be.step_burst(4).get(slot, []))
+    assert toks == expect
+
+
+def test_wss_server_with_burst(tmp_path):
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+    expect = ctx.decode(solo_greedy(ctx, "abcdef", 9))
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False, burst=4)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({
+                    "prompt": "abcdef", "max_new_tokens": 9,
+                    "temperature": 0.0, "repetition_penalty": 1.0,
+                    "template": False}))
+                chunks = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done"):
+                        break
+                    chunks.append(m["text"])
+                return "".join(chunks)
+
+    got = asyncio.run(run())
+    assert got == expect[:len(got)] and len(got) >= 6
