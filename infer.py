@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--top_p", type=float, default=0.8)
     ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
     ap.add_argument("-s", "--seed", type=int, default=39)
+    ap.add_argument("-o", "--observe", action="store_true",
+                    help="visualize per-layer activity and top-6 next-token "
+                         "candidates per step (the reference Pod renders "
+                         "the same hook on its LCD, infer/ui_app.c:798-855)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -43,10 +47,32 @@ def main():
     sampler = sampling.SamplerConfig(
         temperature=args.temperature, top_p=args.top_p,
         repetition_penalty=args.repetition_penalty)
+    observer = None
+    if args.observe:
+        from nano_tpu import observe as obs
+
+        state = {"acts": {}, "logits": None}
+
+        def observer(o):
+            if o.phase == obs.Phase.RESIDUAL:
+                state["acts"][o.layer] = float(abs(o.data).mean())
+            elif o.phase == obs.Phase.LOGITS:
+                state["logits"] = o.data
+            elif o.phase == obs.Phase.SAMPLE and state["logits"] is not None:
+                bars = "".join(
+                    " ▁▂▃▄▅▆▇█"[min(8, int(state["acts"].get(l, 0.0) * 4))]
+                    for l in sorted(state["acts"]))
+                ids, probs = obs.top_candidates(state["logits"], 6)
+                cand = " ".join(f"{ctx.decode([int(i)])!r}:{p:.2f}"
+                                for i, p in zip(ids, probs))
+                print(f"\n[layers {bars}] top6: {cand}", file=sys.stderr)
+                state["acts"].clear()
+
     loader = (engine.LLMContext.from_bin if args.model.endswith(".bin")
               else engine.LLMContext.from_checkpoint)
     ctx = loader(args.model, max_seq_len=args.max_seq_len,
-                 sampler=sampler, random_seed=args.seed)
+                 sampler=sampler, random_seed=args.seed,
+                 observation=observer)
     if args.lora:
         if args.lora.endswith(".bin"):
             ctx.load_lora(args.lora)

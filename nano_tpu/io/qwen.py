@@ -83,19 +83,47 @@ def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
         return _to_f32(t[key])
 
     L = cfg.n_layer
+    D = cfg.head_dim
 
-    def stack_T(fmt):
-        return np.stack([np.ascontiguousarray(get(fmt.format(l)).T)
-                         for l in range(L)])
+    def permute_reverse(w: np.ndarray, n_heads: int) -> np.ndarray:
+        """HF rotate-half row layout -> interleaved-pair layout
+        (reference: infer/tools/export_qwen.py permute_reverse): within
+        each head, rotation pair (i, i + D/2) moves to rows (2i, 2i+1).
+        Qwen2 files use the interleaved engine path; Qwen3 keeps the HF
+        layout (the engines apply half-split RoPE for it)."""
+        out = w.reshape(n_heads, D, *w.shape[1:])
+        idx = np.empty(D, np.int64)
+        idx[0::2] = np.arange(D // 2)
+        idx[1::2] = np.arange(D // 2) + D // 2
+        return out[:, idx].reshape(w.shape)
 
-    def stack(fmt):
-        return np.stack([get(fmt.format(l)) for l in range(L)])
+    qwen2 = model_type == binfmt.MODEL_TYPE_QWEN2
+
+    def stack_T(fmt, permute_heads: int = 0):
+        mats = []
+        for l in range(L):
+            w = get(fmt.format(l))
+            if permute_heads:
+                w = permute_reverse(w, permute_heads)
+            mats.append(np.ascontiguousarray(w.T))
+        return np.stack(mats)
+
+    def stack(fmt, permute_heads: int = 0):
+        vs = []
+        for l in range(L):
+            v = get(fmt.format(l))
+            if permute_heads:
+                v = permute_reverse(v, permute_heads)
+            vs.append(v)
+        return np.stack(vs)
 
     blocks: Dict[str, Any] = {
         "attn_norm": stack("layers.{}.input_layernorm.weight"),
         "ffn_norm": stack("layers.{}.post_attention_layernorm.weight"),
-        "wq": stack_T("layers.{}.self_attn.q_proj.weight"),
-        "wk": stack_T("layers.{}.self_attn.k_proj.weight"),
+        "wq": stack_T("layers.{}.self_attn.q_proj.weight",
+                      cfg.n_head if qwen2 else 0),
+        "wk": stack_T("layers.{}.self_attn.k_proj.weight",
+                      cfg.n_kv_head if qwen2 else 0),
         "wv": stack_T("layers.{}.self_attn.v_proj.weight"),
         "wo": stack_T("layers.{}.self_attn.o_proj.weight"),
         "w1": stack_T("layers.{}.mlp.gate_proj.weight"),
@@ -106,8 +134,9 @@ def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
         blocks["q_norm"] = stack("layers.{}.self_attn.q_norm.weight")
         blocks["k_norm"] = stack("layers.{}.self_attn.k_norm.weight")
     else:
-        blocks["bq"] = stack("layers.{}.self_attn.q_proj.bias")
-        blocks["bk"] = stack("layers.{}.self_attn.k_proj.bias")
+        blocks["bq"] = stack("layers.{}.self_attn.q_proj.bias", cfg.n_head)
+        blocks["bk"] = stack("layers.{}.self_attn.k_proj.bias",
+                             cfg.n_kv_head)
         blocks["bv"] = stack("layers.{}.self_attn.v_proj.bias")
 
     params: Dict[str, Any] = {

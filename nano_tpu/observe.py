@@ -79,6 +79,22 @@ def _fire(phase_value: int, layer, data) -> None:
                         data=np.asarray(data)))
 
 
+_warned_unsupported = False
+
+
+def _callbacks_supported() -> bool:
+    """Host callbacks need PJRT send/recv support.  CPU and
+    directly-attached TPUs have it; the axon remote-tunnel backend does
+    not (UNIMPLEMENTED at compile time).  The tunnel registers itself as
+    plain "tpu", so sniff its platform_version string."""
+    try:
+        client = getattr(jax.devices()[0], "client", None)
+        version = getattr(client, "platform_version", "") or ""
+        return "axon" not in version.lower()
+    except Exception:
+        return True
+
+
 def tap(phase: Phase, layer: Any, x: Any) -> None:
     """Insert a tap if an observer is attached at trace time.
 
@@ -87,6 +103,16 @@ def tap(phase: Phase, layer: Any, x: Any) -> None:
     observer is attached.
     """
     if _OBSERVER is None:
+        return
+    if not _callbacks_supported():
+        global _warned_unsupported
+        if not _warned_unsupported:
+            _warned_unsupported = True
+            import warnings
+            warnings.warn(
+                "observation hook disabled: this backend (remote-tunneled "
+                "TPU) lacks host-callback support; run on CPU or a "
+                "directly-attached TPU to observe")
         return
     jax.debug.callback(_fire, int(phase), layer, x)
 

@@ -163,3 +163,55 @@ def test_hf_qwen3_q80_convert(tiny_qwen3_dir, tmp_path):
     qp = binfmt.quantized_device_params(bm)
     assert "q_norm" in qp["blocks"]
     assert "output" in qp
+
+
+def test_hf_qwen2_convert_logits_and_engines(tmp_path):
+    """Qwen2 arch: qkv biases + permute-reverse to the interleaved RoPE
+    layout (reference: export_qwen.py permute_reverse) — HF logits parity
+    plus C++ engine greedy agreement (exercising its bias branch)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from nano_tpu.io.qwen import convert_hf_qwen
+    from nano_tpu.models import gpt
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    from nano_tpu import cpp_engine
+
+    d = tmp_path / "hf2"
+    d.mkdir()
+    qcfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=1e6, rms_norm_eps=1e-6,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf_model = Qwen2ForCausalLM(qcfg)
+    hf_model.eval()
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    _write_toy_hf_tokenizer_json(str(d / "tokenizer.json"), 512)
+
+    out = str(tmp_path / "qwen2.bin")
+    cfg = convert_hf_qwen(str(d), out, quant="f32")
+    assert cfg.qkv_bias and cfg.rope_style == "interleaved"
+
+    bm = binfmt.read_model(out)
+    assert bm.header.model_type == binfmt.MODEL_TYPE_QWEN2
+    idx = np.random.RandomState(0).randint(0, 512, size=(1, 12))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(idx)).logits.numpy()
+    ours = gpt.forward(jax.tree.map(jnp.asarray, bm.params),
+                       jnp.asarray(idx, jnp.int32), bm.config,
+                       dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3)
+
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    ctx = engine.LLMContext.from_bin(out, max_seq_len=64,
+                                     dtype=jnp.float32, sampler=samp)
+    ids = ctx.encode("hehe")
+    jax_out = [t for t in engine.generate_on_device(ctx, ids, 8).tolist()
+               if t not in ctx.stop_tokens]
+    if cpp_engine.build():
+        with cpp_engine.CppEngine(out, max_seq_len=64, temperature=0.0,
+                                  repetition_penalty=1.0) as eng:
+            cpp_out = eng.generate(ids, 8)
+        assert cpp_out == jax_out[:len(cpp_out)] and len(cpp_out) >= 4
