@@ -223,8 +223,16 @@ std::vector<int> BpeTokenizer::encode(const std::string& utf8) const {
         if (it != stoi_.end()) {
             toks.push_back(it->second);
         } else {
-            for (size_t k = 0; k < n; k++)
-                toks.push_back((int)(uint8_t)piece[k] + 3);
+            // byte fallback: look the raw byte token up in THIS vocab
+            // (byte-level vocabs contain all 256 single bytes); the
+            // llama2.c-style (byte+3) id is only a last resort
+            for (size_t k = 0; k < n; k++) {
+                std::string bs(1, piece[k]);
+                auto bit = stoi_.find(bs);
+                toks.push_back(bit != stoi_.end()
+                               ? bit->second
+                               : (int)(uint8_t)piece[k] + 3);
+            }
         }
         i += n;
     }
@@ -1137,8 +1145,12 @@ Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
       prompt_ids_(std::move(prompt_ids)), max_seq_len_(max_seq_len),
       max_new_tokens_(max_new_tokens) {
     seen_.assign(model.config().vocab_size, false);
-    if ((int)prompt_ids_.size() >= max_seq_len_)
-        prompt_ids_.resize(max_seq_len_ - 1);
+    if ((int)prompt_ids_.size() >= max_seq_len_) {
+        // keep the TAIL of over-long prompts, matching the Python engine
+        prompt_ids_.erase(
+            prompt_ids_.begin(),
+            prompt_ids_.end() - (max_seq_len_ - 1));
+    }
 }
 
 int Session::step() {

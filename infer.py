@@ -86,7 +86,9 @@ def main():
     def run(prompt: str):
         if args.denoise:
             ids = ctx.encode(prompt)
-            out = engine.denoise_generate(ctx, ids)
+            out = engine.denoise_generate(ctx, ids, args.max_new_tokens,
+                                          temperature=max(args.temperature,
+                                                          1e-3))
             print(ctx.decode(list(out)))
             return
         t0 = time.time()

@@ -139,7 +139,8 @@ class BatchedEngine:
                 return None
             n = len(prompt_ids)
             if n >= ctx.max_seq_len:
-                prompt_ids = prompt_ids[: ctx.max_seq_len - 1]
+                # keep the TAIL, matching Session (infer/engine.py)
+                prompt_ids = prompt_ids[-(ctx.max_seq_len - 1):]
                 n = len(prompt_ids)
 
             # prefill on a batch-1 cache, then scatter into the slot
@@ -163,14 +164,12 @@ class BatchedEngine:
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
             last = logits[0, n - 1].astype(jnp.float32)
             last = jnp.where(seen_row, last / repetition_penalty, last)
-            if temperature <= 0.0:
-                first = int(jnp.argmax(last))
-            else:
-                self.key, sub = jax.random.split(self.key)
-                first = int(sampling.sample(
-                    sub, last[None, :], sampling.SamplerConfig(
-                        temperature=temperature, top_p=top_p,
-                        repetition_penalty=1.0))[0])
+            # windowed nucleus sampling (never a full-vocab sort — see
+            # engine.NUCLEUS_WINDOW)
+            self.key, first_arr = eng._sample_windowed(
+                self.key, last[None, :], jnp.float32(temperature),
+                jnp.float32(top_p), ctx.sampler.top_k, temperature <= 0.0)
+            first = int(first_arr[0])
             seen_row = seen_row.at[first].set(True)
 
             self.pos = self.pos.at[slot].set(n)
@@ -192,6 +191,9 @@ class BatchedEngine:
                 st.finished_reason = "stop"
                 return slot, None
             st.generated = 1
+            if max_new_tokens <= 1:
+                st.active = False
+                st.finished_reason = "length"
             return slot, first
 
     def release(self, slot: int) -> None:

@@ -84,10 +84,10 @@ class WSServer:
 
     async def handle(self, websocket):
         """One connection; one request at a time per connection."""
-        pending = None
+        pending = []
         while True:
-            if pending is not None:
-                message, pending = pending, None
+            if pending:
+                message = pending.pop(0)
             else:
                 try:
                     message = await websocket.recv()
@@ -96,7 +96,8 @@ class WSServer:
             if self._is_stop(message):
                 continue           # stray stop outside a generation
             try:
-                pending = await self._serve_request(websocket, message)
+                pending.extend(await self._serve_request(websocket, message)
+                               or [])
             except Exception as e:  # pragma: no cover - network edge
                 logger.exception("request failed")
                 try:
@@ -155,7 +156,7 @@ class WSServer:
                 await websocket.send(text)
 
         interrupted = False
-        pending_msg = None
+        pending_msg = []
         recv_task = asyncio.create_task(websocket.recv())
         try:
             if first is not None:
@@ -173,8 +174,8 @@ class WSServer:
                         if msg is not None:
                             if self._is_stop(msg):
                                 interrupted = True
-                            else:   # pipelined next request: stash it
-                                pending_msg = msg
+                            else:   # pipelined next requests: queue ALL
+                                pending_msg.append(msg)
                                 recv_task = asyncio.create_task(
                                     websocket.recv())
                     if get_task in done:

@@ -101,8 +101,13 @@ class BpeTokenizer:
             if tid is not None:
                 out.append(tid)
             else:
-                # byte fallback: +3 offset per llama2.c legacy
-                out.extend((x + 3) for x in b)
+                # byte fallback: look the raw byte token up in THIS vocab
+                # (byte-level BPE vocabs contain all 256 single bytes);
+                # the llama2.c-style (byte+3) id is only a last resort
+                # and is wrong for HF-id vocabs
+                for x in b:
+                    bt = self.stoi.get(bytes([x]))
+                    out.append(bt if bt is not None else x + 3)
         return out
 
     def encode(self, text: str) -> List[int]:

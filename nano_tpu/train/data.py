@@ -81,19 +81,28 @@ class DataLoader:
             take = min(need, shard.n - self.pos)
             sel = order[self.pos:self.pos + take]
             ids = shard.ids[sel]
-            if width is None:
-                width = ids.shape[1]
-            ids_parts.append(ids[:, :width])
+            width = max(width or 0, ids.shape[1])
+            ids_parts.append(ids)
             if shard.mask is not None:
-                mask_parts.append(shard.mask[sel][:, :width])
+                mask_parts.append(shard.mask[sel])
             else:
-                mask_parts.append(np.ones_like(ids[:, :width], np.uint8))
+                mask_parts.append(np.ones_like(ids, np.uint8))
             self.pos += take
             need -= take
             if self.pos >= shard.n:
                 self._advance_course()
-        return (np.concatenate(ids_parts).astype(np.int32),
-                np.concatenate(mask_parts).astype(np.int32))
+
+        def fit(a, w):  # batches may span shards of different widths
+            if a.shape[1] == w:
+                return a
+            if a.shape[1] > w:
+                return a[:, :w]
+            return np.pad(a, ((0, 0), (0, w - a.shape[1])))
+
+        return (np.concatenate([fit(a, width) for a in ids_parts]
+                               ).astype(np.int32),
+                np.concatenate([fit(a, width) for a in mask_parts]
+                               ).astype(np.int32))
 
     def get_batch(self, batch_size: int, block_size: int,
                   is_causal: bool = True, denoise: bool = False
@@ -124,6 +133,15 @@ class DataLoader:
         if y.shape[1] < block_size:
             y = np.pad(y, ((0, 0), (0, block_size - y.shape[1])))
         return x, y, m
+
+    def state(self) -> tuple:
+        """Stream position snapshot (course, pos, epoch); restore with
+        set_state.  Shuffle orders are epoch-deterministic, so eval reads
+        can be made side-effect free by save/restore."""
+        return (self.course, self.pos, self.epoch)
+
+    def set_state(self, st: tuple) -> None:
+        self.course, self.pos, self.epoch = st
 
     def skip_batches(self, n: int, batch_size: int) -> None:
         """Fast-forward the stream (resume replay, reference: train.py:374-377)."""

@@ -301,11 +301,14 @@ class Trainer:
             frozen = self.params if tc.use_lora else None
         losses = {"train": [], "val": []}
         for split, loader in (("train", self.train_data), ("val", self.val_data)):
+            st = loader.state()   # eval must not advance the training
+            # stream (it would desync continued-pretrain replay)
             for _ in range(tc.eval_iters):
                 x, y, m = loader.get_batch(tc.batch_size, mc.block_size,
                                            is_causal=mc.is_causal)
                 losses[split].append(float(self._eval_step(
                     trainable, frozen, x, y, m)))
+            loader.set_state(st)
         return float(np.mean(losses["train"])), float(np.mean(losses["val"]))
 
     def save_checkpoint(self, path: Optional[str] = None) -> str:
