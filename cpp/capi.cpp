@@ -69,12 +69,18 @@ int nano_encode(void* hp, const char* text, int* out_ids, int cap) {
     return n;
 }
 
-// decode ids -> utf-8 (caller buffer out[cap], returns byte length)
+// decode ids -> utf-8.  Copies min(len, cap-1) bytes (NUL-terminated)
+// and returns the FULL length, so callers can detect truncation and
+// retry with a bigger buffer.
 int nano_decode(void* hp, const int* ids, int n, char* out, int cap) {
     std::vector<int> v(ids, ids + n);
     std::string s = ((NanoHandle*)hp)->model->decode(v);
     int len = (int)s.size();
-    if (len + 1 <= cap) std::memcpy(out, s.c_str(), len + 1);
+    if (cap > 0) {
+        int c = len < cap - 1 ? len : cap - 1;
+        std::memcpy(out, s.data(), c);
+        out[c] = 0;
+    }
     return len;
 }
 

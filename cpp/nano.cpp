@@ -492,8 +492,19 @@ Model::Model(const std::string& path) {
     size_ = (size_t)st.st_size;
     data_ = (const uint8_t*)::mmap(nullptr, size_, PROT_READ, MAP_PRIVATE,
                                    fd_, 0);
-    if (data_ == MAP_FAILED) throw std::runtime_error("mmap failed");
-    parse_();
+    if (data_ == MAP_FAILED) {
+        ::close(fd_);
+        fd_ = -1;
+        throw std::runtime_error("mmap failed");
+    }
+    try {
+        parse_();
+    } catch (...) {
+        // the destructor does not run for a throwing constructor
+        ::munmap((void*)data_, size_);
+        ::close(fd_);
+        throw;
+    }
 }
 
 Model::Model(const uint8_t* buffer, size_t len)
@@ -514,6 +525,8 @@ void Model::parse_() {
     std::memcpy(&cfg_, data_ + 24, sizeof(Config));
     quant_ = (Quant)read_le<uint32_t>(data_ + 60);
     group_size_ = read_le<uint32_t>(data_ + 64);
+    rope_theta_ = read_le<float>(data_ + 68);   // header extension; 0 in
+    if (!(rope_theta_ > 0.0f)) rope_theta_ = 0; // reference-written files
     if (cfg_.head_dim == 0) cfg_.head_dim = cfg_.n_embd / cfg_.n_head;
 
     size_t pos = 256;
@@ -570,12 +583,15 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
     // ranges.
     auto take_q4k_frame = [&](std::vector<Weight>* per_layer, Weight* single,
                               uint32_t rows, uint32_t cols) {
+        if (p + 44 > limit)
+            throw std::runtime_error("model file truncated");
         uint64_t total = read_le<uint64_t>(p);
         uint32_t ndim = read_le<uint32_t>(p + 12);
         uint32_t nb = read_le<uint32_t>(p + 40);
         const uint8_t* blocks = p + 44;
+        if (total < 44 || total > (uint64_t)(limit - p))
+            throw std::runtime_error("model file truncated");
         p += total;
-        if (p > limit) throw std::runtime_error("model file truncated");
         uint32_t bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
         if ((uint64_t)bpr * rows * (per_layer ? L : 1) != nb)
             throw std::runtime_error("Q4K block count mismatch");
@@ -641,9 +657,10 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
         // placeholder tables we must skip past.
         rope_cos_.resize((size_t)c.block_size * (D / 2));
         rope_sin_.resize((size_t)c.block_size * (D / 2));
+        float theta = rope_theta_ > 0.0f ? rope_theta_ : 1000000.0f;
         for (int t = 0; t < c.block_size; t++) {
             for (int i = 0; i < D / 2; i++) {
-                float freq = 1.0f / std::pow(1000000.0f,
+                float freq = 1.0f / std::pow(theta,
                                              (float)(2 * i) / (float)D);
                 rope_cos_[(size_t)t * (D / 2) + i] = std::cos(t * freq);
                 rope_sin_[(size_t)t * (D / 2) + i] = std::sin(t * freq);
@@ -683,6 +700,8 @@ void Model::attach_lora(const std::string& path) {
         throw std::runtime_error("short read on " + path);
     }
     std::fclose(f);
+    if (lora_blob_.size() < 256)
+        throw std::runtime_error("LoRA file truncated");
     const uint8_t* d = lora_blob_.data();
     if (read_le<uint32_t>(d) != MAGIC_0 ||
         (Arch)read_le<uint32_t>(d + 16) != Arch::Lora)
@@ -695,7 +714,13 @@ void Model::attach_lora(const std::string& path) {
     if (L != cfg_.n_layer || E != cfg_.n_embd)
         throw std::runtime_error("LoRA does not match base model");
     int r = lora->rank;
+    if (r <= 0 || r > 4096)
+        throw std::runtime_error("LoRA rank out of range");
     int64_t D = cfg_.head_dim, H = cfg_.n_head, KV = cfg_.n_kv_head;
+    uint64_t expect = 256 + 4ull * L * r *
+        (E + H * D + E + KV * D + E + KV * D + H * D + E);
+    if (lora_blob_.size() < expect)
+        throw std::runtime_error("LoRA file truncated");
     const float* p = (const float*)(d + 256);
     lora->layers.resize(L);
     // file order: wq_a[L], wq_b[L], wk_a[L], wk_b[L], ... (export.py)
@@ -1112,6 +1137,12 @@ int Sampler::sample(float* logits, int vocab_size,
                        : 0.0f;
     for (int i = 0; i < vocab_size; i++)
         if (logits[i] >= cutoff) pairs.emplace_back(logits[i], i);
+    if (pairs.empty()) {               // degenerate top_p < 1/vocab
+        int best = 0;
+        for (int i = 1; i < vocab_size; i++)
+            if (logits[i] > logits[best]) best = i;
+        return best;
+    }
     std::sort(pairs.begin(), pairs.end(),
               [](const auto& a, const auto& b) { return a.first > b.first; });
 
@@ -1145,12 +1176,14 @@ Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
       prompt_ids_(std::move(prompt_ids)), max_seq_len_(max_seq_len),
       max_new_tokens_(max_new_tokens) {
     seen_.assign(model.config().vocab_size, false);
-    if ((int)prompt_ids_.size() >= max_seq_len_) {
+    if (max_seq_len_ > 1 && (int)prompt_ids_.size() >= max_seq_len_) {
         // keep the TAIL of over-long prompts, matching the Python engine
         prompt_ids_.erase(
             prompt_ids_.begin(),
             prompt_ids_.end() - (max_seq_len_ - 1));
     }
+    if (prompt_ids_.empty() || max_seq_len_ <= 1)
+        state_ = State::Finished;      // nothing to prefill
 }
 
 int Session::step() {

@@ -186,6 +186,7 @@ class Model {
     Arch arch_ = Arch::Nano;
     Quant quant_ = Quant::F32;
     uint32_t group_size_ = 0;
+    float rope_theta_ = 0.0f;   // header extension (our writer only)
 
     TrieTokenizer trie_;
     BpeTokenizer bpe_;

@@ -126,9 +126,12 @@ class CppEngine:
     def decode(self, ids: List[int]) -> str:
         arr = (ctypes.c_int * len(ids))(*ids)
         cap = len(ids) * 16 + 16
-        out = ctypes.create_string_buffer(cap)
-        n = self._lib.nano_decode(self._h, arr, len(ids), out, cap)
-        return out.raw[:n].decode("utf-8", errors="replace")
+        while True:
+            out = ctypes.create_string_buffer(cap)
+            n = self._lib.nano_decode(self._h, arr, len(ids), out, cap)
+            if n + 1 <= cap:
+                return out.raw[:n].decode("utf-8", errors="replace")
+            cap = n + 1          # some tokens exceed 16 bytes; retry
 
     def generate(self, prompt_ids: List[int], max_new_tokens: int
                  ) -> List[int]:

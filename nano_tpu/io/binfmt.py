@@ -26,6 +26,7 @@ layout at the boundary.
 from __future__ import annotations
 
 import io
+import math
 import struct
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
@@ -81,6 +82,16 @@ def pick_group_size(n_embd: int, group_size: int) -> int:
     return group_size
 
 
+def _q80_group_size(cfg: ModelConfig, group_size: int) -> int:
+    """Group size must divide EVERY matmul contraction dim (E, H*D, F):
+    the engines index per-row scale groups, so groups must not straddle
+    rows.  (The reference only checks n_embd — a latent bug for odd
+    n_hidden.)  Halve until it divides the gcd."""
+    g = math.gcd(math.gcd(cfg.n_embd, cfg.n_hidden),
+                 cfg.n_head * cfg.head_dim)
+    return pick_group_size(g, group_size)
+
+
 # =====================================================================
 # tokenizer field (BNF at reference export.py:72-114)
 # =====================================================================
@@ -128,7 +139,8 @@ def parse_tokenizer_field(data: bytes, offset: int) -> Tuple[dict, int]:
 # =====================================================================
 
 def _pack_header(model_type: int, cfg: ModelConfig, shared_classifier: bool,
-                 quant_type: int, group_size: int) -> bytes:
+                 quant_type: int, group_size: int,
+                 rope_theta: float = 0.0) -> bytes:
     buf = io.BytesIO()
     buf.write(struct.pack("<II", MAGIC_0, MAGIC_1))
     buf.write(struct.pack("<ii", *VERSION))
@@ -138,8 +150,13 @@ def _pack_header(model_type: int, cfg: ModelConfig, shared_classifier: bool,
         cfg.n_head, cfg.n_kv_head, cfg.n_hidden, int(shared_classifier),
         cfg.head_dim))
     buf.write(struct.pack("<i", quant_type))
-    if quant_type != QUANT_F32:
+    if quant_type != QUANT_F32 or rope_theta:
         buf.write(struct.pack("<i", group_size))
+    # extension (zero-padded region in reference files, ignored by the C
+    # engine): rope_theta at offset 68, so non-default-theta models
+    # (e.g. long-context Qwen variants) round-trip exactly
+    if rope_theta:
+        buf.write(struct.pack("<f", float(rope_theta)))
     raw = buf.getvalue()
     return raw + b"\0" * (HEADER_BYTES - len(raw))
 
@@ -160,6 +177,7 @@ class BinHeader:
     head_dim: int
     quant_type: int
     group_size: int
+    rope_theta: float = 0.0    # header extension; 0 in reference files
 
     def to_model_config(self, model_type_overrides: Optional[dict] = None
                         ) -> ModelConfig:
@@ -179,6 +197,10 @@ class BinHeader:
             # (reference: infer/infer.c:189-204,692-712,824-835)
             kw.update(use_qk_norm=True, rope_theta=1e6, rope_style="half",
                       norm_eps=1e-6)
+        if self.rope_theta > 0:
+            # our writer records the true theta in the header's padding;
+            # non-default-theta models (e.g. long-context Qwen) round-trip
+            kw.update(rope_theta=float(self.rope_theta))
         if model_type_overrides:
             kw.update(model_type_overrides)
         return ModelConfig(**kw)
@@ -192,24 +214,30 @@ def parse_header(data: bytes) -> BinHeader:
     model_type, _cfg_len = struct.unpack_from("<ii", data, 16)
     fields = struct.unpack_from("<9i", data, 24)
     quant_type, group_size = struct.unpack_from("<ii", data, 60)
+    (rope_theta,) = struct.unpack_from("<f", data, 68)
+    if not (rope_theta > 0) or rope_theta != rope_theta:   # 0/garbage
+        rope_theta = 0.0
     return BinHeader(
         model_type=model_type, major=major, minor=minor,
         block_size=fields[0], vocab_size=fields[1], n_layer=fields[2],
         n_embd=fields[3], n_head=fields[4], n_kv_head=fields[5],
         n_hidden=fields[6], shared_classifier=bool(fields[7]),
-        head_dim=fields[8], quant_type=quant_type, group_size=group_size)
+        head_dim=fields[8], quant_type=quant_type, group_size=group_size,
+        rope_theta=float(rope_theta))
 
 
 # =====================================================================
 # weight export — takes OUR pytree layout (see models/gpt.py)
 # =====================================================================
 
-def _file_order_tensors(params: Dict[str, Any], cfg: ModelConfig
+def _file_order_tensors(params: Dict[str, Any], cfg: ModelConfig,
+                        include_quantizable: bool = True
                         ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
     """-> (norms fp32, quantizable in file order, rope/extra fp32).
 
     Our layout is stacked (L, in, out); the file wants per-layer (out, in)
-    row-major.
+    row-major.  include_quantizable=False skips materializing the large
+    transposed copies (used by the Q4K path, which repacks itself).
     """
     b = params["blocks"]
 
@@ -222,6 +250,8 @@ def _file_order_tensors(params: Dict[str, Any], cfg: ModelConfig
         + [np.asarray(b["ffn_norm"][l], np.float32) for l in range(cfg.n_layer)]
         + [np.asarray(params["norm"], np.float32)]
     )
+    if not include_quantizable:
+        return norms, [], []
     quantizable = (
         [np.asarray(params["tok_embeddings"], np.float32)]
         + per_layer_T("wq") + per_layer_T("wk") + per_layer_T("wv")
@@ -252,10 +282,24 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
     engine consumes these tables directly, infer/infer.c:185-188).
     """
     shared = "output" not in params
-    norms, quantizable, _ = _file_order_tensors(params, cfg)
-    if not shared:
-        quantizable.append(
-            np.ascontiguousarray(np.asarray(params["output"], np.float32).T))
+    # header theta extension ONLY for non-default thetas: default-theta
+    # files stay byte-identical with the reference exporter (readers
+    # reconstruct 1e4/1e6 from the model type)
+    theta_ext = (0.0 if cfg.rope_theta in (10000.0, 1e6)
+                 else cfg.rope_theta)
+
+    def build_quantizable():
+        # deferred: the q4k branch never uses these transposed copies
+        # (it repacks stacked tensors itself) — building them up front
+        # doubled peak export memory at 0.6B scale
+        norms_, quantizable_, _ = _file_order_tensors(params, cfg)
+        if not shared:
+            quantizable_.append(np.ascontiguousarray(
+                np.asarray(params["output"], np.float32).T))
+        return norms_, quantizable_
+
+    norms, _q, _ = _file_order_tensors(params, cfg, include_quantizable=False)
+    quantizable = None
 
     # arch extras written fp32 after the main matmul weights
     # (reference: infer/infer.c:175-183, infer/tools/export_qwen.py:516-546)
@@ -279,10 +323,12 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
 
     with open(path, "wb") as f:
         if quant == "f32":
-            f.write(_pack_header(model_type, cfg, shared, QUANT_F32, 0))
+            f.write(_pack_header(model_type, cfg, shared, QUANT_F32, 0,
+                                 theta_ext))
             f.write(tok_field)
             for w in norms:
                 f.write(w.astype("<f4").tobytes())
+            _, quantizable = build_quantizable()
             classifier = None if shared else quantizable.pop()
             for w in quantizable:
                 f.write(w.astype("<f4").tobytes())
@@ -293,11 +339,13 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
             if classifier is not None:
                 f.write(classifier.astype("<f4").tobytes())
         elif quant == "q80":
-            gs = pick_group_size(cfg.n_embd, group_size)
-            f.write(_pack_header(model_type, cfg, shared, QUANT_Q80, gs))
+            gs = _q80_group_size(cfg, group_size)
+            f.write(_pack_header(model_type, cfg, shared, QUANT_Q80, gs,
+                                 theta_ext))
             f.write(tok_field)
             for w in norms:
                 f.write(w.astype("<f4").tobytes())
+            _, quantizable = build_quantizable()
             classifier = None if shared else quantizable.pop()
             for w in quantizable:
                 q, s, _err = quantize_q80(w, gs)
@@ -326,7 +374,8 @@ def write_model(path: str, params: Dict[str, Any], cfg: ModelConfig,
             if model_type == MODEL_TYPE_QWEN2:
                 raise ValueError("Q4K does not support Qwen2 (reference "
                                  "drops its qkv biases)")
-            f.write(_pack_header(model_type, cfg, shared, QUANT_Q4K, 0))
+            f.write(_pack_header(model_type, cfg, shared, QUANT_Q4K, 0,
+                                 theta_ext))
             f.write(tok_field)
             for w in norms:
                 f.write(w.astype("<f4").tobytes())

@@ -491,7 +491,7 @@ def _permute_act(xq: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 def q4k_matmul(x: jnp.ndarray, w: Q4KTensor, dtype=jnp.bfloat16

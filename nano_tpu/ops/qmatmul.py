@@ -148,7 +148,7 @@ def _q80_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scales: jnp.ndarray,
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 # Implementation selector.  Measured on the target TPU (chained scan of

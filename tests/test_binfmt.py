@@ -154,12 +154,14 @@ def test_reference_export_compat(tmp_path):
 def test_reference_q80_export_compat(tmp_path):
     """Q80 files from the reference exporter parse + dequantize identically.
 
-    Uses n_embd=128 so the reference's group-size backoff never fires:
-    the reference writes group_size into the header BEFORE backing it off
-    (export.py:398 vs 418-420), so for n_embd % 128 != 0 its header is
-    inconsistent with its own payload.  Our writer stores the effective
-    group size; we only assert byte-parity in the regime where the
-    reference file is self-consistent.
+    Uses n_embd=128 AND n_hidden=256 so the reference's group-size
+    backoff never fires: the reference writes group_size into the header
+    BEFORE backing it off (export.py:398 vs 418-420) and only checks
+    n_embd — with gs not dividing n_hidden its own engine silently drops
+    tail columns (infer/infer.c:668 `j <= n - group_size`).  Our writer
+    requires gs | gcd(E, H*D, F) (binfmt._q80_group_size), so byte-parity
+    is asserted in the regime where the reference file is actually
+    self-consistent.
     """
     import sys
     import torch
@@ -167,7 +169,7 @@ def test_reference_q80_export_compat(tmp_path):
     sys.modules.setdefault("model", ref_model)
     ref_export = import_reference_module("export")
 
-    tiny128 = dict(TINY, n_embd=128)
+    tiny128 = dict(TINY, n_embd=128, n_hidden=256)
     rcfg = ref_model.ModelConfig(**tiny128, dropout=0.0)
     torch.manual_seed(0)
     rm = ref_model.GPT(rcfg)

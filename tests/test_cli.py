@@ -14,7 +14,7 @@ ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
        "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
 
 
-def run_cli(args, timeout=300, **kw):
+def run_cli(args, timeout=540, **kw):
     return subprocess.run([sys.executable] + args, cwd=REPO_ROOT, env=ENV,
                           capture_output=True, text=True, timeout=timeout,
                           **kw)
