@@ -214,3 +214,28 @@ def test_reference_q80_export_compat(tmp_path):
     with open(our_path, "rb") as f:
         our_bytes = f.read()
     assert ref_bytes == our_bytes
+
+
+def test_rope_theta_header_extension(tmp_path):
+    """Non-default rope_theta survives the .bin round-trip (stored in the
+    header's zero-padding; default-theta files stay byte-identical with
+    the reference format)."""
+    cfg = ModelConfig(block_size=32, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64, rope_theta=1e7)
+    params = jax.tree.map(np.asarray, gpt.init_params(jax.random.PRNGKey(0), cfg))
+    tok = TrieTokenizer()
+    tok.build([chr(97 + i) for i in range(26)])
+    path = str(tmp_path / "theta.bin")
+    binfmt.write_model(path, params, cfg, tok.config, quant="f32")
+    bm = binfmt.read_model(path)
+    assert bm.header.rope_theta == 1e7
+    assert bm.config.rope_theta == 1e7
+
+    # default theta -> extension bytes stay zero (reference byte-compat)
+    cfg2 = ModelConfig(block_size=32, vocab_size=64, n_layer=2, n_embd=32,
+                       n_head=4, n_kv_head=2, n_hidden=64)
+    binfmt.write_model(str(tmp_path / "d.bin"), params, cfg2, tok.config,
+                       quant="f32")
+    with open(tmp_path / "d.bin", "rb") as f:
+        hdr = f.read(256)
+    assert hdr[68:72] == b"\x00\x00\x00\x00"

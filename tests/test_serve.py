@@ -312,3 +312,34 @@ def test_wss_server_with_burst(tmp_path):
 
     got = asyncio.run(run())
     assert got == expect[:len(got)] and len(got) >= 6
+
+
+def test_wss_pipelined_requests_not_dropped(tmp_path):
+    """Two requests sent back-to-back while the first is streaming are
+    BOTH served, in order."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                def req(p):
+                    return json.dumps({"prompt": p, "max_new_tokens": 5,
+                                       "temperature": 0.0,
+                                       "repetition_penalty": 1.0,
+                                       "template": False})
+                await c.send(req("abcdef"))
+                await c.send(req("qrs"))       # pipelined mid-stream
+                await c.send(req("hello"))     # and another
+                dones = 0
+                while dones < 3:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        dones += 1
+                return dones
+
+    assert asyncio.run(run()) == 3
