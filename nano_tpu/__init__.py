@@ -13,6 +13,19 @@ Capability parity target: bd4sur/Nano (see SURVEY.md).  Subpackages:
   data       — corpus preprocessing (pretrain / SFT)
 """
 
+import os as _os
+
+# Honor an explicit JAX_PLATFORMS before any backend initializes: some
+# TPU plugins (e.g. the axon remote tunnel) override the env var during
+# plugin registration, silently moving "cpu" subprocesses onto the TPU
+# (observed: CLI tests pinned to cpu ran 10x slower through the tunnel).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from nano_tpu.config import ModelConfig, TrainConfig
 
 __version__ = "0.1.0"

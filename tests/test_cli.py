@@ -11,7 +11,11 @@ import pytest
 from .conftest import REPO_ROOT
 
 ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
-       "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+       # persistent compile cache: the CLI tests spawn many subprocesses
+       # that would otherwise recompile identical tiny programs
+       "JAX_COMPILATION_CACHE_DIR": "/tmp/nano_tpu_jax_cache",
+       "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1"}
 
 
 def run_cli(args, timeout=540, **kw):
