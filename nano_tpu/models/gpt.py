@@ -139,7 +139,13 @@ def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
     if w is not None:
         # classifier dequantized at load (see binfmt._attach_clf_dequant):
         # f32 table -> same values as the fused dequant dot, 2-3x faster
-        # at large vocab
+        # at large vocab.  Q4K semantics ALSO quantize the activation
+        # before the LM head (reference: infer/infer.c:1012-1014) — keep
+        # that even though the weight side is pre-dequantized, or logits
+        # drift ~1e-2 off both C engines.
+        if isinstance(params["tok_embeddings"], Q4KTensor):
+            from nano_tpu.ops.q4k import fake_quant_act
+            h = fake_quant_act(h)
         if w.dtype == jnp.float32:
             return jnp.dot(h.astype(jnp.float32), w,
                            preferred_element_type=jnp.float32,

@@ -147,13 +147,27 @@ class WSServer:
         self.queues[slot] = q
         self._wake.set()
 
+        closed = False
+
+        async def send_safe(payload: str) -> bool:
+            """A client disconnecting mid-stream is normal, not an error."""
+            nonlocal closed
+            if closed:
+                return False
+            try:
+                await websocket.send(payload)
+                return True
+            except Exception:
+                closed = True
+                return False
+
         async def send_tok(tok: int):
             text = self.ctx.decode([tok])
             if json_mode:
-                await websocket.send(json.dumps(
+                await send_safe(json.dumps(
                     {"token": int(tok), "text": text}, ensure_ascii=False))
             else:
-                await websocket.send(text)
+                await send_safe(text)
 
         interrupted = False
         pending_msg = []
@@ -161,7 +175,8 @@ class WSServer:
         try:
             if first is not None:
                 await send_tok(first)
-                while self.engine.slots[slot].active and not interrupted:
+                while (self.engine.slots[slot].active and not interrupted
+                       and not closed):
                     get_task = asyncio.create_task(q.get())
                     done, _ = await asyncio.wait(
                         {get_task, recv_task},
@@ -193,12 +208,24 @@ class WSServer:
             reason = ("interrupted" if interrupted else
                       self.engine.slots[slot].finished_reason or "stop")
             if json_mode:
-                await websocket.send(json.dumps({"done": True,
-                                                 "reason": reason}))
+                await send_safe(json.dumps({"done": True,
+                                            "reason": reason}))
             else:
-                await websocket.send("")   # reference: empty frame ends reply
+                await send_safe("")   # reference: empty frame ends reply
         finally:
-            recv_task.cancel()
+            if not recv_task.done():
+                recv_task.cancel()
+                try:
+                    await recv_task     # two concurrent recv() calls are
+                except BaseException:   # forbidden: await the cancellation
+                    pass                # (CancelledError is NOT Exception)
+            else:
+                # completed after the loop: keep the message (it may be a
+                # pipelined request; stray stops are filtered by handle())
+                try:
+                    pending_msg.append(recv_task.result())
+                except Exception:
+                    pass
             self.queues.pop(slot, None)
             self.engine.release(slot)
         return pending_msg

@@ -2,6 +2,7 @@
 decode, stop tokens, LoRA hot-swap, seq2seq, denoise smoke."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -205,3 +206,72 @@ def test_int8_kv_cache_batched_engine(tmp_path):
         if t is not None:
             toks.append(t)
     assert len(toks) >= 2 and all(isinstance(t, int) for t in toks)
+
+
+@pytest.mark.parametrize("quant", ["q80", "q4k"])
+def test_lora_on_quantized_base(tmp_path, quant):
+    """LoRA hot-swap composes with quantized base weights (the reference
+    C engine supports the same combination, infer/infer.c:792-808)."""
+    import numpy as np
+    from nano_tpu.io import binfmt
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(7), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant=quant)
+
+    rng = np.random.RandomState(0)
+    L, E, H, KV, D = (cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_kv_head,
+                      cfg.head_dim)
+    r = 4
+    lora = {f"{n}_{ab}": rng.randn(*shape).astype(np.float32) * 0.3
+            for n, ab, shape in [
+                ("wq", "a", (L, E, r)), ("wq", "b", (L, r, H * D)),
+                ("wk", "a", (L, E, r)), ("wk", "b", (L, r, KV * D)),
+                ("wv", "a", (L, E, r)), ("wv", "b", (L, r, KV * D)),
+                ("wo", "a", (L, H * D, r)), ("wo", "b", (L, r, E))]}
+    lora_path = str(tmp_path / "l.bin")
+    binfmt.write_lora(lora_path, lora, cfg, rank=r, alpha=8)
+
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    ctx = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                     dtype=jnp.float32, sampler=samp)
+    ids = ctx.encode("abcdef")
+    base = engine.generate_on_device(ctx, ids, 8).tolist()
+    ctx.load_lora(lora_path)
+    with_lora = engine.generate_on_device(ctx, ids, 8).tolist()
+    ctx.unload_lora()
+    again = engine.generate_on_device(ctx, ids, 8).tolist()
+    assert base == again
+    assert base != with_lora
+
+    # C++ engine agrees on the quantized-base + LoRA combination
+    from nano_tpu import cpp_engine
+    if cpp_engine.build():
+        with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                                  repetition_penalty=1.0) as eng:
+            eng.attach_lora(lora_path)
+            cpp_out = eng.generate(ids, 8)
+        trimmed = []
+        for t in with_lora:
+            if t in engine.NANO_STOP_TOKENS:
+                break
+            trimmed.append(t)
+        if quant == "q80":
+            assert cpp_out == trimmed[:len(cpp_out)]
+        else:
+            # Q4K quantizes ACTIVATIONS: a ~1e-6 upstream float diff that
+            # crosses a nearest_int boundary becomes a quantization step,
+            # so cross-engine greedy can diverge late on random-init
+            # near-ties; require an agreeing prefix
+            n = 0
+            for a, b in zip(cpp_out, trimmed):
+                if a != b:
+                    break
+                n += 1
+            assert n >= 4, (cpp_out, trimmed)

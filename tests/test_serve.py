@@ -343,3 +343,41 @@ def test_wss_pipelined_requests_not_dropped(tmp_path):
                 return dones
 
     assert asyncio.run(run()) == 3
+
+
+def test_wss_churn_soak(tmp_path):
+    """Slot churn: many short requests over several connections, with an
+    interrupt thrown in — every request completes, no slot leaks."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def one(port, i):
+        import websockets as ws
+        async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+            for j in range(3):
+                await c.send(json.dumps({
+                    "prompt": "abcdef"[: 2 + (i + j) % 4],
+                    "max_new_tokens": 3 + (i + j) % 5,
+                    "temperature": 0.0 if (i + j) % 2 else 0.9,
+                    "repetition_penalty": 1.0, "template": False}))
+                n = 0
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        break
+                    n += 1
+                    if i == 0 and j == 1 and n == 1:
+                        await c.send(json.dumps({"stop": True}))
+            return True
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            res = await asyncio.gather(*[one(port, i) for i in range(3)])
+            assert server.engine.n_active == 0      # no leaked slots
+            return all(res)
+
+    assert asyncio.run(run())
