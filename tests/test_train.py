@@ -330,3 +330,56 @@ def test_trained_lora_export_and_hotswap(corpus_shards, tmp_path):
                 break
             trimmed.append(t)
         assert cpp_out == trimmed[:len(cpp_out)]
+
+
+def test_sft_end_to_end_learns_answers(tmp_path):
+    """Full SFT workflow (reference: config/sft.json lifecycle): JSONL ->
+    masked shards -> fine-tune from a pretrained checkpoint -> the model
+    answers the trained questions through the instruct template."""
+    import json as jsonlib
+    from nano_tpu.data import preprocess
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    from nano_tpu.io import binfmt
+
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(26)])
+    tok_path = str(tmp_path / "tok.json")
+    tok.dump_config_file(tok_path)
+
+    # tiny QA set: a few fixed pairs, repeated
+    pairs = [("abc", "xyz"), ("def", "uvw"), ("ghi", "rst")]
+    qa = tmp_path / "qa.jsonl"
+    with open(qa, "w") as f:
+        for _ in range(200):
+            for q, a in pairs:
+                f.write(jsonlib.dumps({"question": q, "answer": a}) + "\n")
+    train_p, val_p = preprocess.generate_sft_dataset(
+        [str(qa)], tok, block_size=16, output_prefix=str(tmp_path / "sft"))
+
+    mc = dict(block_size=16, vocab_size=tok.vocab_size, n_layer=2,
+              n_embd=64, n_head=4, n_kv_head=2, n_hidden=128)
+    tc = dict(batch_size=32, gradient_accumulation_steps=1,
+              learning_rate=3e-3, eval_interval=10 ** 9, eval_iters=1,
+              log_interval=100, dtype="float32", random_seed=5,
+              dataset_path=[[train_p, val_p]], tokenizer_path=tok_path,
+              save_checkpoint_to=str(tmp_path / "sft_ck.npz"))
+    t = Trainer(mc, tc, max_steps=300)
+    t.init()
+    t.load_data()
+    t.start()
+
+    path = str(tmp_path / "sft.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, t.params),
+                       ModelConfig(**mc), tok.config, quant="f32")
+    ctx = engine.LLMContext.from_bin(
+        path, max_seq_len=16, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    hits = 0
+    for q, a in pairs:
+        res = engine.generate_sync(ctx, q, max_new_tokens=4, template=True)
+        if res.text.startswith(a):
+            hits += 1
+    assert hits >= 2, [(q, engine.generate_sync(
+        ctx, q, max_new_tokens=4, template=True).text) for q, _ in pairs]
