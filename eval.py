@@ -39,6 +39,7 @@ def model_ppl(path: str, text: str, block_size: int = 0,
         return -jnp.take_along_axis(logp, window[1:, None], axis=-1)[:, 0]
 
     total_nll, total_tok = 0.0, 0
+    counted_to = 0   # last counted target index (ids[] index), exclusive
     for start in range(0, max(len(ids) - 1, 1), stride):
         window = ids[start:start + S + 1]
         if len(window) < 2:
@@ -47,9 +48,17 @@ def model_ppl(path: str, text: str, block_size: int = 0,
         valid = len(window) - 1
         if pad:
             window = np.pad(window, (0, pad))
+        # Standard strided PPL: overlapping windows score only their NEW
+        # targets (the last `stride` positions), so every token is counted
+        # exactly once, at the longest context available to it.
+        lo_abs = max(start + 1, counted_to + 1)
+        if lo_abs > start + valid:
+            continue
+        lo = lo_abs - (start + 1)
         nll = np.asarray(nll_fn(ctx.params, jnp.asarray(window), cfg))
-        total_nll += float(nll[:valid].sum())
-        total_tok += valid
+        total_nll += float(nll[lo:valid].sum())
+        total_tok += valid - lo
+        counted_to = start + valid
     return math.exp(total_nll / total_tok)
 
 

@@ -35,14 +35,35 @@ def maybe_distributed_init() -> bool:
     multi-host launch is detected (replaces the reference's torchrun
     env-var rendezvous, train.py:171-186).  On a single host this is a
     no-op.  Set COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID (or run
-    under a TPU pod launcher, where JAX autodetects everything)."""
+    under a TPU pod launcher, where JAX autodetects everything).
+
+    Order matters: jax.distributed.initialize() must run before anything
+    that initializes the XLA backends — including jax.process_count() —
+    or it raises RuntimeError.  So the env-var check comes first and
+    process_count() is only consulted afterwards."""
     import os
-    if jax.process_count() > 1:
-        return True           # already initialized by the launcher
-    if "COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
-        return True
-    return False
+    if ("COORDINATOR_ADDRESS" in os.environ
+            or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ):
+        backends_up = False
+        try:
+            from jax._src import xla_bridge
+            backends_up = xla_bridge.backends_are_initialized()
+        except Exception:
+            pass
+        if not backends_up:
+            jax.distributed.initialize()
+            return True
+        # Backends already up: initialize() would raise.  Either a pod
+        # launcher already did the rendezvous (process_count > 1) or the
+        # caller initialized JAX too early — surface that instead of
+        # crashing deep inside jax.distributed.
+        if jax.process_count() > 1:
+            return True
+        raise RuntimeError(
+            "COORDINATOR_ADDRESS is set but the XLA backends were already "
+            "initialized single-process; call maybe_distributed_init() "
+            "before any other JAX API.")
+    return jax.process_count() > 1
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

@@ -135,13 +135,20 @@ class DataLoader:
         return x, y, m
 
     def state(self) -> tuple:
-        """Stream position snapshot (course, pos, epoch); restore with
-        set_state.  Shuffle orders are epoch-deterministic, so eval reads
-        can be made side-effect free by save/restore."""
-        return (self.course, self.pos, self.epoch)
+        """Full stream snapshot: position plus RNG state and shuffle
+        orders, so save/restore is side-effect free even when an eval read
+        crosses an epoch boundary (which reshuffles) or uses denoise
+        (which draws from the RNG)."""
+        return (self.course, self.pos, self.epoch,
+                self._rng.get_state(),
+                [o.copy() for o in self._orders] if self.shuffle else None)
 
     def set_state(self, st: tuple) -> None:
-        self.course, self.pos, self.epoch = st
+        self.course, self.pos, self.epoch = st[:3]
+        if len(st) > 3:
+            self._rng.set_state(st[3])
+            if st[4] is not None:
+                self._orders = [o.copy() for o in st[4]]
 
     def skip_batches(self, n: int, batch_size: int) -> None:
         """Fast-forward the stream (resume replay, reference: train.py:374-377)."""

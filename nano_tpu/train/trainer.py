@@ -137,6 +137,8 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._tx = None
+        self.log_file: Optional[str] = None
+        self._file_handler: Optional[logging.Handler] = None
 
         self.dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                       "float16": jnp.bfloat16}[self.train_config.dtype]
@@ -146,6 +148,32 @@ class Trainer:
         if jax.process_index() == 0:
             logger.info(msg)
             print(msg, flush=True)
+
+    def _open_log_file(self) -> None:
+        """Timestamped train_*.log file for plot_loss.py, master rank only
+        (reference: train.py:162-165).  Lands next to the checkpoints when
+        a save path is configured, else in the cwd."""
+        if jax.process_index() != 0 or self._file_handler is not None:
+            return
+        tc = self.train_config
+        dest = tc.save_checkpoint_to or "."
+        log_dir = (os.path.dirname(dest) or ".") if dest.endswith(".npz") else dest
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_file = os.path.join(
+            log_dir, time.strftime("train_%Y%m%d_%H%M%S.log"))
+        self._file_handler = logging.FileHandler(self.log_file,
+                                                 encoding="utf-8")
+        self._file_handler.setFormatter(
+            logging.Formatter("%(asctime)s | %(message)s"))
+        logger.addHandler(self._file_handler)
+        if logger.getEffectiveLevel() > logging.INFO:
+            logger.setLevel(logging.INFO)
+
+    def close_log_file(self) -> None:
+        if self._file_handler is not None:
+            logger.removeHandler(self._file_handler)
+            self._file_handler.close()
+            self._file_handler = None
 
     # ------------------------------------------------------------
     def init(self) -> None:
@@ -335,6 +363,13 @@ class Trainer:
 
     # ------------------------------------------------------------
     def start(self, denoise: bool = False) -> None:
+        self._open_log_file()
+        try:
+            self._run(denoise=denoise)
+        finally:
+            self.close_log_file()
+
+    def _run(self, denoise: bool = False) -> None:
         tc = self.train_config
         trainable = self.lora if tc.use_lora else self.params
         frozen = self.params if tc.use_lora else None
@@ -380,7 +415,10 @@ class Trainer:
             if self.step_count % tc.log_interval == 0:
                 loss_f = float(loss)
                 self.loss_history.append((self.step_count, loss_f))
-                flops = self.flop_per_token * 3 * tokens_per_step / dt
+                # flop_per_token is the PaLM fwd+bwd formula (6N + 12LHQT)
+                # already — no extra factor, same semantics as the
+                # reference's log line (reference: train.py:485)
+                flops = self.flop_per_token * tokens_per_step / dt
                 self.log(
                     f"Epoch: {self.train_data.epoch} | Step: {self.step_count} "
                     f"| Loss: {loss_f:.4f} | {dt*1000:.0f} ms/step, "

@@ -91,9 +91,12 @@ def test_export_repack_and_eval(pipeline):
 
 
 def test_plot_loss_cli(pipeline, tmp_path):
-    log = tmp_path / "t.log"
-    log.write_text("\n".join(
-        f"Epoch: 0 | Step: {i} | Loss: {3.0 - i * 0.01}" for i in range(20)))
-    r = run_cli(["plot_loss.py", str(log), "-o", str(tmp_path / "l.png")])
+    # the trainer writes a timestamped train_*.log next to the checkpoints
+    # (reference: train.py:162-165); plot it end to end
+    logs = sorted(pipeline.glob("train_*.log"))
+    assert logs, "trainer did not emit a train_*.log file"
+    assert any("Loss:" in ln for ln in
+               logs[0].read_text(encoding="utf-8").splitlines())
+    r = run_cli(["plot_loss.py", str(logs[0]), "-o", str(tmp_path / "l.png")])
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "l.png").exists()
