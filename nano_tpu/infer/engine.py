@@ -212,8 +212,12 @@ class LLMContext:
                                      self.lora)
         return self
 
-    def new_cache(self, batch: int) -> "gpt.KVCache":
-        cache = gpt.KVCache.create(self.cfg, batch, self.max_seq_len,
+    def new_cache(self, batch: int,
+                  seq_len: Optional[int] = None) -> "gpt.KVCache":
+        """seq_len shortens the cache (e.g. a bucket-sized prefill staging
+        cache for continuous-batching joins); default is max_seq_len."""
+        cache = gpt.KVCache.create(self.cfg, batch,
+                                   seq_len or self.max_seq_len,
                                    self.kv_cache_dtype or self.dtype)
         if self.mesh is not None:
             from nano_tpu.parallel import mesh as meshlib

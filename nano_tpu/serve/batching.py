@@ -88,11 +88,28 @@ def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
 
 @dataclass
 class Slot:
+    """Slot lifecycle: FREE -> attached (claimed by add(), survives the
+    end of decoding) -> FREE again only at the handler's explicit
+    release().  `active` means "currently decoding"; a finished stream has
+    active=False but attached=True, so a concurrent add() can never alias
+    a slot whose consumer is still draining its queue."""
     active: bool = False
+    attached: bool = False
     prompt_len: int = 0
     generated: int = 0
     max_new_tokens: int = 0
     finished_reason: Optional[str] = None
+
+
+class BurstResult(Dict[int, list]):
+    """{slot: [tokens...]} plus per-slot end flags captured atomically
+    under the engine lock — consumers must use `ended` instead of
+    re-reading live slot state (a new stream may have re-claimed the slot
+    by the time they look)."""
+
+    def __init__(self, toks: Dict[int, list], ended: Dict[int, bool]):
+        super().__init__(toks)
+        self.ended = ended
 
 
 class BatchedEngine:
@@ -117,7 +134,7 @@ class BatchedEngine:
     # ------------------------------------------------------------
     def free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
-            if not s.active:
+            if not s.active and not s.attached:
                 return i
         return None
 
@@ -130,42 +147,58 @@ class BatchedEngine:
             temperature: float = 1.0, top_p: float = 0.8,
             repetition_penalty: float = 1.1) -> Optional[tuple]:
         """Attach a stream.  Returns (slot, first_token or None-if-stopped),
-        or None when no slot is free (caller queues/retries)."""
+        or None when no slot is free (caller queues/retries).
+
+        The engine lock is held only to claim the slot and to splice the
+        prefilled rows in — the prefill itself (the expensive part, plus a
+        possible bucket compile) runs unlocked, so joining never stalls
+        active streams for more than the splice."""
         ctx = self.ctx
         cfg = ctx.cfg
         with self.lock:
             slot = self.free_slot()
             if slot is None:
                 return None
+            st = self.slots[slot]
+            st.attached = True         # reserved; unclaimable until release
+            st.active = False
+        try:
             n = len(prompt_ids)
             if n >= ctx.max_seq_len:
                 # keep the TAIL, matching Session (infer/engine.py)
                 prompt_ids = prompt_ids[-(ctx.max_seq_len - 1):]
                 n = len(prompt_ids)
 
-            # prefill on a batch-1 cache, then scatter into the slot
+            # prefill on a bucket-sized batch-1 staging cache (not a full
+            # max_seq_len throwaway), then scatter the rows into the slot
             pad = min(eng._bucket(n), ctx.max_seq_len)
             ids = np.zeros((1, pad), np.int32)
             ids[0, :n] = prompt_ids
-            tmp = ctx.new_cache(1)
+            tmp = ctx.new_cache(1, seq_len=pad)
             logits, tmp = eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
                                        jnp.asarray(ids), tmp, cfg, ctx.dtype)
-            self.cache = gpt.KVCache(
-                k=self.cache.k.at[:, slot].set(tmp.k[:, 0]),
-                v=self.cache.v.at[:, slot].set(tmp.v[:, 0]),
-                k_scale=(None if tmp.k_scale is None else
-                         self.cache.k_scale.at[:, slot].set(
-                             tmp.k_scale[:, 0])),
-                v_scale=(None if tmp.v_scale is None else
-                         self.cache.v_scale.at[:, slot].set(
-                             tmp.v_scale[:, 0])))
-
             seen_row = sampling.seen_mask_from_ids(
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
             last = logits[0, n - 1].astype(jnp.float32)
             last = jnp.where(seen_row, last / repetition_penalty, last)
+        except BaseException:
+            with self.lock:
+                st.attached = False
+            raise
+
+        with self.lock:
+            self.cache = gpt.KVCache(
+                k=self.cache.k.at[:, slot, :pad].set(tmp.k[:, 0]),
+                v=self.cache.v.at[:, slot, :pad].set(tmp.v[:, 0]),
+                k_scale=(None if tmp.k_scale is None else
+                         self.cache.k_scale.at[:, slot, :pad].set(
+                             tmp.k_scale[:, 0])),
+                v_scale=(None if tmp.v_scale is None else
+                         self.cache.v_scale.at[:, slot, :pad].set(
+                             tmp.v_scale[:, 0])))
+
             # windowed nucleus sampling (never a full-vocab sort — see
-            # engine.NUCLEUS_WINDOW)
+            # engine.NUCLEUS_WINDOW); self.key is engine state, so under lock
             self.key, first_arr = eng._sample_windowed(
                 self.key, last[None, :], jnp.float32(temperature),
                 jnp.float32(top_p), ctx.sampler.top_k, temperature <= 0.0)
@@ -179,7 +212,6 @@ class BatchedEngine:
             self.top_p[slot] = top_p
             self.rep_penalty[slot] = repetition_penalty
 
-            st = self.slots[slot]
             st.active = True
             st.prompt_len = n
             st.generated = 0
@@ -197,21 +229,25 @@ class BatchedEngine:
             return slot, first
 
     def release(self, slot: int) -> None:
+        """Return the slot to the free pool (consumer is done with it)."""
         with self.lock:
             self.slots[slot].active = False
+            self.slots[slot].attached = False
 
     # ------------------------------------------------------------
-    def _consume(self, toks_2d: np.ndarray, pos: np.ndarray
-                 ) -> Dict[int, list]:
+    def _consume(self, toks_2d: np.ndarray, pos: np.ndarray) -> BurstResult:
         """Host-side slot bookkeeping over an (n_steps, B) token burst.
 
-        Returns {slot: [tokens...]} — an empty trailing list element is
-        represented by ending the stream (finished_reason set); tokens
-        after a stop token within the burst are discarded.
+        Returns a BurstResult {slot: [tokens...]} with per-slot `ended`
+        flags; tokens after a stop token within the burst are discarded.
+        The flags are the ONLY safe end-of-stream signal — by the time a
+        consumer looks at live slot state, the slot may already belong to
+        a new stream.
         """
         ctx = self.ctx
         n_steps = toks_2d.shape[0]
         out: Dict[int, list] = {}
+        ended: Dict[int, bool] = {}
         for i, st in enumerate(self.slots):
             if not st.active:
                 continue
@@ -231,19 +267,21 @@ class BatchedEngine:
                     st.finished_reason = "length"
                     break
             out[i] = got
-        return out
+            ended[i] = not st.active
+        return BurstResult(out, ended)
 
-    def step_burst(self, n_steps: int = 1) -> Dict[int, list]:
+    def step_burst(self, n_steps: int = 1) -> BurstResult:
         """Advance every active slot up to n_steps tokens in one dispatch.
 
-        Returns {slot: [tokens...]}; an ended stream has
-        slots[slot].active == False after the call (check
-        finished_reason).  n_steps=1 is the classic per-token scheduler.
+        Returns a BurstResult {slot: [tokens...]} whose `.ended[slot]`
+        flags which streams finished during this burst (check
+        slots[slot].finished_reason for why).  n_steps=1 is the classic
+        per-token scheduler.
         """
         ctx = self.ctx
         with self.lock:
             if self.n_active == 0:
-                return {}
+                return BurstResult({}, {})
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \
                 _batched_scan(
                     ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,

@@ -42,6 +42,7 @@ class WSServer:
         self.burst = max(1, burst)
         self.queues = {}          # slot -> asyncio.Queue
         self._wake = asyncio.Event()
+        self._slot_freed = asyncio.Event()   # waiter queue for joins
         self._stepper: Optional[asyncio.Task] = None
 
     # ------------------------------------------------------------
@@ -61,7 +62,10 @@ class WSServer:
                     continue
                 for tok in toks:
                     q.put_nowait(tok)
-                if not self.engine.slots[slot].active:
+                # end-of-stream comes from the flags captured under the
+                # engine lock, never from live slot state (a new stream
+                # could have re-claimed the slot since)
+                if out.ended.get(slot):
                     q.put_nowait(None)   # stream ended: terminator
 
     def _ensure_stepper(self):
@@ -132,7 +136,8 @@ class WSServer:
 
         ids = self.ctx.build_prompt_ids(prompt, bool(params["template"]))
 
-        # wait for a free slot (continuous batching: joins mid-flight)
+        # wait for a free slot (continuous batching: joins mid-flight);
+        # waiters park on an event that release() sets — no polling
         loop = asyncio.get_running_loop()
         while True:
             res = await loop.run_in_executor(
@@ -141,7 +146,10 @@ class WSServer:
                 float(params["repetition_penalty"]))
             if res is not None:
                 break
-            await asyncio.sleep(0.02)
+            self._slot_freed.clear()
+            if self.engine.free_slot() is not None:
+                continue       # a release slipped in before the clear
+            await self._slot_freed.wait()
         slot, first = res
         q: asyncio.Queue = asyncio.Queue()
         self.queues[slot] = q
@@ -228,6 +236,7 @@ class WSServer:
                     pass
             self.queues.pop(slot, None)
             self.engine.release(slot)
+            self._slot_freed.set()   # wake any parked joiners
         return pending_msg
 
 
