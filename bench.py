@@ -1,20 +1,24 @@
-"""Benchmark: single-stream greedy decode throughput on Nano-168M.
+"""Benchmark: the north-star metrics (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference C engine decodes Nano-168M Q80 at 65 tok/s on an
-Intel N150 (reference README.md:415-418; BASELINE.md).  We measure our
-TPU engine's steady-state decode tokens/sec (batch 1, bf16, KV cache,
-on-device greedy sampling) on the same model shape.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Primary metric: Qwen3-0.6B-shape Q80 single-stream greedy decode tok/s on
+one chip, vs the reference C engine's 8-12 tok/s on a Raspberry Pi 5
+(reference doc/nano-pod.md:14; BASELINE.md) — midpoint 10 tok/s.
 
-Methodology notes (the TPU tunnel memoizes value-identical dispatches and
-`block_until_ready` does not force completion): every timed call chains
-its inputs from the previous call's outputs, and timing brackets a full
-host readback (np.asarray).  First call is an untimed warmup that
-compiles the same (n_steps-specialized) program.
+"extra" carries the full panel: bf16 / Q80-int8 / Q4K-int8 decode tok/s at
+the 0.6B shape, p50 TTFT, continuous-batching aggregate throughput
+(slots=8/32, Q80), and the round-1 continuity number (Nano-168M bf16).
 
-n_steps=512 (a full-context generation for this 512-block model): the
-tunnel adds a ~30 ms fixed cost per dispatched program, which real
-serving amortizes over long generations exactly like this scan does.
+Weights are random (throughput is content-independent); the quantized
+pytrees are built in the exact device layout the .bin loader produces
+(grouped int8-MXU form, binfmt._maybe_int8_layout), so a regression in
+the quantized decode path shows up here.
+
+Methodology (PERF.md, .claude/skills/verify/SKILL.md): the TPU tunnel
+memoizes value-identical dispatches and adds ~30 ms fixed cost per
+dispatched program, so every timed call chains inputs from previous
+outputs, brackets a full host readback, and decodes inside one compiled
+scan long enough to amortize the dispatch cost.
 """
 
 import json
@@ -27,20 +31,76 @@ import jax.numpy as jnp
 from nano_tpu.config import ModelConfig
 from nano_tpu.models import gpt
 from nano_tpu.ops import sampling
+from nano_tpu.ops.qmatmul import Q80Tensor
+from nano_tpu.ops.q4k import Q4KTensor, GROUP_LEN
 from nano_tpu.infer import engine
+from nano_tpu.serve import batching
 
-BASELINE_TOK_S = 65.0
+BASELINE_RPI5_TOK_S = 10.0     # Qwen3-0.6B on Raspberry Pi 5: 8-12 tok/s
+BASELINE_N150_TOK_S = 65.0     # Nano-168M Q80 on Intel N150
+
+QWEN3_06B = dict(block_size=1024, vocab_size=151936, n_layer=28,
+                 n_embd=1024, n_head=16, n_kv_head=8, n_hidden=3072,
+                 head_dim=128, use_qk_norm=True, rope_style="half",
+                 rope_theta=1e6, norm_eps=1e-6, tie_embeddings=True)
 NANO_168M = dict(block_size=512, vocab_size=16384, n_layer=24, n_embd=768,
                  n_head=16, n_kv_head=8, n_hidden=2048)
+GS = 256   # Q80 group size: the grouped int8-MXU path needs >= 256
+           # (ops/qmatmul.py MIN_GROUPED_GS); our exporters default to it
 
 
-def main():
-    cfg = ModelConfig(**NANO_168M)
-    params = gpt.init_params(jax.random.PRNGKey(0), cfg,
-                             param_dtype=jnp.bfloat16)
-    n_steps = 512
+# ---------------------------------------------------------------------
+# random params in the loader's device layouts
+# ---------------------------------------------------------------------
+
+def _norms(cfg, rng):
+    L, E, D = cfg.n_layer, cfg.n_embd, cfg.head_dim
+    b = {"attn_norm": jnp.ones((L, E), jnp.float32),
+         "ffn_norm": jnp.ones((L, E), jnp.float32)}
+    if cfg.use_qk_norm:
+        b["q_norm"] = jnp.ones((L, D), jnp.float32)
+        b["k_norm"] = jnp.ones((L, D), jnp.float32)
+    return b
+
+
+def q80_params(cfg, rng):
+    """Mirrors binfmt.quantized_device_params(fuse=True) + int8 layout."""
+    def qt(*shape, inn):
+        q = rng.randint(-127, 128, shape).astype(np.int8)
+        s = (rng.rand(*shape[:-1], inn // GS).astype(np.float32)
+             * 0.02 + 1e-3)
+        return Q80Tensor(q=jnp.asarray(q), scales=jnp.asarray(s),
+                         group_size=GS)
+
+    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
+    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+    blocks = dict(_norms(cfg, rng))
+    blocks["wqkv"] = qt(L, HD + 2 * KVD, E, inn=E).to_grouped()
+    blocks["wo"] = qt(L, E, HD, inn=HD).to_grouped()
+    blocks["w13"] = qt(L, 2 * F, E, inn=E).to_grouped()
+    blocks["w2"] = qt(L, E, F, inn=F).to_grouped()
+    tok = qt(V, E, inn=E)
+    return {"tok_embeddings": tok, "output_q": tok.to_grouped(),
+            "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
+
+
+def _q4t_packed(rng, shape_out, inn, stack=None):
+    """Random Q4K tensor in the loader's packed device layout."""
+    G = inn // GROUP_LEN
+    lead = () if stack is None else (stack,)
+    packed = rng.randint(0, 256, lead + (shape_out, inn // 2)).astype(np.uint8)
+    s = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02 + 1e-3
+    b = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02
+    return Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
+                     biases=jnp.asarray(b), in_dim=inn)
+
+
+# ---------------------------------------------------------------------
+# timed programs
+# ---------------------------------------------------------------------
+
+def decode_tok_s(params, cfg, n_steps=256, reps=3):
     s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
-
     cache = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
     seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
     key = jax.random.PRNGKey(0)
@@ -53,24 +113,115 @@ def main():
             jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
             s.top_k, n_steps, True)
 
-    # warmup / compile (same program as the timed runs)
     toks, cache, seen, key = run(tok, cache, seen, key)
-    np.asarray(toks)
-
+    np.asarray(toks)                      # compile + warm
     best = 0.0
-    for it in range(3):
-        tok = (toks[-1] + it + 1) % cfg.vocab_size   # chain values
+    for it in range(reps):
+        tok = (toks[-1] + it + 1) % cfg.vocab_size     # chain values
         t0 = time.time()
         toks, cache, seen, key = run(tok, cache, seen, key)
-        np.asarray(toks)                              # force full execution
-        tok_s = n_steps / (time.time() - t0)
-        best = max(best, tok_s)
+        np.asarray(toks)                  # force full execution
+        best = max(best, n_steps / (time.time() - t0))
+    return best
+
+
+def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
+    cache0 = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
+    ids = np.zeros((1, prompt_len), np.int32)
+    ids[0] = np.arange(prompt_len) % 1000 + 10
+    times = []
+    logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                   cache0, cfg, jnp.bfloat16)
+    first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))  # warm
+    for i in range(reps):
+        ids[0, 0] = 10 + i                # new value -> no memoized hit
+        t0 = time.time()
+        logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                       cache0, cfg, jnp.bfloat16)
+        first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))
+        times.append((time.time() - t0) * 1e3)
+    return float(np.percentile(times, 50))
+
+
+def batched_aggregate(params, cfg, slots, n_steps=128, reps=2):
+    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, jnp.bfloat16)
+    pos = jnp.full((slots,), 4, jnp.int32)
+    tok = jnp.arange(slots, dtype=jnp.int32) % 997
+    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
+    key = jax.random.PRNGKey(1)
+    temp = jnp.zeros((slots,), jnp.float32)
+    topp = jnp.full((slots,), 0.8, jnp.float32)
+    rp = jnp.ones((slots,), jnp.float32)
+
+    def run(tok, pos, cache, seen, key):
+        return batching._batched_scan(
+            params, None, 0.0, tok, pos, cache, seen, key, temp, topp, rp,
+            cfg, jnp.bfloat16, 0, n_steps)
+
+    toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
+    np.asarray(toks)
+    best = 0.0
+    for it in range(reps):
+        tok = (tok + it + 1) % cfg.vocab_size
+        pos = jnp.full((slots,), 4, jnp.int32)
+        t0 = time.time()
+        toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
+        np.asarray(toks)
+        best = max(best, slots * n_steps / (time.time() - t0))
+    return best
+
+
+def main():
+    rng = np.random.RandomState(0)
+    cfg = ModelConfig(**QWEN3_06B)
+    extra = {}
+
+    # --- Qwen3-0.6B shape: bf16 / Q80-int8 / Q4K-int8 single-stream ---
+    pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
+                         param_dtype=jnp.bfloat16)
+    extra["qwen3_0.6b_bf16_tok_s"] = round(decode_tok_s(pb, cfg), 1)
+    extra["ttft_p50_ms_bf16_p64"] = round(ttft_p50_ms(pb, cfg), 1)
+    del pb
+
+    pq = q80_params(cfg, rng)
+    q80 = decode_tok_s(pq, cfg)
+    extra["qwen3_0.6b_q80_tok_s"] = round(q80, 1)
+    extra["ttft_p50_ms_q80_p64"] = round(ttft_p50_ms(pq, cfg), 1)
+    extra["q80_batch8_agg_tok_s"] = round(
+        batched_aggregate(pq, cfg, 8), 1)
+    extra["q80_batch32_agg_tok_s"] = round(
+        batched_aggregate(pq, cfg, 32), 1)
+    del pq
+
+    # --- Q4K in the loader's packed layout (binfmt._q4k_device_params) ---
+    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
+    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+    blocks = dict(_norms(cfg, rng))
+    blocks["wqkv"] = _q4t_packed(rng, HD + 2 * KVD, E, stack=L)
+    blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
+    blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
+    blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
+    tok = _q4t_packed(rng, V, E)
+    p4 = {"tok_embeddings": tok, "output_q": tok,
+          "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
+    extra["qwen3_0.6b_q4k_tok_s"] = round(decode_tok_s(p4, cfg), 1)
+    del p4
+
+    # --- round-1 continuity: Nano-168M bf16 ---
+    ncfg = ModelConfig(**NANO_168M)
+    pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
+                         param_dtype=jnp.bfloat16)
+    nano = decode_tok_s(pn, ncfg, n_steps=512)
+    extra["nano168m_bf16_tok_s"] = round(nano, 1)
+    extra["nano168m_vs_n150_q80"] = round(nano / BASELINE_N150_TOK_S, 2)
+    del pn
 
     print(json.dumps({
-        "metric": "nano168m_bf16_decode_tok_s_batch1",
-        "value": round(best, 2),
+        "metric": "qwen3_0.6b_q80_decode_tok_s_batch1",
+        "value": round(q80, 2),
         "unit": "tok/s",
-        "vs_baseline": round(best / BASELINE_TOK_S, 2),
+        "vs_baseline": round(q80 / BASELINE_RPI5_TOK_S, 2),
+        "extra": extra,
     }))
 
 

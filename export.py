@@ -27,7 +27,11 @@ def main():
     g.add_argument("--repack", help="re-quantize an existing .bin")
     ap.add_argument("--to", default="q4k", choices=["f32", "q80", "q4k"],
                     help="target quant for --repack")
-    ap.add_argument("--group_size", type=int, default=128)
+    ap.add_argument("--group_size", type=int, default=256,
+                    help="Q80 quantization group (largest divisor is "
+                         "used if it does not divide the dims; >=256 "
+                         "unlocks the int8-MXU decode path, "
+                         "ops/qmatmul.py)")
     args = ap.parse_args()
 
     from nano_tpu.io import binfmt

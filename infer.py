@@ -51,22 +51,36 @@ def main():
     if args.observe:
         from nano_tpu import observe as obs
 
-        state = {"acts": {}, "logits": None}
+        state = {"acts": {}, "logits": None, "top": None}
 
         def observer(o):
+            # works in both modes: full activations (host callbacks) or
+            # bounded summary rows (tunnel-TPU fallback, observe.deliver)
             if o.phase == obs.Phase.RESIDUAL:
-                state["acts"][o.layer] = float(abs(o.data).mean())
+                state["acts"][o.layer] = (o.mean_abs if o.summary
+                                          else float(abs(o.data).mean()))
             elif o.phase == obs.Phase.LOGITS:
-                state["logits"] = o.data
-            elif o.phase == obs.Phase.SAMPLE and state["logits"] is not None:
+                if o.summary:
+                    state["top"] = (o.top_ids, o.top_vals)
+                else:
+                    state["logits"] = o.data
+            elif o.phase == obs.Phase.SAMPLE and (
+                    state["logits"] is not None or state["top"] is not None):
                 bars = "".join(
                     " ▁▂▃▄▅▆▇█"[min(8, int(state["acts"].get(l, 0.0) * 4))]
                     for l in sorted(state["acts"]))
-                ids, probs = obs.top_candidates(state["logits"], 6)
+                if state["top"] is not None:
+                    ids, vals = state["top"]
+                    z = vals - vals.max()
+                    probs = __import__("numpy").exp(z)
+                    probs = probs / probs.sum()   # normalized over top-6
+                else:
+                    ids, probs = obs.top_candidates(state["logits"], 6)
                 cand = " ".join(f"{ctx.decode([int(i)])!r}:{p:.2f}"
                                 for i, p in zip(ids, probs))
                 print(f"\n[layers {bars}] top6: {cand}", file=sys.stderr)
                 state["acts"].clear()
+                state["top"] = None
 
     loader = (engine.LLMContext.from_bin if args.model.endswith(".bin")
               else engine.LLMContext.from_checkpoint)

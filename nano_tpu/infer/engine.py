@@ -62,12 +62,15 @@ def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype,
 
     `observed` is a cache-busting static flag: attaching an observer
     (nano_tpu.observe) re-traces so the phase taps appear in the program.
+    The third output carries observation-summary rows on backends without
+    host-callback support (observe.deliver) — empty otherwise.
     """
     del observed
+    observe.start_capture()
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, jnp.int32(0), cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
-    return logits, cache
+    return logits, cache, observe.end_capture()
 
 
 # nucleus window: top-p sampling runs over the top-K candidates from
@@ -79,17 +82,22 @@ NUCLEUS_WINDOW = 128
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy",
-                                   "observed"))
+                                   "exact", "observed"))
 def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                 greedy=False, observed=False):
+                 greedy=False, exact=False, observed=False):
     """One decode step: forward 1 token, sample the next, update state.
 
     `greedy` is a static flag so the temperature==0 path compiles to a
-    bare argmax with no sampling machinery in the graph.  `observed`
-    busts the jit cache when an observer is (de)attached.
+    bare argmax with no sampling machinery in the graph.  `exact` selects
+    full-vocab plain multinomial (the reference's top_p>=1 mode,
+    model.py:527-529) — a categorical over all V logits needs no sort, so
+    it costs one reduction instead of the 40 ms full-vocab sort the
+    windowed path exists to avoid.  `observed` busts the jit cache when
+    an observer is (de)attached.
     """
     del observed
+    observe.start_capture()
     logits, cache = gpt.forward_with_cache(
         params, tok[:, None], cache, pos, cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
@@ -100,6 +108,10 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     if greedy:
         next_tok = jnp.argmax(logits, axis=-1)
         key_out = key
+    elif exact:
+        key_out, sub = jax.random.split(key)
+        next_tok = jax.random.categorical(
+            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1)
     else:
         window = min(top_k if top_k else NUCLEUS_WINDOW, logits.shape[-1])
         l = logits / jnp.maximum(temperature, 1e-6)
@@ -118,18 +130,25 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     next_tok = next_tok.astype(jnp.int32)
     observe.tap(observe.Phase.SAMPLE, -1, next_tok)
     seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
-    return next_tok, cache, seen_mask, key_out, logits
+    return next_tok, cache, seen_mask, key_out, logits, observe.end_capture()
 
 
-@partial(jax.jit, static_argnames=("top_k", "greedy"))
-def _sample_windowed(key, logits, temperature, top_p, top_k, greedy):
+@partial(jax.jit, static_argnames=("top_k", "greedy", "exact"))
+def _sample_windowed(key, logits, temperature, top_p, top_k, greedy,
+                     exact=False):
     """Nucleus sampling over the top-K window (B, V) -> (B,).
 
     Same math as the decode step; used for the first token after prefill
     so TTFT never pays a full-vocab sort (~40 ms at 151k vocab).
+    `exact` = full-vocab plain multinomial (no window, no sort).
     """
     if greedy:
         return key, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if exact:
+        key, sub = jax.random.split(key)
+        tok = jax.random.categorical(
+            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+        return key, tok.astype(jnp.int32)
     window = min(top_k if top_k else NUCLEUS_WINDOW, logits.shape[-1])
     l = logits / jnp.maximum(temperature, 1e-6)
     top_logits, top_idx = jax.lax.top_k(l, window)
@@ -147,21 +166,30 @@ def _sample_windowed(key, logits, temperature, top_p, top_k, greedy):
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
-                                   "greedy"))
+                                   "greedy", "exact"))
 def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps,
-                 greedy=False):
+                 greedy=False, exact=False):
     """On-device decode of n_steps tokens via lax.scan (no host roundtrips)."""
     def body(carry, _):
         tok, pos, cache, seen_mask, key = carry
-        next_tok, cache, seen_mask, key, _ = _decode_step(
+        next_tok, cache, seen_mask, key, _, _ = _decode_step(
             params, lora, lora_scale, tok, pos, cache, seen_mask, key,
-            temperature, top_p, rep_penalty, cfg, dtype, top_k, greedy)
+            temperature, top_p, rep_penalty, cfg, dtype, top_k, greedy,
+            exact)
         return (next_tok, pos + 1, cache, seen_mask, key), next_tok
 
     (tok, pos, cache, seen_mask, key), toks = jax.lax.scan(
         body, (tok, pos, cache, seen_mask, key), None, length=n_steps)
     return toks, cache, seen_mask, key
+
+
+def _exact_multinomial(sampler) -> bool:
+    """True when sampling is plain multinomial (reference model.py:527-529
+    / C top_p disabled, infer/infer.c:1183-1188): no top-k requested and
+    top_p outside (0, 1).  The full-vocab categorical needs no sort, so
+    there is no 128-candidate window in this mode."""
+    return (not sampler.top_k) and not (0.0 < sampler.top_p < 1.0)
 
 
 # =====================================================================
@@ -379,10 +407,12 @@ class Session:
         ids = np.zeros((1, pad_len), np.int32)
         ids[0, :n] = self.prompt_ids
         observe.set_observer(ctx.observation)
-        logits, self._cache = _prefill(
+        logits, self._cache, obs_rows = _prefill(
             ctx.params, ctx.lora, ctx.lora_scale,
             jnp.asarray(ids), self._cache, cfg, ctx.dtype,
-            observed=observe.active())
+            observed=observe.trace_token())
+        if observe.fallback_active():
+            observe.deliver(np.asarray(obs_rows))
         # seen mask over prompt tokens (repetition penalty scope:
         # infer/infer.c:1158-1160)
         self._seen = sampling.seen_mask_from_ids(
@@ -393,7 +423,8 @@ class Session:
         self._key, tok = _sample_windowed(
             self._key, last, jnp.float32(ctx.sampler.temperature),
             jnp.float32(ctx.sampler.top_p), ctx.sampler.top_k,
-            ctx.sampler.temperature <= 0.0)
+            ctx.sampler.temperature <= 0.0,
+            exact=_exact_multinomial(ctx.sampler))
         self._cur_tok = tok.astype(jnp.int32)
         self._seen = self._seen.at[0, self._cur_tok[0]].set(True)
         self.pos = n
@@ -415,12 +446,15 @@ class Session:
                 return None
             s = ctx.sampler
             observe.set_observer(ctx.observation)
-            next_tok, self._cache, self._seen, self._key, _ = _decode_step(
+            next_tok, self._cache, self._seen, self._key, _, obs_rows = _decode_step(
                 ctx.params, ctx.lora, ctx.lora_scale,
                 self._cur_tok, jnp.int32(self.pos), self._cache, self._seen,
                 self._key, jnp.float32(s.temperature), jnp.float32(s.top_p),
                 jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k,
-                s.temperature <= 0.0, observed=observe.active())
+                s.temperature <= 0.0, exact=_exact_multinomial(s),
+                observed=observe.trace_token())
+            if observe.fallback_active():
+                observe.deliver(np.asarray(obs_rows))
             self._cur_tok = next_tok
             self.pos += 1
             tok = int(next_tok[0])
@@ -480,8 +514,8 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     ids = np.zeros((1, pad_len), np.int32)
     ids[0, :n] = prompt_ids
     cache = ctx.new_cache(1)
-    logits, cache = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
-                             jnp.asarray(ids), cache, cfg, ctx.dtype)
+    logits, cache, _ = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
+                                jnp.asarray(ids), cache, cfg, ctx.dtype)
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
                                        cfg.vocab_size)
     last = logits[:, n - 1].astype(jnp.float32)
@@ -492,7 +526,8 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
         jax.random.PRNGKey(ctx.random_seed), jnp.float32(s.temperature),
         jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
-        cfg, ctx.dtype, s.top_k, n_tokens - 1, s.temperature <= 0.0)
+        cfg, ctx.dtype, s.top_k, n_tokens - 1, s.temperature <= 0.0,
+        _exact_multinomial(s))
     return np.concatenate([np.asarray(tok), np.asarray(toks)[:, 0]])
 
 

@@ -657,7 +657,8 @@ def _q4k_device_params(bm: "BinModel", fuse: bool,
     tok = Q4KTensor.from_blocks(bm.qparams["tok_embeddings"].blocks, V, E)
     params = {"tok_embeddings": tok,
               "norm": jnp.asarray(bm.params["norm"]), "blocks": blocks}
-    _attach_clf_dequant(params, bm, clf_dequant)
+    if not _maybe_int8_layout(params):
+        _attach_clf_dequant(params, bm, clf_dequant)
     return params
 
 
@@ -727,8 +728,56 @@ def quantized_device_params(bm: "BinModel", fuse: bool = True,
     }
     if "output" in bm.qparams:
         params["output"] = single_q(bm.qparams["output"])
-    _attach_clf_dequant(params, bm, clf_dequant)
+    if not _maybe_int8_layout(params):
+        _attach_clf_dequant(params, bm, clf_dequant)
     return params
+
+
+def _maybe_int8_layout(params: Dict[str, Any]) -> bool:
+    """int8-MXU load step (NANO_TPU_QMATMUL=int8, the default): re-layout
+    every quantized matmul weight to grouped form (one int8 dot per
+    quantization group on the MXU — ops/qmatmul.py) and keep the LM head
+    quantized as `output_q` instead of dequantizing a float table (reads
+    1 B/weight at the head instead of 4).
+
+    Returns True when the head is handled here (skip _attach_clf_dequant).
+    The embedding table keeps its row layout for gathers; the tied head
+    is a second, grouped copy — int8+int8 costs the same HBM as one bf16
+    table.
+    """
+    from nano_tpu.ops import qmatmul
+    from nano_tpu.ops.qmatmul import Q80Tensor
+    from nano_tpu.ops.q4k import Q4KTensor
+    if qmatmul._IMPL != "int8":
+        return False
+
+    def conv(t):
+        # grouped int8-MXU layout only pays off for Q80 with big groups
+        # (measured: batched-G dots lose below gs=256, ops/qmatmul.py);
+        # Q4K stays packed — its nibble layout already halves HBM and the
+        # bf16 fused-dequant dot is the fastest path measured.
+        if (isinstance(t, Q80Tensor)
+                and t.group_size >= qmatmul.MIN_GROUPED_GS):
+            return t.to_grouped()
+        return t
+
+    blocks = params["blocks"]
+    for k, v in list(blocks.items()):
+        if isinstance(v, (Q80Tensor, Q4KTensor)):
+            blocks[k] = conv(v)
+    out = params.get("output")
+    if isinstance(out, (Q80Tensor, Q4KTensor)):
+        # untied head: keep it quantized (fused-dequant or grouped dot
+        # reads 0.5-1 B/weight instead of a 4 B/weight f32 table)
+        params["output"] = conv(out)
+        return True
+    tok = params["tok_embeddings"]
+    if isinstance(tok, (Q80Tensor, Q4KTensor)):
+        # tied head: run the logits matmul straight off the quantized
+        # embedding table (grouped copy only when it pays off)
+        params["output_q"] = conv(tok)
+        return True
+    return False
 
 
 def _attach_clf_dequant(params: Dict[str, Any], bm: "BinModel",

@@ -153,10 +153,14 @@ def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
 
 
 def convert_hf_qwen(hf_dir: str, out_path: str, quant: str = "f32",
-                    group_size: int = 64,
+                    group_size: int = 256,
                     max_seq_len: Optional[int] = None) -> ModelConfig:
-    """HF checkpoint dir -> self-contained .bin (reference default Q80
-    group size for Qwen is 64, export_qwen.py --gs)."""
+    """HF checkpoint dir -> self-contained .bin.
+
+    Default Q80 group 256 unlocks the int8-MXU decode path
+    (ops/qmatmul.py MIN_GROUPED_GS); the reference's own Qwen exporter
+    uses 64 (export_qwen.py --gs) — pass group_size=64 to byte-match its
+    output."""
     cfg, params, model_type = load_hf_qwen(hf_dir, max_seq_len)
     tok_path = os.path.join(hf_dir, "tokenizer.json")
     tokenizer = BpeTokenizer.from_hf_tokenizer_json(tok_path, cfg.vocab_size)

@@ -135,6 +135,12 @@ def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
 def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
     """LM head: untied uses params['output'] (in, out); tied uses the
     embedding table (V, E) transposed (reference: model.py:348)."""
+    w = params.get("output_q")
+    if w is not None:
+        # int8-MXU head (binfmt._maybe_int8_layout): the grouped matmul
+        # quantizes the activation internally with the C engine's exact
+        # semantics, so no separate fake-quant step is needed here
+        return _dense(h, w, jnp.float32)
     w = params.get("output_deq")
     if w is not None:
         # classifier dequantized at load (see binfmt._attach_clf_dequant):
@@ -410,7 +416,9 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
         layer, lora_layer, li = xs
         out, _ = block(carry, layer, cfg, cos, sin, mask, dtype,
                        lora_layer, lora_scale, layer_idx=li)
-        return out, None
+        # observation-summary rows must exit the scan through its ys
+        # (zero-size when no observer is attached — costless)
+        return out, observe.collect_rows()
 
     if remat:
         # remat="dots" saves non-batch matmul outputs and recomputes only
@@ -425,9 +433,10 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
         else:
             body = jax.checkpoint(body)
 
-    h, _ = jax.lax.scan(body, h,
-                        (params["blocks"], lora,
-                         jnp.arange(cfg.n_layer)))
+    h, obs_rows = jax.lax.scan(body, h,
+                               (params["blocks"], lora,
+                                jnp.arange(cfg.n_layer)))
+    observe.push_rows(obs_rows)
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     observe.tap(Phase.FINAL_NORM, -1, h)
@@ -536,14 +545,15 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
                             lora_layer, lora_scale,
                             kv_cache=kvc, start_pos=start_pos,
                             layer_idx=li)
-        return out, new_kv
+        return out, (new_kv, observe.collect_rows())
 
     # NOTE: scan over layers measured FASTER than unrolling (1090 vs
     # ~1000 tok/s batch-1 decode at 24L) — keep the scan.
-    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+    h, ((new_k, new_v, new_ks, new_vs), obs_rows) = jax.lax.scan(
         body, h, (params["blocks"], lora,
                   (cache.k, cache.v, cache.k_scale, cache.v_scale),
                   jnp.arange(cfg.n_layer)))
+    observe.push_rows(obs_rows)
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     observe.tap(Phase.FINAL_NORM, -1, h)

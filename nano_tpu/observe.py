@@ -57,6 +57,11 @@ class Observation:
     phase: Phase
     layer: int          # -1 outside the layer stack
     data: np.ndarray    # activation snapshot (host copy)
+    # --- summary-mode fields (fallback path, see tap()) ---
+    summary: bool = False
+    mean_abs: Optional[float] = None      # mean |activation|
+    top_ids: Optional[np.ndarray] = None  # LOGITS/SAMPLE: top-6 token ids
+    top_vals: Optional[np.ndarray] = None  # matching logits
 
 
 _OBSERVER: Optional[Callable[[Observation], None]] = None
@@ -71,6 +76,16 @@ def active() -> bool:
     return _OBSERVER is not None
 
 
+def trace_token():
+    """Static jit-cache key for the engine's `observed` flag: False /
+    "callback" / "fallback".  The two observing modes produce different
+    programs (debug.callback taps vs summary-row outputs), so they must
+    not share a cache entry."""
+    if _OBSERVER is None:
+        return False
+    return "fallback" if fallback_active() else "callback"
+
+
 def _fire(phase_value: int, layer, data) -> None:
     obs = _OBSERVER
     if obs is not None:
@@ -80,6 +95,16 @@ def _fire(phase_value: int, layer, data) -> None:
 
 
 _warned_unsupported = False
+
+# Fallback ("summary") mode: backends without host-callback support (the
+# axon remote tunnel) materialize the taps as EXTRA JITTED OUTPUTS — one
+# bounded 15-float row per tap: [phase, layer, mean|x|, top6 ids, top6
+# logits] — which the engine reads back and replays to the observer.
+# NANO_TPU_OBSERVE=fallback forces it (used by the CPU tests).
+import os as _os
+_FORCE_FALLBACK = _os.environ.get("NANO_TPU_OBSERVE", "") == "fallback"
+ROW = 15
+_CAPTURE: Optional[list] = None     # traced row matrices, per trace scope
 
 
 def _callbacks_supported() -> bool:
@@ -95,24 +120,97 @@ def _callbacks_supported() -> bool:
         return True
 
 
+def fallback_active() -> bool:
+    """True when taps must ride as extra outputs instead of callbacks."""
+    return _OBSERVER is not None and (_FORCE_FALLBACK
+                                      or not _callbacks_supported())
+
+
+def start_capture() -> None:
+    """Open a capture scope (call at the top of a jitted fn's trace)."""
+    global _CAPTURE
+    if fallback_active():
+        _CAPTURE = []
+
+
+def collect_rows():
+    """Pop the rows captured in the current trace scope -> (N, 15) f32.
+
+    Called at the end of a traced function (or a lax.scan body — scan
+    bodies must route their rows out through the scan's ys, gpt.py)."""
+    import jax.numpy as jnp
+    global _CAPTURE
+    if _CAPTURE is None:
+        return jnp.zeros((0, ROW), jnp.float32)
+    rows, _CAPTURE = _CAPTURE, []
+    if not rows:
+        return jnp.zeros((0, ROW), jnp.float32)
+    return jnp.concatenate(rows, axis=0)
+
+
+def end_capture():
+    """Close the scope and return everything captured -> (N, 15) f32."""
+    global _CAPTURE
+    out = collect_rows()
+    _CAPTURE = None
+    return out
+
+
+def push_rows(rows) -> None:
+    """Re-inject rows that crossed a scan boundary ((L, N, 15) ys)."""
+    if _CAPTURE is not None:
+        _CAPTURE.append(rows.reshape(-1, ROW))
+
+
+def _summary_row(phase: Phase, layer, x):
+    import jax.numpy as jnp
+    xa = jnp.asarray(x).astype(jnp.float32)
+    xf = xa.reshape(-1)
+    mean_abs = jnp.mean(jnp.abs(xf))
+    if phase == Phase.LOGITS and xa.shape[-1] >= 6:
+        # top-6 over the LAST position's vocab row (never the flattened
+        # (positions x vocab) tensor — prefill logits are (1, pad, V))
+        vals, ids = jax.lax.top_k(xa.reshape(-1, xa.shape[-1])[-1], 6)
+    else:
+        vals = jnp.full((6,), jnp.nan, jnp.float32)
+        ids = jnp.full((6,), -1.0, jnp.float32)
+    return jnp.concatenate([
+        jnp.full((1,), float(int(phase)), jnp.float32),
+        jnp.asarray(layer, jnp.float32).reshape(1),
+        mean_abs.reshape(1),
+        ids.astype(jnp.float32),
+        vals.astype(jnp.float32)])[None, :]
+
+
+def deliver(rows: np.ndarray) -> None:
+    """Replay summary rows read back from the device to the observer."""
+    obs = _OBSERVER
+    if obs is None:
+        return
+    rows = np.asarray(rows, np.float32).reshape(-1, ROW)
+    for r in rows:
+        phase = Phase(int(r[0]))
+        has_top = r[3] >= 0
+        obs(Observation(
+            phase=phase, layer=int(r[1]), data=np.asarray([r[2]]),
+            summary=True, mean_abs=float(r[2]),
+            top_ids=r[3:9].astype(np.int64) if has_top else None,
+            top_vals=r[9:15].copy() if has_top else None))
+
+
 def tap(phase: Phase, layer: Any, x: Any) -> None:
     """Insert a tap if an observer is attached at trace time.
 
     `layer` may be a traced int (the lax.scan layer index); `x` is the
     activation to snapshot.  No-op (and no compiled artifact) when no
-    observer is attached.
+    observer is attached.  On backends without host-callback support the
+    tap records a bounded summary row instead (see deliver()).
     """
     if _OBSERVER is None:
         return
-    if not _callbacks_supported():
-        global _warned_unsupported
-        if not _warned_unsupported:
-            _warned_unsupported = True
-            import warnings
-            warnings.warn(
-                "observation hook disabled: this backend (remote-tunneled "
-                "TPU) lacks host-callback support; run on CPU or a "
-                "directly-attached TPU to observe")
+    if fallback_active():
+        if _CAPTURE is not None:
+            _CAPTURE.append(_summary_row(phase, layer, x))
         return
     jax.debug.callback(_fire, int(phase), layer, x)
 

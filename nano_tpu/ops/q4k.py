@@ -253,27 +253,40 @@ def parse_tensor_frame(data: bytes, offset: int
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Q4KTensor:
-    """Q4K weight in TPU layout.
+    """Q4K weight in TPU layout.  Two device layouts:
 
-    packed: uint8 (..., out, n_pad//2); byte ``g*16+j`` of a row holds
-            value ``g*32+j`` in its low nibble and value ``g*32+16+j`` in
-            its high nibble (de-interleaved at load so the kernel never
-            shuffles lanes).
-    scales/biases: f32 (..., out, n_pad//32) dequantized per-group params.
+    layout="packed" (load layout):
+        packed: uint8 (..., out, n_pad//2); byte ``g*16+j`` of a row holds
+                value ``g*32+j`` in its low nibble and value ``g*32+16+j``
+                in its high nibble (de-interleaved at load so the kernel
+                never shuffles lanes).
+        scales/biases: f32 (..., out, n_pad//32) dequantized per-group
+                params.
+    layout="grouped" (int8-MXU layout, see to_grouped()):
+        packed: int8 4-bit VALUES (..., G, out, 32) with G = n_pad//32
+        scales/biases: f32 (..., out, G)
+        qsum:   f32 (..., out, G) — per-group value sums, precomputed so
+                the affine expansion's Σq term costs nothing per step.
     in_dim: true contraction length (n_pad rounds up to 256).
     """
     packed: jnp.ndarray
     scales: jnp.ndarray
     biases: jnp.ndarray
     in_dim: int
+    layout: str = "packed"
+    qsum: jnp.ndarray = None
 
     def tree_flatten(self):
-        return (self.packed, self.scales, self.biases), self.in_dim
+        return ((self.packed, self.scales, self.biases, self.qsum),
+                (self.in_dim, self.layout))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        in_dim, layout = aux if isinstance(aux, tuple) else (aux, "packed")
+        qsum = children[3] if len(children) > 3 else None
         return cls(packed=children[0], scales=children[1],
-                   biases=children[2], in_dim=aux)
+                   biases=children[2], in_dim=in_dim, layout=layout,
+                   qsum=qsum)
 
     @property
     def out_dim(self) -> int:
@@ -281,7 +294,35 @@ class Q4KTensor:
 
     @property
     def n_pad(self) -> int:
+        if self.layout == "grouped":
+            return self.packed.shape[-3] * GROUP_LEN
         return self.packed.shape[-1] * 2
+
+    def to_grouped(self) -> "Q4KTensor":
+        """Unpack nibbles to int8 values in (..., G, out, 32) layout once
+        at load, zeroing scale/bias/values of fully-padded groups so they
+        contribute nothing to the affine expansion.  Requires
+        in_dim % 32 == 0 (partial sub-groups stay on the packed path)."""
+        if self.layout == "grouped":
+            return self
+        assert self.in_dim % GROUP_LEN == 0, self.in_dim
+        *lead, out, nh = self.packed.shape
+        G = nh // (GROUP_LEN // 2)
+        p = self.packed.astype(jnp.int32)
+        lo = (p & 0x0F).reshape(*lead, out, G, GROUP_LEN // 2)
+        hi = ((p >> 4) & 0x0F).reshape(*lead, out, G, GROUP_LEN // 2)
+        v = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+        n_valid_groups = self.in_dim // GROUP_LEN
+        gmask = jnp.arange(G) < n_valid_groups          # (G,)
+        v = jnp.where(gmask[:, None], v, 0)
+        scales = jnp.where(gmask, self.scales, 0.0)
+        biases = jnp.where(gmask, self.biases, 0.0)
+        qsum = jnp.sum(v.astype(jnp.int32), axis=-1).astype(jnp.float32)
+        perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                          len(lead) + 2)
+        return Q4KTensor(packed=jnp.transpose(v, perm), scales=scales,
+                         biases=biases, in_dim=self.in_dim,
+                         layout="grouped", qsum=qsum)
 
     @classmethod
     def from_blocks(cls, blocks: np.ndarray, out_dim: int, in_dim: int
@@ -301,31 +342,52 @@ class Q4KTensor:
     def stack(cls, tensors) -> "Q4KTensor":
         """List of (out, ...) Q4KTensors -> one with leading layer axis,
         concatenating along out when given a list of lists."""
+        t0 = tensors[0]
         return cls(
             packed=jnp.stack([t.packed for t in tensors]),
             scales=jnp.stack([t.scales for t in tensors]),
             biases=jnp.stack([t.biases for t in tensors]),
-            in_dim=tensors[0].in_dim)
+            in_dim=t0.in_dim, layout=t0.layout,
+            qsum=(None if t0.qsum is None else
+                  jnp.stack([t.qsum for t in tensors])))
 
     @classmethod
     def concat_out(cls, tensors) -> "Q4KTensor":
+        t0 = tensors[0]
         return cls(
             packed=jnp.concatenate([t.packed for t in tensors], axis=-2),
             scales=jnp.concatenate([t.scales for t in tensors], axis=-2),
             biases=jnp.concatenate([t.biases for t in tensors], axis=-2),
-            in_dim=tensors[0].in_dim)
+            in_dim=t0.in_dim, layout=t0.layout,
+            qsum=(None if t0.qsum is None else
+                  jnp.concatenate([t.qsum for t in tensors], axis=-2)))
 
     def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
-        """-> (..., out, in_dim) dense weight."""
+        """-> (..., out, in_dim) dense weight.
+
+        The affine runs directly in `dtype`: requesting bf16 must not
+        materialize an f32 intermediate (at LM-head size that is a 622 MB
+        round-trip per step — measured 4x slower than the fused bf16
+        form on the v5e)."""
+        if self.layout == "grouped":
+            *lead, G, out, gl = self.packed.shape
+            perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                              len(lead) + 2)
+            v = jnp.transpose(self.packed, perm).astype(dtype)
+            w = (v * self.scales[..., None].astype(dtype)
+                 - self.biases[..., None].astype(dtype))
+            # padded groups have scale=bias=0, so their values are 0
+            return w.reshape(*lead, out, G * gl)[..., :self.in_dim]
         *lead, out, nh = self.packed.shape
         ng = nh // (GROUP_LEN // 2)
         p = self.packed.astype(jnp.int32)
         lo = (p & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
         hi = ((p >> 4) & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
-        v = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-        w = v * self.scales[..., None] - self.biases[..., None]
+        v = jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+        w = (v * self.scales[..., None].astype(dtype)
+             - self.biases[..., None].astype(dtype))
         w = w.reshape(*lead, out, ng * GROUP_LEN)[..., :self.in_dim]
-        return w.astype(dtype)
+        return w
 
     @classmethod
     def quantize(cls, w_out_in: np.ndarray) -> "Q4KTensor":
@@ -349,15 +411,21 @@ class Q4KTensor:
 # (reference: infer/infer.c:781-785 quantizes s->xb before each matmul)
 # =====================================================================
 
-def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
-    """Quantize-dequantize the last axis with Q4K semantics -> f32."""
-    *lead, n = x.shape
+def act_quant_q4k(x2d: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Quantize activations with Q4K semantics, returning the INTEGER form.
+
+    x2d (B, n) f32 -> (values int8 (B, G, 32) in [0, 15],
+                       s_eff f32 (B, G), b_eff f32 (B, G))
+    with G = n rounded up to 256 then / 32; the dequantized activation is
+    ``v * s_eff - b_eff`` (padded groups produce exactly 0).  Bit-exact
+    with the C engine's quantize_one_block_q4k_in_situ
+    (reference: infer/tensor.c:144-251).
+    """
+    B, n = x2d.shape
     nbpl = _n_blocks_per_line(n)
     npad = nbpl * BLOCK_LEN
-    B = 1
-    for d in lead:
-        B *= d
-    xf = x.astype(jnp.float32).reshape(B, n)
+    xf = x2d.astype(jnp.float32)
     if npad != n:
         xf = jnp.pad(xf, ((0, 0), (0, npad - n)))
     valid = (jnp.arange(npad) < n).reshape(nbpl, GROUPS_PER_BLOCK, GROUP_LEN)
@@ -386,9 +454,22 @@ def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
                    nearest_int_jnp(b / safe_sb[..., None]) & 0x3F)
     s_eff = sq.astype(jnp.float32) * s_scale[..., None]
     b_eff = bq.astype(jnp.float32) * s_bias[..., None]
+    # fully-padded groups: v is 0 already; zero b_eff/s_eff so the affine
+    # form contributes nothing (b_eff is 0 there anyway: b=0 -> bq=0)
+    G = nbpl * GROUPS_PER_BLOCK
+    return (v.reshape(B, G, GROUP_LEN).astype(jnp.int8),
+            s_eff.reshape(B, G), b_eff.reshape(B, G))
 
+
+def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
+    """Quantize-dequantize the last axis with Q4K semantics -> f32."""
+    *lead, n = x.shape
+    B = 1
+    for d in lead:
+        B *= d
+    v, s_eff, b_eff = act_quant_q4k(x.reshape(B, n))
     deq = v.astype(jnp.float32) * s_eff[..., None] - b_eff[..., None]
-    deq = jnp.where(valid, deq, 0.0)
+    npad = deq.shape[1] * GROUP_LEN
     return deq.reshape(B, npad)[:, :n].reshape(*lead, n)
 
 
@@ -402,9 +483,9 @@ def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
 
     NANO_TPU_DEQUANT=bf16 relaxes the dot to bf16 (see ops/qmatmul.py).
     """
-    from nano_tpu.ops.qmatmul import _DEQ
+    from nano_tpu.ops.qmatmul import _resolve_deq
     xq = fake_quant_act(x)
-    if _DEQ == "bf16":
+    if _resolve_deq() == "bf16":
         wf = w.dequantize(jnp.bfloat16)
         y = jnp.dot(xq.astype(jnp.bfloat16), wf.T,
                     preferred_element_type=jnp.float32)
@@ -494,19 +575,55 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def q4k_matmul_int8(x2d: jnp.ndarray, w: Q4KTensor,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Integer MXU path for Q4K: expand the affine dot into four
+    integer-exact terms.
+
+    With activation a = sa*va - ba and weight w = s*q - m per 32-group
+    (both quantized with the SAME rounding as the C engine):
+
+        y[b,o] = Σ_g [ sa·s·(va·q)  -  sa·m·Σva  -  ba·s·Σq  +  32·ba·m ]
+
+    va·q runs as int8xint8->int32 group-batched dots on the MXU; Σq is
+    precomputed at load (w.qsum); Σva is a cheap reduction.  Every
+    integer matches the C engine's expansion (infer/tensor.c:359-434);
+    only f32 multiply/sum order differs.
+    """
+    va, sa, ba = act_quant_q4k(x2d)        # (B,G,32), (B,G), (B,G)
+    vq, s, m, qsum = w.packed, w.scales, w.biases, w.qsum
+    P = jax.lax.dot_general(
+        va.transpose(1, 0, 2), vq,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)  # (G, B, out)
+    A = jnp.sum(va.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,G)
+    t1 = jnp.einsum("gbo,bg,og->bo", P.astype(jnp.float32), sa, s)
+    t2 = jnp.einsum("bg,og->bo", sa * A, m)
+    t3 = jnp.einsum("bg,og->bo", ba, s * qsum)
+    t4 = np.float32(GROUP_LEN) * jnp.einsum("bg,og->bo", ba, m)
+    y = t1 - t2 - t3 + t4
+    return y.astype(dtype) if dtype != jnp.float32 else y
+
+
 def q4k_matmul(x: jnp.ndarray, w: Q4KTensor, dtype=jnp.bfloat16
                ) -> jnp.ndarray:
-    """x (..., in) -> (..., out): fake-quant x, dequant fused into the dot.
+    """x (..., in) -> (..., out).
 
-    Default impl is the XLA-fused dequant dot (see ops/qmatmul.py for the
-    measurement: the Pallas kernel's fixed launch overhead dominates at
-    decode sizes).  NANO_TPU_QMATMUL=pallas selects the Pallas kernel.
+    Grouped-layout weights take the int8 MXU path (quantization decisions
+    bit-exact with the C engine); packed-layout weights use the XLA-fused
+    dequant dot with fake-quantized activations (value parity with the C
+    engine's f32 expansion).  NANO_TPU_QMATMUL=pallas selects the Pallas
+    dequant kernel instead.
     """
     from nano_tpu.ops.qmatmul import _IMPL
-    assert w.packed.ndim == 2, "use scan indexing for stacked weights"
-    out = w.out_dim
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
+    if w.layout == "grouped":
+        assert w.packed.ndim == 3, "use scan indexing for stacked weights"
+        y = q4k_matmul_int8(x.reshape(B, w.in_dim), w, dtype)
+        return y.reshape(*lead, w.out_dim)
+    assert w.packed.ndim == 2, "use scan indexing for stacked weights"
+    out = w.out_dim
     if _IMPL == "pallas" and _on_tpu() and _pick_tile(out):
         xq = fake_quant_act(x.reshape(B, w.in_dim))
         xp = _permute_act(xq, w.n_pad)

@@ -33,36 +33,72 @@ from jax.experimental.pallas import tpu as pltpu
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Q80Tensor:
-    """Per-group symmetric int8 tensor.
+    """Per-group symmetric int8 tensor.  Two device layouts:
 
-    q:      int8, shape (..., out, in)  — matches the .bin file layout
-    scales: f32,  shape (..., out, in // group_size)
+    layout="rows" (file layout, reference export.py:40-63):
+        q:      int8, shape (..., out, in)
+        scales: f32,  shape (..., out, in // group_size)
+    layout="grouped" (TPU int8-MXU layout, see to_grouped()):
+        q:      int8, shape (..., G, out, group_size) with G = in // gs
+        scales: f32,  shape (..., out, G)
     """
     q: jnp.ndarray
     scales: jnp.ndarray
     group_size: int
+    layout: str = "rows"
 
     def tree_flatten(self):
-        return (self.q, self.scales), self.group_size
+        return (self.q, self.scales), (self.group_size, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(q=children[0], scales=children[1], group_size=aux)
+        gs, layout = aux if isinstance(aux, tuple) else (aux, "rows")
+        return cls(q=children[0], scales=children[1], group_size=gs,
+                   layout=layout)
 
     @property
     def out_dim(self) -> int:
-        return self.q.shape[-2]
+        return self.q.shape[-2] if self.layout == "rows" else self.q.shape[-2]
 
     @property
     def in_dim(self) -> int:
-        return self.q.shape[-1]
+        if self.layout == "rows":
+            return self.q.shape[-1]
+        return self.q.shape[-3] * self.q.shape[-1]
 
-    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+    def to_grouped(self) -> "Q80Tensor":
+        """Re-layout (..., out, in) -> (..., G, out, gs) once at load.
+
+        The int8 MXU path runs one batched int8 dot per quantization
+        group; without this re-layout XLA materializes a transposed copy
+        of the whole weight inside the decode loop (measured 10x slower
+        at LM-head size)."""
+        if self.layout == "grouped":
+            return self
         *lead, out, inn = self.q.shape
         g = self.group_size
-        w = self.q.astype(jnp.float32).reshape(*lead, out, inn // g, g)
-        w = w * self.scales[..., None]
-        return w.reshape(*lead, out, inn).astype(dtype)
+        q = self.q.reshape(*lead, out, inn // g, g)
+        perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                          len(lead) + 2)
+        return Q80Tensor(q=jnp.transpose(q, perm), scales=self.scales,
+                         group_size=g, layout="grouped")
+
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        # the scale multiply runs directly in `dtype`: a bf16 request
+        # must not materialize an f32 intermediate (measured 4x slower
+        # at LM-head size on the v5e)
+        if self.layout == "grouped":
+            *lead, G, out, g = self.q.shape
+            perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                              len(lead) + 2)
+            w = jnp.transpose(self.q, perm).astype(dtype)
+            w = w * self.scales[..., None].astype(dtype)  # (..., out, G, g)
+            return w.reshape(*lead, out, G * g)
+        *lead, out, inn = self.q.shape
+        g = self.group_size
+        w = self.q.astype(dtype).reshape(*lead, out, inn // g, g)
+        w = w * self.scales[..., None].astype(dtype)
+        return w.reshape(*lead, out, inn)
 
     @classmethod
     def from_numpy(cls, q: np.ndarray, scales: np.ndarray, group_size: int
@@ -152,33 +188,104 @@ def _on_tpu() -> bool:
 
 
 # Implementation selector.  Measured on the target TPU (chained scan of
-# 2048x768 B=8 matmuls, fixed dispatch cost differenced out):
-#     dense bf16 XLA dot          2.1 us
-#     XLA dequant + f32-HIGHEST   6.5 us   <- default ("xla")
-#     XLA dequant + bf16 dot      2.3 us
-#     Pallas fused kernel        ~14 us    (fixed Mosaic launch overhead
-#                                           dominates at decode sizes)
-# XLA fuses the (int8 -> f32 * scale) dequant into the dot — weights are
-# read from HBM as int8 either way, so the Pallas kernel buys nothing at
-# these sizes and costs ~12 us/call; it remains available for
-# experimentation via NANO_TPU_QMATMUL=pallas.
+# stacked per-layer weights, fixed dispatch cost differenced out; 28
+# layers of 1024->4096 matvecs, per full pass — see PERF.md):
+#     bf16 dense                          306 us
+#     int8 grouped dot, gs=64             557 us   (batched-G dot is slow)
+#     int8 grouped dot, gs=128            315 us
+#     int8 grouped dot, gs>=256           207 us   <- fastest Q80
+#     int8->bf16 fused dequant dot        258 us
+#     f32-HIGHEST fused dequant dot       327 us
+#     Q4K packed-nibble bf16 dequant dot  214 us   <- fastest of all
+# Modes:
+#     "int8"  (default)  Q80 with group_size >= 256 runs activations-
+#                        quantized int8xint8->int32 MXU dots (integer
+#                        decisions EXACTLY the C engine's,
+#                        infer/infer.c:654-679; only f32 sum order
+#                        differs).  Smaller groups and Q4K run the
+#                        bf16-dequant dot (weights read quantized from
+#                        HBM, dequant fused into the dot).
+#     "xla"   (parity)   f32 dequant + f32-HIGHEST dots everywhere —
+#                        value-for-value with the C engine's f32 math.
+#     "pallas"           fused-dequant Pallas kernels (fixed ~12 us
+#                        Mosaic launch overhead dominates at decode).
 import os as _os
-_IMPL = _os.environ.get("NANO_TPU_QMATMUL", "xla")
-# dequant/dot precision: "f32" (default) matches the C engine's f32 math;
-# "bf16" halves MXU passes and dequant traffic — measured 2-3x faster at
-# Qwen3-0.6B scale with greedy outputs that may occasionally diverge from
-# the C engine on near-ties.
-_DEQ = _os.environ.get("NANO_TPU_DEQUANT", "f32")
+_IMPL = _os.environ.get("NANO_TPU_QMATMUL", "int8")
+
+# minimum group size for the grouped int8 MXU path: below 256 the
+# batched-per-group dot underutilizes the MXU contraction tile and loses
+# to the fused-dequant dot (measured above)
+MIN_GROUPED_GS = 256
+
+
+def _resolve_deq() -> str:
+    """Dequant-dot precision for the non-integer paths: explicit env
+    wins; else bf16 in fast mode, f32 in parity mode."""
+    if _os.environ.get("NANO_TPU_DEQUANT"):
+        return _os.environ["NANO_TPU_DEQUANT"]
+    return "f32" if _IMPL == "xla" else "bf16"
+
+
+def c_round(x: jnp.ndarray) -> jnp.ndarray:
+    """C round(): half away from zero (jnp.round is half-to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def act_quant_q80(x: jnp.ndarray, group_size: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize activations per group along the last axis, C semantics
+    (reference: infer/tensor.c:21-47): scale = absmax/127 in f32,
+    values = round(x/scale) half-away-from-zero.
+
+    x (B, K) f32 -> (int8 (B, G, gs), scales f32 (B, G)).  An all-zero
+    group gets scale 0 and values 0 (the C code divides by zero there;
+    real activations never hit it).
+    """
+    B, K = x.shape
+    G = K // group_size
+    xg = x.astype(jnp.float32).reshape(B, G, group_size)
+    sa = jnp.max(jnp.abs(xg), axis=-1) / np.float32(127.0)
+    aq = c_round(xg / jnp.where(sa == 0.0, 1.0, sa)[..., None])
+    return aq.astype(jnp.int8), sa
+
+
+def q80_matmul_int8(x: jnp.ndarray, w: Q80Tensor,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Integer MXU path: int8 activations x int8 weights -> int32 partials
+    per quantization group, f32 scale combine.
+
+    The integer group dots are EXACTLY the C engine's `ival` accumulators
+    (infer/infer.c:663-673); the f32 combine differs only in summation
+    order (XLA tree-sum over G vs the C engine's sequential loop).
+    Requires w.layout == "grouped" (one-time re-layout at load).
+    """
+    B, K = x.shape
+    gs = w.group_size
+    wq, sw = w.q, w.scales                 # (G, out, gs), (out, G)
+    aq, sa = act_quant_q80(x, gs)          # (B, G, gs), (B, G)
+    P = jax.lax.dot_general(
+        aq.transpose(1, 0, 2), wq,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)  # (G, B, out)
+    y = jnp.einsum("gbo,bg,og->bo", P.astype(jnp.float32), sa, sw)
+    return y.astype(dtype) if dtype != jnp.float32 else y
 
 
 def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
                ) -> jnp.ndarray:
-    """x (..., in) @ dequant(w).T -> (..., out), dequant fused into the dot.
+    """x (..., in) @ dequant(w).T -> (..., out).
 
-    Dequantization is f32 (matching the C engine's f32 dequant,
-    infer/tensor.c:39-47) and the dot runs at f32-HIGHEST precision so
-    logits track the reference engine's f32 math.
+    Grouped-layout weights take the int8 MXU path; row-major weights use
+    the fused-dequant dot in f32 (matching the C engine's f32 dequant,
+    infer/tensor.c:39-47) at f32-HIGHEST precision.
     """
+    if w.layout == "grouped":
+        assert w.q.ndim == 3, "use vmap/scan indexing for stacked weights"
+        lead = x.shape[:-1]
+        K = w.in_dim
+        B = int(np.prod(lead)) if lead else 1
+        y = q80_matmul_int8(x.reshape(B, K), w, dtype)
+        return y.reshape(*lead, w.out_dim)
     assert w.q.ndim == 2, "use vmap/scan indexing for stacked weights"
     out, inn = w.q.shape
     lead = x.shape[:-1]
@@ -193,7 +300,7 @@ def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
         if Bp != B:
             y = y[:B]
         return y.reshape(*lead, out).astype(dtype)
-    if _DEQ == "bf16":
+    if _resolve_deq() == "bf16":
         wf = w.dequantize(jnp.bfloat16)
         y = jnp.dot(x.reshape(B, inn).astype(jnp.bfloat16), wf.T,
                     preferred_element_type=jnp.float32)

@@ -136,17 +136,32 @@ def infer_param_specs(params: Any) -> Any:
     ROW = ("wo", "w2")
 
     def qspec(key: str, w) -> Any:
-        # quantized leaves: q/packed (L, out, in[/2]), scales (L, out, g)
-        if key in COL:      # shard out (dim -2)
-            leaf = P(None, MODEL_AXIS, None)
-        elif key in ROW:    # shard in (dim -1); groups follow the in dim
-            leaf = P(None, None, MODEL_AXIS)
+        grouped = getattr(w, "layout", "rows") in ("grouped",)
+        if grouped:
+            # values (L, G, out, gs): out is dim -2, in spans (G, gs);
+            # scales/biases/qsum (L, out, G)
+            if key in COL:
+                vleaf = P(None, None, MODEL_AXIS, None)
+                sleaf = P(None, MODEL_AXIS, None)
+            elif key in ROW:     # shard the group axis (contraction)
+                vleaf = P(None, MODEL_AXIS, None, None)
+                sleaf = P(None, None, MODEL_AXIS)
+            else:
+                vleaf, sleaf = P(), P()
         else:
-            leaf = P()
+            # file layout: q/packed (L, out, in[/2]), scales (L, out, g)
+            if key in COL:      # shard out (dim -2)
+                vleaf = sleaf = P(None, MODEL_AXIS, None)
+            elif key in ROW:    # shard in (dim -1); groups follow in
+                vleaf = sleaf = P(None, None, MODEL_AXIS)
+            else:
+                vleaf, sleaf = P(), P()
         if isinstance(w, Q80Tensor):
-            return Q80Tensor(q=leaf, scales=leaf, group_size=w.group_size)
-        return Q4KTensor(packed=leaf, scales=leaf, biases=leaf,
-                         in_dim=w.in_dim)
+            return Q80Tensor(q=vleaf, scales=sleaf,
+                             group_size=w.group_size, layout=w.layout)
+        return Q4KTensor(packed=vleaf, scales=sleaf, biases=sleaf,
+                         in_dim=w.in_dim, layout=w.layout,
+                         qsum=None if w.qsum is None else sleaf)
 
     def spec_for(key: str, w) -> Any:
         from nano_tpu.ops.qmatmul import Q80Tensor as Q80

@@ -52,10 +52,16 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)[:, None]
     probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
                       probs, 0.0)
-    key_out, sub = jax.random.split(key)
+    key_out, sub, sub2 = jax.random.split(key, 3)
     draw = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)),
                                   axis=-1)
     sampled = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
+    # exact plain-multinomial for slots with top_p outside (0,1): a full-
+    # vocab categorical needs no sort, so those slots are not restricted
+    # to the NUCLEUS_WINDOW (per-slot settings vary, hence where-select)
+    if not top_k:
+        full_draw = jax.random.categorical(sub2, l, axis=-1)
+        sampled = jnp.where(use_topp[:, 0], sampled, full_draw)
 
     next_tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
                          ).astype(jnp.int32)
@@ -175,8 +181,9 @@ class BatchedEngine:
             ids = np.zeros((1, pad), np.int32)
             ids[0, :n] = prompt_ids
             tmp = ctx.new_cache(1, seq_len=pad)
-            logits, tmp = eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
-                                       jnp.asarray(ids), tmp, cfg, ctx.dtype)
+            logits, tmp, _ = eng._prefill(
+                ctx.params, ctx.lora, ctx.lora_scale,
+                jnp.asarray(ids), tmp, cfg, ctx.dtype)
             seen_row = sampling.seen_mask_from_ids(
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
             last = logits[0, n - 1].astype(jnp.float32)
@@ -201,7 +208,8 @@ class BatchedEngine:
             # engine.NUCLEUS_WINDOW); self.key is engine state, so under lock
             self.key, first_arr = eng._sample_windowed(
                 self.key, last[None, :], jnp.float32(temperature),
-                jnp.float32(top_p), ctx.sampler.top_k, temperature <= 0.0)
+                jnp.float32(top_p), ctx.sampler.top_k, temperature <= 0.0,
+                exact=(not ctx.sampler.top_k) and not (0.0 < top_p < 1.0))
             first = int(first_arr[0])
             seen_row = seen_row.at[first].set(True)
 

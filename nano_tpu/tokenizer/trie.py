@@ -202,7 +202,11 @@ class TrieTokenizer:
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
-        return "".join(self.itos[i] for i in ids)
+        # ids beyond the vocab render as nothing, like the C engine's
+        # failed lookup (a model may have more logits than tokens when
+        # vocab_size was padded past the tokenizer)
+        n = len(self.itos)
+        return "".join(self.itos[i] for i in ids if 0 <= i < n)
 
 
 def apply_instruct_template(question: str) -> str:

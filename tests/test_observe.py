@@ -74,3 +74,64 @@ def test_top_candidates_helper():
     ids, probs = observe.top_candidates(logits, k=2)
     assert list(ids) == [1, 3]
     assert probs[0] > probs[1] > 0
+
+
+def test_fallback_summary_mode(tmp_path, monkeypatch):
+    """Backends without host callbacks (the axon TPU tunnel) deliver
+    bounded summary rows as extra jitted outputs (VERDICT r1 item 5)."""
+    monkeypatch.setattr(observe, "_FORCE_FALLBACK", True)
+    events = []
+    ctx = make_ctx(tmp_path, observation=lambda o: events.append(o))
+    try:
+        session = engine.Session(ctx, "abc", max_new_tokens=3)
+        while session.step() is not None:
+            pass
+    finally:
+        observe.set_observer(None)
+
+    assert events and all(e.summary for e in events)
+    phases = {e.phase for e in events}
+    for ph in (observe.Phase.EMBEDDING, observe.Phase.ATTN_NORM,
+               observe.Phase.QKV, observe.Phase.RESIDUAL,
+               observe.Phase.FINAL_NORM, observe.Phase.LOGITS,
+               observe.Phase.SAMPLE):
+        assert ph in phases, f"missing phase {ph}"
+    # layer-scoped phases report every layer index
+    layers = {e.layer for e in events if e.phase == observe.Phase.RESIDUAL}
+    assert layers == {0, 1, 2}
+    # activation magnitudes are real numbers
+    res = [e for e in events if e.phase == observe.Phase.RESIDUAL]
+    assert all(np.isfinite(e.mean_abs) and e.mean_abs >= 0 for e in res)
+    # LOGITS rows carry usable top-6 candidates
+    lg = [e for e in events if e.phase == observe.Phase.LOGITS][-1]
+    assert lg.top_ids is not None and len(lg.top_ids) == 6
+    assert np.isfinite(lg.top_vals).all()
+    assert (lg.top_vals[:-1] >= lg.top_vals[1:]).all()   # sorted desc
+
+
+def test_fallback_matches_callback_magnitudes(tmp_path, monkeypatch):
+    """Summary rows agree with the callback path's own statistics."""
+    def run(force):
+        monkeypatch.setattr(observe, "_FORCE_FALLBACK", force)
+        events = []
+        ctx = make_ctx(tmp_path, observation=lambda o: events.append(o))
+        try:
+            session = engine.Session(ctx, "abc", max_new_tokens=2)
+            while session.step() is not None:
+                pass
+        finally:
+            observe.set_observer(None)
+        out = {}
+        for e in events:
+            if e.phase == observe.Phase.RESIDUAL:
+                v = e.mean_abs if e.summary else float(np.abs(e.data).mean())
+                out.setdefault(e.layer, []).append(v)
+        return out
+
+    cb = run(False)
+    fb = run(True)
+    assert set(cb) == set(fb)
+    for layer in cb:
+        a, b = np.asarray(cb[layer]), np.asarray(fb[layer])
+        n = min(len(a), len(b))
+        np.testing.assert_allclose(a[:n], b[:n], rtol=1e-4)

@@ -92,8 +92,20 @@ def test_matmul_matches_c(tmp_path, d, n):
 
     blocks = q4k.quantize_lines_np(w)
     wt = q4k.Q4KTensor.from_blocks(blocks, d, n)
-    ours = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
-    np.testing.assert_allclose(ours, expect, rtol=2e-5, atol=2e-5)
+    from nano_tpu.ops import qmatmul as qm
+    # parity mode (f32-HIGHEST dot): value-for-value with the C engine
+    old = qm._IMPL
+    try:
+        qm._IMPL = "xla"
+        ours = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+        np.testing.assert_allclose(ours, expect, rtol=2e-5, atol=2e-5)
+    finally:
+        qm._IMPL = old
+    # fast mode (bf16 fused-dequant dot, the default): same math at bf16
+    # precision — identical quantization decisions, looser float bound
+    fast = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+    np.testing.assert_allclose(fast, expect, rtol=3e-2,
+                               atol=0.03 * np.abs(expect).max())
 
 
 # ---------------------------------------------------------------------
@@ -129,15 +141,26 @@ def test_fake_quant_act_matches_host_quantizer():
 
 
 def test_matmul_ref_equals_kernel_fallback():
-    """q4k_matmul (CPU fallback path) == explicit fake-quant dot."""
+    """q4k_matmul == explicit fake-quant dot (f32-exact in parity mode,
+    bf16-bounded in the fast default)."""
     d, n = 128, 512
     w = rnd((d, n), seed=11, scale=0.05)
     x = rnd((2, n), seed=12)
     wt = q4k.Q4KTensor.from_blocks(q4k.quantize_lines_np(w), d, n)
-    y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
     xq = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
     wdq = np.asarray(wt.dequantize())
-    np.testing.assert_allclose(y, xq @ wdq.T, rtol=1e-5, atol=1e-5)
+    expect = xq @ wdq.T
+    from nano_tpu.ops import qmatmul as qm
+    old = qm._IMPL
+    try:
+        qm._IMPL = "xla"
+        y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+        np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+    finally:
+        qm._IMPL = old
+    y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
+    np.testing.assert_allclose(y, expect, rtol=3e-2,
+                               atol=0.03 * np.abs(expect).max())
 
 
 def test_pallas_kernel_interpret():

@@ -84,3 +84,51 @@ def test_xorshift_matches_reference_semantics():
     for v in vals:
         state2, v2 = sampling.xorshift_f32(state2)
         assert v == v2
+
+
+def test_exact_multinomial_no_window_truncation():
+    """With top_p >= 1 (the reference's plain-multinomial mode,
+    model.py:527-529) sampling must cover the FULL vocab, not just the
+    top-NUCLEUS_WINDOW candidates (VERDICT r1 item 9)."""
+    from nano_tpu.infer import engine
+
+    V = 4096
+    # uniform logits: any windowed sampler would only ever return the
+    # window's (arbitrary tie-broken) first 128 indices
+    logits = jnp.zeros((1, V), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    seen = set()
+    for _ in range(64):
+        key, tok = engine._sample_windowed(
+            key, logits, jnp.float32(1.0), jnp.float32(1.0), 0, False,
+            exact=True)
+        seen.add(int(tok[0]))
+    assert max(seen) >= engine.NUCLEUS_WINDOW, sorted(seen)[-5:]
+
+
+def test_exact_mode_selection():
+    from nano_tpu.infer import engine
+    S = sampling.SamplerConfig
+    assert engine._exact_multinomial(S(temperature=1.0, top_p=1.0))
+    assert engine._exact_multinomial(S(temperature=1.0, top_p=0.0))
+    assert not engine._exact_multinomial(S(temperature=1.0, top_p=0.8))
+    assert not engine._exact_multinomial(S(temperature=1.0, top_p=1.0,
+                                           top_k=40))
+
+
+def test_exact_multinomial_distribution():
+    """Full-vocab categorical tracks softmax(logits/T) frequencies."""
+    from nano_tpu.infer import engine
+
+    probs = np.asarray([0.5, 0.3, 0.15, 0.05], np.float32)
+    logits = jnp.log(jnp.asarray(probs))[None, :]
+    key = jax.random.PRNGKey(1)
+    counts = np.zeros(4)
+    n = 400
+    for _ in range(n):
+        key, tok = engine._sample_windowed(
+            key, logits, jnp.float32(1.0), jnp.float32(1.0), 0, False,
+            exact=True)
+        counts[int(tok[0])] += 1
+    freq = counts / n
+    assert np.abs(freq - probs).max() < 0.08, freq

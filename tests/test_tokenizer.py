@@ -79,3 +79,73 @@ def test_reference_vocab_parity():
     ref = ref_tok_mod.Tokenizer()
     ref.load_from_config_file(path)
     assert ref.encode(text) == ids
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("vocab", [
+    "nano_80.json", "tokenizer_4096.json", "tokenizer_6000.json",
+    "tokenizer_8192.json", "tokenizer_16384_v1.json",
+    "tokenizer_16384_v2.json", "tokenizer_32768_v1.json",
+    "tokenizer_32768_v2.json"])
+def test_every_reference_vocab_encode_parity(vocab):
+    """EVERY vocab JSON the reference ships encode-matches the reference
+    algorithm through our trie (VERDICT r1 item 8)."""
+    path = os.path.join(REFERENCE_DIR, "tokenizer", vocab)
+    tok = TrieTokenizer.from_file(path)
+    texts = [
+        "人类（包括BD4SUR的操作员）的本质是复读机！",
+        "Four score and seven years ago 1234567890.",
+        "<|instruct_mark|>你好<|response_mark|>",
+        "mixed 中英文 text with spaces\tand\ttabs",
+        "１２３ＡＢＣ（全角）",
+    ]
+    from .conftest import import_reference_module
+    ref_mod = import_reference_module("tokenizer")
+    ref = ref_mod.Tokenizer()
+    ref.load_from_config_file(path)
+    for text in texts:
+        ids = tok.encode(text)
+        assert ids == ref.encode(text), (vocab, text)
+        assert tok.decode(ids) == ref.decode(ids)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("size", [4096, 6000, 8192])
+def test_build_preset_from_charset_reproduces_reference(size):
+    """Our charset-file builder reproduces the reference's prebuilt vocab
+    byte-for-byte (same recipe: file order, escape decode)."""
+    from nano_tpu.tokenizer import presets
+    charset = os.path.join(REFERENCE_DIR, "tokenizer", f"charset_{size}.txt")
+    ref_json = os.path.join(REFERENCE_DIR, "tokenizer",
+                            f"tokenizer_{size}.json")
+    tok = presets.build_from_charset_file(charset)
+    import json as _json
+    with open(ref_json, "r", encoding="utf-8") as f:
+        ref = _json.load(f)
+    assert tok.itos == ref["itos"]
+    assert tok.vocab_size == ref["vocab_size"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("vocab", ["tokenizer_16384_v2.json",
+                                   "tokenizer_32768_v2.json"])
+def test_preset_decompose_rebuild_roundtrip(vocab):
+    """extract word/char tokens from a reference vocab, rebuild through
+    our preset recipe, and the ENCODING is reproduced (word-list
+    ingestion replaces the reference's embedded EN lists)."""
+    from nano_tpu.tokenizer import presets
+    path = os.path.join(REFERENCE_DIR, "tokenizer", vocab)
+    ref = TrieTokenizer.from_file(path)
+    size = ref.vocab_size
+    tok = presets.build_preset(size, from_vocab=path)
+    texts = ["BD4SUR的本质是复读机 hello world",
+             "business acumen 增删查改"]
+    for t in texts:
+        assert [tok.itos[i] for i in tok.encode(t)] == \
+               [ref.itos[i] for i in ref.encode(t)], (vocab, t)
+
+
+def test_build_preset_needs_charset_for_small_sizes():
+    from nano_tpu.tokenizer import presets
+    with pytest.raises(ValueError):
+        presets.build_preset(4096)

@@ -1,0 +1,105 @@
+"""Web stack checks.
+
+The pure-JS engine (web/nano_infer.js) cannot be EXECUTED here — this
+environment ships no JS runtime (no node/bun/chromium; verified) — so
+these tests pin down everything checkable without one: the worker/page
+protocol contract, the format constants against io/binfmt.py, and the
+presence of the parity harness (web/test_parity.html) that runs the
+actual cross-engine token comparison in any browser.
+"""
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+WEB = Path(__file__).resolve().parent.parent / "web"
+
+
+def read(name: str) -> str:
+    return (WEB / name).read_text(encoding="utf-8")
+
+
+def test_files_present():
+    for f in ("index.html", "nano_infer.js", "nano_worker.js",
+              "test_parity.html"):
+        assert (WEB / f).exists(), f
+
+
+def test_js_engine_format_constants_match_binfmt():
+    from nano_tpu.io import binfmt
+    js = read("nano_infer.js")
+
+    def const(name):
+        m = re.search(rf"{name}\s*=\s*(0x[0-9a-fA-F]+|\d+)", js)
+        assert m, name
+        return int(m.group(1), 0)
+
+    assert const("MAGIC_0") == binfmt.MAGIC_0
+    assert const("MAGIC_1") == binfmt.MAGIC_1
+    assert const("QUANT_F32") == binfmt.QUANT_F32
+    assert const("QUANT_Q80") == binfmt.QUANT_Q80
+    assert const("QUANT_Q4K") == binfmt.QUANT_Q4K
+    assert const("HEADER_BYTES") == binfmt.HEADER_BYTES
+    # stop tokens and template must match the Python engine
+    assert re.search(r"STOP_TOKENS\s*=\s*\[0,\s*3\]", js)
+    assert "<|instruct_mark|>" in js and "<|response_mark|>" in js
+    # the magic-number rounding constant (bit-exact quantization)
+    assert "12582912" in js
+
+
+def test_js_header_field_offsets():
+    """Header reads in JS must use the byte offsets binfmt writes."""
+    js = read("nano_infer.js")
+    # offset -> field (see binfmt._pack_header)
+    expected = {24: "blockSize", 28: "vocabSize", 32: "nLayer",
+                36: "nEmbd", 40: "nHead", 44: "nKvHead", 48: "nHidden",
+                52: "sharedClassifier", 56: "headDim", 60: "quantType",
+                64: "groupSize"}
+    for off, field in expected.items():
+        pat = rf"{field}:\s*dv\.getInt32\({off},\s*true\)"
+        assert re.search(pat, js), (field, off)
+
+
+def test_worker_page_protocol_contract():
+    worker = read("nano_worker.js")
+    page = read("index.html")
+    # every message type the page sends, the worker handles — and back
+    for t in ("init", "lora", "generate", "abort"):
+        assert f'"{t}"' in page or f"'{t}'" in page, t
+        assert f'msg.type === "{t}"' in worker, t
+    for t in ("ready", "token", "done", "error"):
+        assert f'"{t}"' in worker, t
+        assert f'"{t}"' in page, t
+    # the worker drives the engine API the JS module exports
+    js = read("nano_infer.js")
+    assert "importScripts(\"nano_infer.js\")" in worker
+    for api in ("Engine", "generate", "loadLora", "unloadLora", "abort"):
+        assert api in js and api in worker, api
+
+
+def test_js_brackets_balanced():
+    """Crude syntax screen (no JS parser in this environment): brackets
+    balance outside strings/comments in every shipped JS file."""
+    for name in ("nano_infer.js", "nano_worker.js"):
+        src = read(name)
+        # strip comments and string/template literals
+        src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+        src = re.sub(r"//[^\n]*", "", src)
+        src = re.sub(r"'(?:\\.|[^'\\])*'", "''", src)
+        src = re.sub(r'"(?:\\.|[^"\\])*"', '""', src)
+        src = re.sub(r"`(?:\\.|[^`\\])*`", "``", src)
+        counts = {c: src.count(c) for c in "(){}[]"}
+        assert counts["("] == counts[")"], name
+        assert counts["{"] == counts["}"], name
+        assert counts["["] == counts["]"], name
+
+
+def test_parity_harness_served_files(tmp_path):
+    """The harness page fetches ?model=...&prompts=... and prints token
+    JSON; make sure its plumbing matches the engine's greedy() API."""
+    harness = read("test_parity.html")
+    assert "nano_infer.js" in harness
+    assert "greedy(" in harness
+    assert "JSON.stringify" in harness
