@@ -202,7 +202,13 @@ def main():
     blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
     blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
     tok = _q4t_packed(rng, V, E)
-    p4 = {"tok_embeddings": tok, "output_q": tok,
+    # the loader requantizes a Q4K head to grouped Q80-256 at load
+    # (binfmt._maybe_int8_layout) — mirror that here
+    head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)
+    head_s = rng.rand(V, E // 256).astype(np.float32) * 0.02 + 1e-3
+    head = Q80Tensor(q=jnp.asarray(head_q), scales=jnp.asarray(head_s),
+                     group_size=256).to_grouped()
+    p4 = {"tok_embeddings": tok, "output_q": head,
           "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
     extra["qwen3_0.6b_q4k_tok_s"] = round(decode_tok_s(p4, cfg), 1)
     del p4

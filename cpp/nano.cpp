@@ -344,10 +344,13 @@ static void q4k_block_dequant(const uint8_t* blk, float* out) {
     }
 }
 
-// quantize-dequantize a vector with Q4K semantics (bit-exact rounding;
-// matches ops/q4k.py fake_quant_act and the reference activation
-// quantization, infer/infer.c:781-785)
-static void q4k_fake_quant(const float* x, float* out, int n) {
+// quantize a vector with Q4K semantics (bit-exact rounding; matches
+// ops/q4k.py fake_quant_act and the reference activation quantization,
+// infer/infer.c:781-785).  Emits the INTEGER form (4-bit values +
+// per-32-group effective scale/bias) and/or the dequantized vector —
+// either output pointer may be null.
+static void q4k_quant_act(const float* x, int n, uint8_t* v_out,
+                          float* s_out, float* b_out, float* deq_out) {
     constexpr float FLT_TRUE_MIN_ = 1.401298464324817e-45f;
     int nb = (n + Q4K_BLOCK - 1) / Q4K_BLOCK;
     for (int blk = 0; blk < nb; blk++) {
@@ -378,13 +381,45 @@ static void q4k_fake_quant(const float* x, float* out, int n) {
                        : (uint8_t)(nearest_int(b[g] / s_bias) & 0x3F);
             float s_eff = (float)sq * s_scale;
             float b_eff = (float)bq * s_bias;
-            for (int i = g * Q4K_GROUP;
-                 i < (g + 1) * Q4K_GROUP && i < blk_len; i++) {
-                uint8_t v = (s[g] == 0.0f) ? 0
+            if (s_out) s_out[blk * 8 + g] = s_eff;
+            if (b_out) b_out[blk * 8 + g] = b_eff;
+            for (int i = g * Q4K_GROUP; i < (g + 1) * Q4K_GROUP; i++) {
+                uint8_t v = (i >= blk_len || s[g] == 0.0f) ? 0
                     : (uint8_t)(nearest_int((x[base + i] + b[g]) / s[g])
                                 & 0x0F);
-                out[base + i] = (float)v * s_eff - b_eff;
+                if (v_out) v_out[base + i] = v;
+                if (deq_out && i < blk_len)
+                    deq_out[base + i] = (float)v * s_eff - b_eff;
             }
+        }
+    }
+}
+
+static void q4k_fake_quant(const float* x, float* out, int n) {
+    q4k_quant_act(x, n, nullptr, nullptr, nullptr, out);
+}
+
+// Q80 activation quantization, C-reference semantics
+// (reference: infer/tensor.c:21-47): scale = absmax/127, round half
+// away from zero.
+static void q80_quant_act(const float* x, int n, int gs, int8_t* q,
+                          float* s) {
+    int ng = n / gs;
+    for (int g = 0; g < ng; g++) {
+        const float* xg = x + g * gs;
+        float wmax = 0.0f;
+        for (int i = 0; i < gs; i++) {
+            float a = std::fabs(xg[i]);
+            if (a > wmax) wmax = a;
+        }
+        float scale = wmax / 127.0f;
+        s[g] = scale;
+        int8_t* qg = q + g * gs;
+        if (scale == 0.0f) {
+            for (int i = 0; i < gs; i++) qg[i] = 0;
+        } else {
+            for (int i = 0; i < gs; i++)
+                qg[i] = (int8_t)std::lround(xg[i] / scale);
         }
     }
 }
@@ -417,6 +452,78 @@ static void matmul_q80(float* y, const Weight& w, const float* x, int gs) {
             float dot = 0.0f;
             for (int c = 0; c < gs; c++) dot += (float)qg[c] * xg[c];
             acc += s[g] * dot;
+        }
+        y[r] = acc;
+    }
+}
+
+// integer-dot Q80 (the reference engine's path, infer/infer.c:654-679):
+// int8 x int8 -> int32 per group, f32 scale combine.  ~2x the f32
+// dequant dot on SIMD CPUs (half the bytes, integer multiply-adds).
+static void matmul_q80_int(float* y, const Weight& w, const int8_t* xq,
+                           const float* xs, int gs) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    int n_groups = cols / gs;
+    #pragma omp parallel for schedule(static)
+    for (int r = 0; r < rows; r++) {
+        const int8_t* q = w.q80.q + (size_t)r * cols;
+        const float* s = w.q80.s + (size_t)r * n_groups;
+        float acc = 0.0f;
+        for (int g = 0; g < n_groups; g++) {
+            const int8_t* qg = q + g * gs;
+            const int8_t* ag = xq + g * gs;
+            int32_t ival = 0;
+            for (int c = 0; c < gs; c++)
+                ival += (int32_t)qg[c] * (int32_t)ag[c];
+            acc += (float)ival * s[g] * xs[g];
+        }
+        y[r] = acc;
+    }
+}
+
+// integer-dot Q4K: both sides quantized, affine expansion per 32-group
+// (the reference's dot_two_blocks_q4k, infer/tensor.c:359-436)
+static void matmul_q4k_int(float* y, const Weight& w, const uint8_t* av,
+                           const float* as, const float* ab) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    int bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
+    #pragma omp parallel for schedule(static)
+    for (int r = 0; r < rows; r++) {
+        float acc = 0.0f;
+        for (int blk = 0; blk < bpr; blk++) {
+            const uint8_t* block =
+                w.q4k.blocks + ((size_t)r * bpr + blk) * Q4K_BYTES;
+            uint32_t len = read_le<uint32_t>(block + 4);
+            float ws[8], wb[8];
+            q4k_block_scales(block, ws, wb);
+            const uint8_t* v = block + 32;
+            for (int g = 0; g < 8 && (uint32_t)(g * Q4K_GROUP) < len; g++) {
+                int glen = std::min((uint32_t)Q4K_GROUP,
+                                    len - g * Q4K_GROUP);
+                const uint8_t* aw = av + blk * Q4K_BLOCK + g * Q4K_GROUP;
+                // unpack the 16 weight bytes to 32 nibbles first so the
+                // three integer reductions vectorize (the per-element
+                // odd/even branch form ran SLOWER than the f32 dot)
+                uint8_t wn[Q4K_GROUP];
+                const uint8_t* wbytes = v + g * (Q4K_GROUP / 2);
+                for (int i = 0; i < Q4K_GROUP / 2; i++) {
+                    wn[2 * i] = wbytes[i] & 0x0F;
+                    wn[2 * i + 1] = wbytes[i] >> 4;
+                }
+                for (int i = glen; i < Q4K_GROUP; i++) wn[i] = 0;
+                int32_t sum_pq = 0, sum_p = 0, sum_q = 0;
+                for (int i = 0; i < Q4K_GROUP; i++) {
+                    sum_pq += (int32_t)wn[i] * (int32_t)aw[i];
+                    sum_p += wn[i];
+                    sum_q += aw[i];
+                }
+                float sp = ws[g], bp = wb[g];
+                float sq = as[blk * 8 + g], bq = ab[blk * 8 + g];
+                acc += sp * sq * (float)sum_pq
+                     - sp * bq * (float)sum_p
+                     - sq * bp * (float)sum_q
+                     + (float)glen * bp * bq;
+            }
         }
         y[r] = acc;
     }
@@ -455,7 +562,24 @@ struct Model::Runtime {
     std::vector<float> x, xb, xq4, q, att_out, h1, h3, hb, logits;
     std::vector<float> kc, vc;   // (L, max_seq, KV*D)
     std::vector<float> att;      // per-head scores scratch (max_seq)
+    // integer-dot activation buffers (NANO_CPP_INT_DOT, default on)
+    std::vector<int8_t> xq8;     // Q80 int8 activation
+    std::vector<float> xs8;      // Q80 per-group activation scales
+    std::vector<uint8_t> a4v;    // Q4K 4-bit activation values (padded)
+    std::vector<float> a4s, a4b;  // Q4K per-32-group eff scale/bias
 };
+
+// integer dots on by default: half the weight-byte traffic and integer
+// multiply-adds, exactly the reference engine's math
+// (infer/infer.c:654-679, infer/tensor.c:359-436).  NANO_CPP_INT_DOT=0
+// restores the f32 dequant dots (the numerics-oracle mode).
+static bool int_dot_enabled() {
+    static const bool v = [] {
+        const char* e = std::getenv("NANO_CPP_INT_DOT");
+        return !(e && e[0] == '0');
+    }();
+    return v;
+}
 
 Model::Runtime* Model::new_runtime(int max_seq_len) const {
     auto* rt = new Runtime();
@@ -466,6 +590,15 @@ Model::Runtime* Model::new_runtime(int max_seq_len) const {
     rt->x.resize(c.n_embd);
     rt->xb.resize(std::max(c.n_embd, qdim));
     rt->xq4.resize(std::max({c.n_embd, qdim, c.n_hidden}) + Q4K_BLOCK);
+    {
+        int maxdim = std::max({c.n_embd, qdim, c.n_hidden});
+        int maxpad = (maxdim + Q4K_BLOCK - 1) / Q4K_BLOCK * Q4K_BLOCK;
+        rt->xq8.resize(maxdim);
+        rt->xs8.resize(maxdim);          // overallocated (>= maxdim/gs)
+        rt->a4v.resize(maxpad);
+        rt->a4s.resize(maxpad / Q4K_GROUP);
+        rt->a4b.resize(maxpad / Q4K_GROUP);
+    }
     rt->q.resize(qdim + 2 * kvdim);
     rt->att_out.resize(qdim);
     rt->h1.resize(c.n_hidden);
@@ -746,14 +879,38 @@ void Model::attach_lora(const std::string& path) {
 // forward
 // ===================================================================
 
+// quantize the activation once per distinct input vector (the reference
+// engine does the same before each quantized matmul group,
+// infer/infer.c:775-786); no-op for f32 models / f32-oracle mode
+static void prep_act(Model::Runtime* rt, const float* x, int n, Quant q,
+                     int gs) {
+    if (q == Quant::Q80) {
+        if (int_dot_enabled())
+            q80_quant_act(x, n, gs, rt->xq8.data(), rt->xs8.data());
+    } else if (q == Quant::Q4K) {
+        if (int_dot_enabled())
+            q4k_quant_act(x, n, rt->a4v.data(), rt->a4s.data(),
+                          rt->a4b.data(), nullptr);
+        else
+            q4k_fake_quant(x, rt->xq4.data(), n);
+    }
+}
+
 static void dispatch_matmul(float* y, const Weight& w, const float* x,
-                            const float* xq4, int gs) {
+                            Model::Runtime* rt, int gs) {
     if (w.quant == Quant::F32) {
         matmul_f32(y, w, x);
     } else if (w.quant == Quant::Q80) {
-        matmul_q80(y, w, x, gs);
+        if (int_dot_enabled())
+            matmul_q80_int(y, w, rt->xq8.data(), rt->xs8.data(), gs);
+        else
+            matmul_q80(y, w, x, gs);
     } else {
-        matmul_q4k(y, w, xq4);
+        if (int_dot_enabled())
+            matmul_q4k_int(y, w, rt->a4v.data(), rt->a4s.data(),
+                           rt->a4b.data());
+        else
+            matmul_q4k(y, w, rt->xq4.data());
     }
 }
 
@@ -805,7 +962,7 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
     if (observation) observation(Phase::Embedding, -1, pos, x, E);
 
     float* xb = rt->xb.data();
-    float* xq4 = rt->xq4.data();
+    (void)0;  // activation quant buffers live in rt (prep_act)
     float* q = rt->q.data();
     float* k = q + qdim;
     float* v = k + kvdim;
@@ -814,10 +971,10 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
         rmsnorm(xb, x, attn_norm_ + (size_t)l * E, E, EPS);
         if (observation) observation(Phase::AttnNorm, l, pos, xb, E);
 
-        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
-        dispatch_matmul(q, wq_[l], xb, xq4, gs);
-        dispatch_matmul(k, wk_[l], xb, xq4, gs);
-        dispatch_matmul(v, wv_[l], xb, xq4, gs);
+        prep_act(rt, xb, E, quant_, gs);
+        dispatch_matmul(q, wq_[l], xb, rt, gs);
+        dispatch_matmul(k, wk_[l], xb, rt, gs);
+        dispatch_matmul(v, wv_[l], xb, rt, gs);
         if (lora_) {
             const LoraLayer& ll = lora_->layers[l];
             float sc = lora_->scale();
@@ -897,8 +1054,8 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
         }
         if (observation) observation(Phase::Attention, l, pos, att_out, qdim);
 
-        if (quant_ == Quant::Q4K) q4k_fake_quant(att_out, xq4, qdim);
-        dispatch_matmul(xb, wo_[l], att_out, xq4, gs);
+        prep_act(rt, att_out, qdim, quant_, gs);
+        dispatch_matmul(xb, wo_[l], att_out, rt, gs);
         if (lora_) {
             const LoraLayer& ll = lora_->layers[l];
             lora_delta(xb, ll.oa, ll.ob, lora_->rank, E, qdim, att_out,
@@ -909,16 +1066,16 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
 
         rmsnorm(xb, x, ffn_norm_ + (size_t)l * E, E, EPS);
         if (observation) observation(Phase::FfnNorm, l, pos, xb, E);
-        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
-        dispatch_matmul(rt->h1.data(), w1_[l], xb, xq4, gs);
-        dispatch_matmul(rt->h3.data(), w3_[l], xb, xq4, gs);
+        prep_act(rt, xb, E, quant_, gs);
+        dispatch_matmul(rt->h1.data(), w1_[l], xb, rt, gs);
+        dispatch_matmul(rt->h3.data(), w3_[l], xb, rt, gs);
         float* hb = rt->hb.data();
         for (int i = 0; i < c.n_hidden; i++) {
             float a = rt->h1[i];
             hb[i] = (a / (1.0f + std::exp(-a))) * rt->h3[i];  // SiLU * w3
         }
-        if (quant_ == Quant::Q4K) q4k_fake_quant(hb, xq4, c.n_hidden);
-        dispatch_matmul(xb, w2_[l], hb, xq4, gs);
+        prep_act(rt, hb, c.n_hidden, quant_, gs);
+        dispatch_matmul(xb, w2_[l], hb, rt, gs);
         if (observation) observation(Phase::Ffn, l, pos, xb, E);
         for (int i = 0; i < E; i++) x[i] += xb[i];
         if (observation) observation(Phase::Residual, l, pos, x, E);
@@ -926,8 +1083,8 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
 
     rmsnorm(x, x, final_norm_, E, EPS);
     if (observation) observation(Phase::FinalNorm, -1, pos, x, E);
-    if (quant_ == Quant::Q4K) q4k_fake_quant(x, xq4, E);
-    dispatch_matmul(rt->logits.data(), classifier_, x, xq4, gs);
+    prep_act(rt, x, E, quant_, gs);
+    dispatch_matmul(rt->logits.data(), classifier_, x, rt, gs);
     if (observation)
         observation(Phase::Logits, -1, pos, rt->logits.data(), c.vocab_size);
     return rt->logits.data();
@@ -983,16 +1140,16 @@ const float* Model::forward_global(Runtime* rt, int token, int pos,
                               x + blk * Q4K_BLOCK);
     }
     float* xb = rt->xb.data();
-    float* xq4 = rt->xq4.data();
+    (void)0;  // activation quant buffers live in rt (prep_act)
     float* q = rt->q.data();
     float* k = q + qdim;
     float* v = k + kvdim;
     for (int l = 0; l < c.n_layer; l++) {
         rmsnorm(xb, x, attn_norm_ + (size_t)l * E, E, EPS);
-        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
-        dispatch_matmul(q, wq_[l], xb, xq4, gs);
-        dispatch_matmul(k, wk_[l], xb, xq4, gs);
-        dispatch_matmul(v, wv_[l], xb, xq4, gs);
+        prep_act(rt, xb, E, quant_, gs);
+        dispatch_matmul(q, wq_[l], xb, rt, gs);
+        dispatch_matmul(k, wk_[l], xb, rt, gs);
+        dispatch_matmul(v, wv_[l], xb, rt, gs);
         const float* cosr = rope_cos_.data() + (size_t)pos * (D / 2);
         const float* sinr = rope_sin_.data() + (size_t)pos * (D / 2);
         for (int h = 0; h < H; h++) {
@@ -1038,25 +1195,25 @@ const float* Model::forward_global(Runtime* rt, int token, int pos,
                 for (int i = 0; i < D; i++) oh[i] += pp * vt[i];
             }
         }
-        if (quant_ == Quant::Q4K) q4k_fake_quant(att_out, xq4, qdim);
-        dispatch_matmul(xb, wo_[l], att_out, xq4, gs);
+        prep_act(rt, att_out, qdim, quant_, gs);
+        dispatch_matmul(xb, wo_[l], att_out, rt, gs);
         for (int i = 0; i < E; i++) x[i] += xb[i];
         rmsnorm(xb, x, ffn_norm_ + (size_t)l * E, E, EPS);
-        if (quant_ == Quant::Q4K) q4k_fake_quant(xb, xq4, E);
-        dispatch_matmul(rt->h1.data(), w1_[l], xb, xq4, gs);
-        dispatch_matmul(rt->h3.data(), w3_[l], xb, xq4, gs);
+        prep_act(rt, xb, E, quant_, gs);
+        dispatch_matmul(rt->h1.data(), w1_[l], xb, rt, gs);
+        dispatch_matmul(rt->h3.data(), w3_[l], xb, rt, gs);
         float* hb = rt->hb.data();
         for (int i = 0; i < c.n_hidden; i++) {
             float a = rt->h1[i];
             hb[i] = (a / (1.0f + std::exp(-a))) * rt->h3[i];
         }
-        if (quant_ == Quant::Q4K) q4k_fake_quant(hb, xq4, c.n_hidden);
-        dispatch_matmul(xb, w2_[l], hb, xq4, gs);
+        prep_act(rt, hb, c.n_hidden, quant_, gs);
+        dispatch_matmul(xb, w2_[l], hb, rt, gs);
         for (int i = 0; i < E; i++) x[i] += xb[i];
     }
     rmsnorm(x, x, final_norm_, E, EPS);
-    if (quant_ == Quant::Q4K) q4k_fake_quant(x, xq4, E);
-    dispatch_matmul(rt->logits.data(), classifier_, x, xq4, gs);
+    prep_act(rt, x, E, quant_, gs);
+    dispatch_matmul(rt->logits.data(), classifier_, x, rt, gs);
     return rt->logits.data();
 }
 

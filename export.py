@@ -8,6 +8,7 @@ Mirrors the reference exporter (reference: export.py:515-544):
     python export.py out.bin --q4k ckpt.npz             # Q4K 4-bit
     python export.py out.bin --lora lora_ckpt.npz       # LoRA sidecar
     python export.py out.bin --repack model.bin [--to q4k|q80|f32]
+    python export.py out.bin --checkpoint ref_ckpt.pt   # reference .pt import
 
 The .bin embeds the tokenizer from the checkpoint, so the inference
 engines need no sidecar files.
@@ -49,6 +50,20 @@ def main():
     from nano_tpu.models import gpt
 
     src = args.checkpoint or args.quant or args.q4k or args.lora
+    if src.endswith((".pt", ".pth")):
+        # reference PyTorch checkpoint (train.py:402-427 schema)
+        from nano_tpu.io import pt_import
+        if args.lora:
+            raise SystemExit("LoRA .pt export needs the base config: "
+                             "convert with pt_import.import_lora() + "
+                             "binfmt.write_lora() instead")
+        quant = "f32" if args.checkpoint else ("q80" if args.quant
+                                               else "q4k")
+        cfg = pt_import.pt_to_bin(src, args.output, quant=quant,
+                                  group_size=args.group_size)
+        print(f"exported {quant} from reference .pt -> {args.output} "
+              f"({cfg.n_layer}L/{cfg.n_embd}E)")
+        return
     ck = Checkpoint(src)
     cfg = ModelConfig.from_dict(ck.model_config)
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import io
 import math
+import os as _os
 import struct
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
@@ -765,17 +766,37 @@ def _maybe_int8_layout(params: Dict[str, Any]) -> bool:
     for k, v in list(blocks.items()):
         if isinstance(v, (Q80Tensor, Q4KTensor)):
             blocks[k] = conv(v)
+    def head(t):
+        """LM-head form.  A Q4K head is REQUANTIZED to grouped Q80-256 at
+        load: inside the decode scan the head weight is loop-invariant,
+        so XLA hoists (materializes) any fused dequant — a bf16 table
+        read of V x E x 2 B per step.  The int8-MXU grouped dot reads
+        1 B/weight and ran 171 us vs 868 us at the 152k head (PERF.md).
+        The head values are already 4-bit quantized, so the extra int8
+        step adds noise far below the Q4K error itself
+        (NANO_TPU_CLF_Q4K=packed keeps the pure packed path instead)."""
+        if (isinstance(t, Q4KTensor)
+                and _os.environ.get("NANO_TPU_CLF_Q4K", "") != "packed"):
+            dense = np.asarray(t.dequantize(jnp.float32))
+            gs = max(g for g in (256, 128, 64, 32)
+                     if dense.shape[-1] % g == 0)
+            q, s, _err = quantize_q80(dense, gs)
+            t8 = Q80Tensor.from_numpy(q.reshape(dense.shape), s, gs)
+            return conv(t8)
+        return conv(t)
+
+    import jax.numpy as jnp
     out = params.get("output")
     if isinstance(out, (Q80Tensor, Q4KTensor)):
         # untied head: keep it quantized (fused-dequant or grouped dot
         # reads 0.5-1 B/weight instead of a 4 B/weight f32 table)
-        params["output"] = conv(out)
+        params["output"] = head(out)
         return True
     tok = params["tok_embeddings"]
     if isinstance(tok, (Q80Tensor, Q4KTensor)):
         # tied head: run the logits matmul straight off the quantized
         # embedding table (grouped copy only when it pays off)
-        params["output_q"] = conv(tok)
+        params["output_q"] = head(tok)
         return True
     return False
 

@@ -137,9 +137,15 @@ def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
     embedding table (V, E) transposed (reference: model.py:348)."""
     w = params.get("output_q")
     if w is not None:
-        # int8-MXU head (binfmt._maybe_int8_layout): the grouped matmul
+        # int8-MXU head (binfmt._maybe_int8_layout).  A Q80 head
         # quantizes the activation internally with the C engine's exact
-        # semantics, so no separate fake-quant step is needed here
+        # semantics; a head REQUANTIZED from a Q4K table still needs the
+        # C engine's Q4K activation treatment first, or logits drift
+        # ~1e-2 off both C engines (see CLAUDE.md)
+        if isinstance(params["tok_embeddings"], Q4KTensor) and \
+                isinstance(w, Q80Tensor):
+            from nano_tpu.ops.q4k import fake_quant_act
+            h = fake_quant_act(h)
         return _dense(h, w, jnp.float32)
     w = params.get("output_deq")
     if w is not None:

@@ -481,18 +481,37 @@ def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
                    dtype=jnp.bfloat16) -> jnp.ndarray:
     """Fake-quant x, dot with dequantized w (the default XLA-fused path).
 
-    NANO_TPU_DEQUANT=bf16 relaxes the dot to bf16 (see ops/qmatmul.py).
+    The dot runs in bf16 by default and f32-HIGHEST in parity mode (see
+    ops/qmatmul.py).  Row-chunking keeps the LM-head-size dequant inside
+    XLA's fusion threshold (qmatmul.n_row_chunks).
     """
-    from nano_tpu.ops.qmatmul import _resolve_deq
+    from nano_tpu.ops.qmatmul import _resolve_deq, n_row_chunks
     xq = fake_quant_act(x)
-    if _resolve_deq() == "bf16":
-        wf = w.dequantize(jnp.bfloat16)
-        y = jnp.dot(xq.astype(jnp.bfloat16), wf.T,
-                    preferred_element_type=jnp.float32)
+    deq_bf16 = _resolve_deq() == "bf16"
+    xd = xq.astype(jnp.bfloat16) if deq_bf16 else xq
+
+    def rows_dot(packed, scales, biases):
+        t = Q4KTensor(packed=packed, scales=scales, biases=biases,
+                      in_dim=w.in_dim)
+        if deq_bf16:
+            return jnp.dot(xd, t.dequantize(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(xd, t.dequantize(jnp.float32).T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    out = w.out_dim
+    k = n_row_chunks(out)
+    if k == 1:
+        y = rows_dot(w.packed, w.scales, w.biases)
     else:
-        wf = w.dequantize(jnp.float32)
-        y = jnp.dot(xq, wf.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        nh, G = w.packed.shape[-1], w.scales.shape[-1]
+        yc = jax.lax.map(
+            lambda abc: rows_dot(abc[0], abc[1], abc[2]),
+            (w.packed.reshape(k, out // k, nh),
+             w.scales.reshape(k, out // k, G),
+             w.biases.reshape(k, out // k, G)))
+        y = jnp.transpose(yc, (1, 0, 2)).reshape(xq.shape[0], out)
     return y.astype(dtype)
 
 

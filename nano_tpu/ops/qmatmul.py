@@ -226,6 +226,22 @@ def _resolve_deq() -> str:
     return "f32" if _IMPL == "xla" else "bf16"
 
 
+def n_row_chunks(out_dim: int, max_rows: int = 32768) -> int:
+    """Row-chunk count for huge dequant matmuls (the LM head).
+
+    XLA fuses the (int8 -> scale) dequant into the dot at layer sizes but
+    MATERIALIZES the dequantized matrix beyond ~tens of MB (measured: the
+    152k x 1024 Q4K head ran 868 us unchunked vs the ~200 us bandwidth
+    bound).  lax.map over row chunks keeps every chunk inside the fusion
+    threshold."""
+    if out_dim <= max_rows:
+        return 1
+    for k in range(2, 65):
+        if out_dim % k == 0 and out_dim // k <= max_rows:
+            return k
+    return 1
+
+
 def c_round(x: jnp.ndarray) -> jnp.ndarray:
     """C round(): half away from zero (jnp.round is half-to-even)."""
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
@@ -300,13 +316,27 @@ def q80_matmul(x: jnp.ndarray, w: Q80Tensor, dtype=jnp.bfloat16
         if Bp != B:
             y = y[:B]
         return y.reshape(*lead, out).astype(dtype)
-    if _resolve_deq() == "bf16":
-        wf = w.dequantize(jnp.bfloat16)
-        y = jnp.dot(x.reshape(B, inn).astype(jnp.bfloat16), wf.T,
-                    preferred_element_type=jnp.float32)
+
+    deq_bf16 = _resolve_deq() == "bf16"
+    xd = (x.reshape(B, inn).astype(jnp.bfloat16) if deq_bf16
+          else x.reshape(B, inn).astype(jnp.float32))
+
+    def rows_dot(qc, sc):
+        t = Q80Tensor(q=qc, scales=sc, group_size=w.group_size)
+        if deq_bf16:
+            return jnp.dot(xd, t.dequantize(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(xd, t.dequantize(jnp.float32).T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    k = n_row_chunks(out)
+    if k == 1:
+        y = rows_dot(w.q, w.scales)
     else:
-        wf = w.dequantize(jnp.float32)
-        y = jnp.dot(x.reshape(B, inn).astype(jnp.float32), wf.T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        G = w.scales.shape[-1]
+        yc = jax.lax.map(lambda ab: rows_dot(ab[0], ab[1]),
+                         (w.q.reshape(k, out // k, inn),
+                          w.scales.reshape(k, out // k, G)))
+        y = jnp.transpose(yc, (1, 0, 2)).reshape(B, out)
     return y.reshape(*lead, out).astype(dtype)
