@@ -58,6 +58,25 @@ def main():
     tk.add_argument("--wordlist", default=None,
                     help="optional word-list file (one token per line) "
                          "merged into a --preset vocab")
+    tk.add_argument("--charset", default=None,
+                    help="charset file for the 4096/6000/8192 presets "
+                         "(reference: tokenizer/charset_*.txt format)")
+    tk.add_argument("--from_vocab", default=None,
+                    help="existing vocab JSON to extract word/char "
+                         "tokens from (reference-vocab reproduction)")
+
+    qa = sub.add_parser("qa2jsonl",
+                        help="[Q]/[A] text file -> {question,answer} "
+                             "JSONL (reference: dataset/parse_arexam.py)")
+    qa.add_argument("-i", "--input", required=True)
+    qa.add_argument("-o", "--output", required=True)
+
+    j2t = sub.add_parser("jsonl2txt",
+                         help='{"text": ...} JSONL -> <|bos|>text<|eos|> '
+                              "lines (reference: parse_arexam.py "
+                              "general_jsonl)")
+    j2t.add_argument("-i", "--input", required=True)
+    j2t.add_argument("-o", "--output", required=True)
 
     args = ap.parse_args()
 
@@ -68,14 +87,25 @@ def main():
         preprocess.convert_base64_to_shard(args.input, args.output)
         print(f"converted {args.input} -> {args.output}")
         return
+    if args.cmd == "qa2jsonl":
+        n = preprocess.qa_txt_to_jsonl(args.input, args.output)
+        print(f"wrote {n} QA pairs -> {args.output}")
+        return
+    if args.cmd == "jsonl2txt":
+        n = preprocess.jsonl_text_to_corpus(args.input, args.output)
+        print(f"wrote {n} documents -> {args.output}")
+        return
     if args.cmd == "tokenizer":
         tok = TrieTokenizer()
-        if args.preset:
-            extra = None
-            if args.wordlist:
-                with open(args.wordlist, encoding="utf-8") as f:
-                    extra = [w.rstrip("\n") for w in f if w.strip()]
-            tok.build_preset(args.preset, extra_tokens=extra)
+        if args.preset and (args.charset or args.from_vocab or
+                            args.wordlist):
+            from nano_tpu.tokenizer import presets
+            tok = presets.build_preset(args.preset,
+                                       charset_file=args.charset,
+                                       words_file=args.wordlist,
+                                       from_vocab=args.from_vocab)
+        elif args.preset:
+            tok.build_preset(args.preset)
         else:
             if not args.input:
                 ap.error("tokenizer requires -i files or --preset")

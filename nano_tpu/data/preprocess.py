@@ -317,3 +317,45 @@ def write_base64_dataset(path: str, ids: np.ndarray,
 def convert_base64_to_shard(src: str, dst: str) -> None:
     ids, mask = read_base64_dataset(src)
     save_shard(dst, ids, mask)
+
+
+# =====================================================================
+# raw-corpus converters (reference: dataset/parse_arexam.py)
+# =====================================================================
+
+def qa_txt_to_jsonl(in_path: str, out_path: str) -> int:
+    """[Q]/[A]-tagged lines -> {question, answer} JSONL
+    (reference: dataset/parse_arexam.py ar_sft)."""
+    import json
+    n = 0
+    with open(in_path, "r", encoding="utf-8") as f, \
+            open(out_path, "w", encoding="utf-8") as out:
+        question = ""
+        for line in f:
+            line = line.strip()
+            if line.startswith("[Q]"):
+                question = line[3:]
+            elif line.startswith("[A]"):
+                out.write(json.dumps({"question": question,
+                                      "answer": line[3:]},
+                                     ensure_ascii=False) + "\n")
+                question = ""
+                n += 1
+    return n
+
+
+def jsonl_text_to_corpus(in_path: str, out_path: str) -> int:
+    """{"text": ...} JSONL -> one <|bos|>text<|eos|> line per document
+    (reference: dataset/parse_arexam.py general_jsonl)."""
+    import json
+    n = 0
+    with open(in_path, "r", encoding="utf-8") as f, \
+            open(out_path, "w", encoding="utf-8") as out:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            out.write("<|bos|>" + obj["text"] + "<|eos|>\n")
+            n += 1
+    return n

@@ -100,3 +100,54 @@ def test_plot_loss_cli(pipeline, tmp_path):
     r = run_cli(["plot_loss.py", str(logs[0]), "-o", str(tmp_path / "l.png")])
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "l.png").exists()
+
+
+def test_qa2jsonl_semantics(tmp_path):
+    """[Q]/[A] converter follows parse_arexam.py ar_sft semantics exactly
+    (tag stripping, pairing, ensure_ascii=False).  The reference's
+    shipped sft_amateur_radio.jsonl is NOT the verbatim output of its own
+    converter on the shipped txt (4907 vs 1237 entries, extra cleanup),
+    so the oracle here is a synthetic fixture plus a structural check on
+    the real file."""
+    import json as _json
+    src = tmp_path / "qa.txt"
+    src.write_text("[Q]什么是业余无线电？\n[A]一种无线电业务：自训。\n"
+                   "noise line ignored\n"
+                   "[Q]second q\n[A]second a\n", encoding="utf-8")
+    out = tmp_path / "conv.jsonl"
+    r = run_cli(["data.py", "qa2jsonl", "-i", str(src), "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    ours = [_json.loads(l) for l in
+            out.read_text(encoding="utf-8").splitlines()]
+    assert ours == [
+        {"question": "什么是业余无线电？", "answer": "一种无线电业务：自训。"},
+        {"question": "second q", "answer": "second a"}]
+    # non-ASCII must be written raw (ensure_ascii=False, like the reference)
+    assert "业余" in out.read_text(encoding="utf-8")
+
+    from .conftest import REFERENCE_DIR, reference_available
+    if reference_available():
+        ref_src = os.path.join(REFERENCE_DIR, "dataset",
+                               "sft_amateur_radio.txt")
+        out2 = tmp_path / "ref.jsonl"
+        r = run_cli(["data.py", "qa2jsonl", "-i", ref_src, "-o", str(out2)])
+        assert r.returncode == 0, r.stderr
+        n_a = sum(1 for l in open(ref_src, encoding="utf-8")
+                  if l.strip().startswith("[A]"))
+        rows = [_json.loads(l) for l in
+                out2.read_text(encoding="utf-8").splitlines()]
+        assert len(rows) == n_a
+        assert all(set(x) == {"question", "answer"} for x in rows[:50])
+
+
+def test_jsonl2txt_roundtrip(tmp_path):
+    import json as _json
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(_json.dumps({"text": t}, ensure_ascii=False)
+                             for t in ["你好世界", "second doc"]),
+                   encoding="utf-8")
+    out = tmp_path / "corpus.txt"
+    r = run_cli(["data.py", "jsonl2txt", "-i", str(src), "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text(encoding="utf-8").splitlines()
+    assert lines == ["<|bos|>你好世界<|eos|>", "<|bos|>second doc<|eos|>"]

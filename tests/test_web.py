@@ -103,3 +103,54 @@ def test_parity_harness_served_files(tmp_path):
     assert "nano_infer.js" in harness
     assert "greedy(" in harness
     assert "JSON.stringify" in harness
+
+
+def test_voice_js_present_and_wired():
+    """Browser ASR/TTS (reference: infer/web/asr.js, tts.js): files exist,
+    expose the pluggable-backend API, and the chat page wires them."""
+    asr, tts, page = read("asr.js"), read("tts.js"), read("index.html")
+    for api in ("setBackend", "start", "stop", "available"):
+        assert api in asr, api
+    for api in ("setBackend", "feed", "finish", "setEnabled"):
+        assert api in tts, api
+    assert "asr.js" in page and "tts.js" in page
+    assert "NanoASR.start" in page and "NanoTTS.feed" in page
+
+
+def test_asr_fifo_server_protocol(tmp_path):
+    """The FIFO ASR server speaks the reference protocol (infer/asr.c):
+    PTT 1 -> listening, PTT 0 -> recognize + write text to the asr fifo."""
+    import os
+    import threading
+    from nano_tpu.serve.asr import AsrFifoServer
+
+    ptt = str(tmp_path / "ptt_fifo")
+    out = str(tmp_path / "asr_fifo")
+    texts = []
+    srv = AsrFifoServer(lambda: "你好 world", ptt_fifo=ptt, asr_fifo=out,
+                        on_text=texts.append).start()
+    try:
+        # wait for the fifos to exist
+        for _ in range(200):
+            if os.path.exists(ptt) and os.path.exists(out):
+                break
+            import time; time.sleep(0.01)
+        # a reader must be attached for the non-blocking emit to land
+        got = []
+        def reader():
+            fd = os.open(out, os.O_RDONLY)
+            got.append(os.read(fd, 65536).decode("utf-8"))
+            os.close(fd)
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        import time; time.sleep(0.05)
+        fd = os.open(ptt, os.O_WRONLY)
+        os.write(fd, b"\x01")          # push-to-talk down
+        time.sleep(0.05)
+        os.write(fd, b"\x00")          # release -> recognize
+        os.close(fd)
+        t.join(timeout=5)
+        assert got and got[0] == "你好 world"
+        assert texts == ["你好 world"]
+    finally:
+        srv.stop()
