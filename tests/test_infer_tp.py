@@ -78,3 +78,31 @@ def test_tp_batched_engine(tmp_path):
         if t is not None:
             toks.append(t)
     assert toks == expect
+
+
+def test_tp_greedy_grouped_int8_layout(tmp_path):
+    """TP sharding over the GROUPED int8 layout (Q80 gs>=256): the
+    Megatron specs shard (L, G, out, gs) leaves on out (column) or G
+    (row/contraction) — greedy must still match single-device exactly."""
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=256,
+                      n_head=4, n_kv_head=2, n_hidden=512)
+    params = gpt.init_params(jax.random.PRNGKey(3), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "g256.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="q80", group_size=256)
+
+    base = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                      dtype=jnp.float32, sampler=SAMP)
+    wqkv = base.params["blocks"].get("wqkv")
+    assert wqkv is not None and wqkv.layout == "grouped"
+    expect = greedy(base, "abcdef")
+
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    tp = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                    dtype=jnp.float32, sampler=SAMP)
+    tp.shard(mesh, tensor_parallel=True)
+    leaf = tp.params["blocks"]["wqkv"].q
+    assert not leaf.sharding.is_fully_replicated
+    assert greedy(tp, "abcdef") == expect
