@@ -658,6 +658,11 @@ def _q4k_device_params(bm: "BinModel", fuse: bool,
     tok = Q4KTensor.from_blocks(bm.qparams["tok_embeddings"].blocks, V, E)
     params = {"tok_embeddings": tok,
               "norm": jnp.asarray(bm.params["norm"]), "blocks": blocks}
+    from nano_tpu.ops import qmatmul as _qm
+    if (_qm._IMPL == "int8"
+            and _os.environ.get("NANO_TPU_CLF_Q4K", "") != "packed"):
+        params["output_q"] = q4k_head_requant(
+            bm.qparams["tok_embeddings"].blocks, V, E)
     if not _maybe_int8_layout(params):
         _attach_clf_dequant(params, bm, clf_dequant)
     return params
@@ -766,39 +771,40 @@ def _maybe_int8_layout(params: Dict[str, Any]) -> bool:
     for k, v in list(blocks.items()):
         if isinstance(v, (Q80Tensor, Q4KTensor)):
             blocks[k] = conv(v)
-    def head(t):
-        """LM-head form.  A Q4K head is REQUANTIZED to grouped Q80-256 at
-        load: inside the decode scan the head weight is loop-invariant,
-        so XLA hoists (materializes) any fused dequant — a bf16 table
-        read of V x E x 2 B per step.  The int8-MXU grouped dot reads
-        1 B/weight and ran 171 us vs 868 us at the 152k head (PERF.md).
-        The head values are already 4-bit quantized, so the extra int8
-        step adds noise far below the Q4K error itself
-        (NANO_TPU_CLF_Q4K=packed keeps the pure packed path instead)."""
-        if (isinstance(t, Q4KTensor)
-                and _os.environ.get("NANO_TPU_CLF_Q4K", "") != "packed"):
-            dense = np.asarray(t.dequantize(jnp.float32))
-            gs = max(g for g in (256, 128, 64, 32)
-                     if dense.shape[-1] % g == 0)
-            q, s, _err = quantize_q80(dense, gs)
-            t8 = Q80Tensor.from_numpy(q.reshape(dense.shape), s, gs)
-            return conv(t8)
-        return conv(t)
-
-    import jax.numpy as jnp
+    if "output_q" in params:
+        return True          # head already attached (Q4K host-side path)
     out = params.get("output")
     if isinstance(out, (Q80Tensor, Q4KTensor)):
         # untied head: keep it quantized (fused-dequant or grouped dot
         # reads 0.5-1 B/weight instead of a 4 B/weight f32 table)
-        params["output"] = head(out)
+        params["output"] = conv(out)
         return True
     tok = params["tok_embeddings"]
     if isinstance(tok, (Q80Tensor, Q4KTensor)):
         # tied head: run the logits matmul straight off the quantized
         # embedding table (grouped copy only when it pays off)
-        params["output_q"] = head(tok)
+        params["output_q"] = conv(tok)
         return True
     return False
+
+
+def q4k_head_requant(blocks: np.ndarray, out_dim: int,
+                     in_dim: int) -> "Any":
+    """Q4K LM head -> grouped Q80-256 tensor, computed HOST-SIDE from the
+    packed file blocks (no 622 MB device->host round-trip through the
+    tunnel).  Rationale: inside the decode scan the head weight is
+    loop-invariant, so XLA hoists (materializes) any fused dequant into a
+    bf16 table read every step; the int8-MXU grouped dot reads 1 B/weight
+    and ran 171 us vs 868 us at the 152k head (PERF.md).  The head values
+    are already 4-bit quantized, so the extra int8 step adds noise far
+    below the Q4K error itself (measured +0.008 PPL)."""
+    from nano_tpu.ops.q4k import dequantize_lines_np
+    dense = dequantize_lines_np(blocks, out_dim, in_dim)
+    gs = max(g for g in (256, 128, 64, 32) if in_dim % g == 0)
+    q, scales, _err = quantize_q80(dense, gs)
+    from nano_tpu.ops.qmatmul import Q80Tensor, MIN_GROUPED_GS
+    t8 = Q80Tensor.from_numpy(q.reshape(out_dim, in_dim), scales, gs)
+    return t8.to_grouped() if gs >= MIN_GROUPED_GS else t8
 
 
 def _attach_clf_dequant(params: Dict[str, Any], bm: "BinModel",

@@ -486,7 +486,17 @@ def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
     XLA's fusion threshold (qmatmul.n_row_chunks).
     """
     from nano_tpu.ops.qmatmul import _resolve_deq, n_row_chunks
-    xq = fake_quant_act(x)
+    # The C engine quantizes ACTIVATIONS to Q4K because its integer dot
+    # needs both sides quantized (infer/infer.c:781-785) — an
+    # implementation cost, not a quality feature.  We reproduce it by
+    # default for cross-engine value parity; NANO_TPU_Q4K_ACT=skip keeps
+    # activations in float (higher fidelity AND faster — the fake-quant
+    # costs ~1/3 of the Q4K layer pass, PERF.md).
+    import os as _os
+    if _os.environ.get("NANO_TPU_Q4K_ACT", "") == "skip":
+        xq = x.astype(jnp.float32)
+    else:
+        xq = fake_quant_act(x)
     deq_bf16 = _resolve_deq() == "bf16"
     xd = xq.astype(jnp.bfloat16) if deq_bf16 else xq
 
