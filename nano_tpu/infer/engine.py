@@ -219,6 +219,20 @@ class LLMContext:
     enable_thinking: bool = False       # Qwen chat template switch
     mesh: Optional[Any] = None          # set via shard()
     kv_cache_dtype: Optional[Any] = None   # jnp.int8 halves cache HBM
+    device: Optional[Any] = None        # set via replicate_to()
+
+    def replicate_to(self, device) -> "LLMContext":
+        """A replica of this context pinned to one device — the
+        data-parallel serving unit (one BatchedEngine per replica, each
+        decoding independently; replaces the reference's one-process-per-
+        stream scaling, infer/main_wss.c).  Weights are copied to the
+        target device; host-side state (tokenizer, sampler) is shared."""
+        import dataclasses as _dc
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, device), t)
+        return _dc.replace(
+            self, params=put(self.params),
+            lora=None if self.lora is None else put(self.lora),
+            device=device, mesh=None)
 
     def shard(self, mesh, tensor_parallel: bool = True) -> "LLMContext":
         """Tensor-parallel serving: place params (dense or quantized)
@@ -247,6 +261,10 @@ class LLMContext:
         cache = gpt.KVCache.create(self.cfg, batch,
                                    seq_len or self.max_seq_len,
                                    self.kv_cache_dtype or self.dtype)
+        if self.device is not None:
+            return jax.tree.map(
+                lambda x: None if x is None else jax.device_put(x, self.device),
+                cache)
         if self.mesh is not None:
             from nano_tpu.parallel import mesh as meshlib
             from jax.sharding import NamedSharding

@@ -31,33 +31,56 @@ logger = logging.getLogger("nano_tpu.serve")
 
 
 class WSServer:
+    """One asyncio process, one or more engine REPLICAS.
+
+    replicas > 1 is data-parallel serving: the model is copied to that
+    many devices (LLMContext.replicate_to) and each replica runs its own
+    continuous-batching engine and stepper task, so decode steps execute
+    concurrently across chips — the TPU-native replacement for scaling
+    the reference's one-stream-per-process server horizontally
+    (infer/main_wss.c).  Joins go to the least-loaded replica with a
+    free slot.
+    """
+
     def __init__(self, ctx, n_slots: int = 8, template: bool = True,
-                 burst: int = 1):
+                 burst: int = 1, replicas: int = 1):
         self.ctx = ctx
-        self.engine = BatchedEngine(ctx, n_slots=n_slots)
+        if replicas > 1:
+            import jax
+            devices = jax.devices()
+            if len(devices) < replicas:
+                raise ValueError(f"replicas={replicas} but only "
+                                 f"{len(devices)} devices")
+            ctxs = [ctx.replicate_to(devices[i]) for i in range(replicas)]
+        else:
+            ctxs = [ctx]
+        self.engines = [BatchedEngine(c, n_slots=n_slots) for c in ctxs]
+        self.engine = self.engines[0]      # single-replica compat alias
         self.template = template
         # multi-step scheduling: decode `burst` tokens per dispatched
         # program (amortizes fixed dispatch cost; tokens stream in small
         # groups instead of one-by-one)
         self.burst = max(1, burst)
-        self.queues = {}          # slot -> asyncio.Queue
-        self._wake = asyncio.Event()
+        self.queues = {}          # (replica, slot) -> asyncio.Queue
+        self._wakes = [asyncio.Event() for _ in self.engines]
         self._slot_freed = asyncio.Event()   # waiter queue for joins
-        self._stepper: Optional[asyncio.Task] = None
+        self._steppers = [None] * len(self.engines)
 
     # ------------------------------------------------------------
-    async def _step_loop(self):
-        """Single background task advancing all active streams."""
+    async def _step_loop(self, ei: int):
+        """One background task per replica advancing its streams."""
         loop = asyncio.get_running_loop()
+        engine = self.engines[ei]
+        wake = self._wakes[ei]
         while True:
-            if self.engine.n_active == 0:
-                self._wake.clear()
-                await self._wake.wait()
+            if engine.n_active == 0:
+                wake.clear()
+                await wake.wait()
             # the jax call blocks — run it off the event loop
             out = await loop.run_in_executor(
-                None, self.engine.step_burst, self.burst)
+                None, engine.step_burst, self.burst)
             for slot, toks in out.items():
-                q = self.queues.get(slot)
+                q = self.queues.get((ei, slot))
                 if q is None:
                     continue
                 for tok in toks:
@@ -69,8 +92,21 @@ class WSServer:
                     q.put_nowait(None)   # stream ended: terminator
 
     def _ensure_stepper(self):
-        if self._stepper is None or self._stepper.done():
-            self._stepper = asyncio.create_task(self._step_loop())
+        for ei in range(len(self.engines)):
+            if self._steppers[ei] is None or self._steppers[ei].done():
+                self._steppers[ei] = asyncio.create_task(
+                    self._step_loop(ei))
+
+    def _pick_engine(self):
+        """Least-loaded replica with a free slot, or None."""
+        best, best_load = None, None
+        for ei, e in enumerate(self.engines):
+            if e.free_slot() is None:
+                continue
+            load = e.n_active
+            if best is None or load < best_load:
+                best, best_load = ei, load
+        return best
 
     # ------------------------------------------------------------
     @staticmethod
@@ -136,24 +172,28 @@ class WSServer:
 
         ids = self.ctx.build_prompt_ids(prompt, bool(params["template"]))
 
-        # wait for a free slot (continuous batching: joins mid-flight);
-        # waiters park on an event that release() sets — no polling
+        # wait for a free slot on the least-loaded replica (continuous
+        # batching: joins mid-flight); waiters park on an event that
+        # release() sets — no polling
         loop = asyncio.get_running_loop()
         while True:
-            res = await loop.run_in_executor(
-                None, self.engine.add, ids, int(params["max_new_tokens"]),
-                float(params["temperature"]), float(params["top_p"]),
-                float(params["repetition_penalty"]))
-            if res is not None:
-                break
+            ei = self._pick_engine()
+            if ei is not None:
+                engine = self.engines[ei]
+                res = await loop.run_in_executor(
+                    None, engine.add, ids, int(params["max_new_tokens"]),
+                    float(params["temperature"]), float(params["top_p"]),
+                    float(params["repetition_penalty"]))
+                if res is not None:
+                    break
             self._slot_freed.clear()
-            if self.engine.free_slot() is not None:
+            if self._pick_engine() is not None:
                 continue       # a release slipped in before the clear
             await self._slot_freed.wait()
         slot, first = res
         q: asyncio.Queue = asyncio.Queue()
-        self.queues[slot] = q
-        self._wake.set()
+        self.queues[(ei, slot)] = q
+        self._wakes[ei].set()
 
         closed = False
 
@@ -183,7 +223,7 @@ class WSServer:
         try:
             if first is not None:
                 await send_tok(first)
-                while (self.engine.slots[slot].active and not interrupted
+                while (engine.slots[slot].active and not interrupted
                        and not closed):
                     get_task = asyncio.create_task(q.get())
                     done, _ = await asyncio.wait(
@@ -214,7 +254,7 @@ class WSServer:
                         if tok is not None:
                             await send_tok(tok)
             reason = ("interrupted" if interrupted else
-                      self.engine.slots[slot].finished_reason or "stop")
+                      engine.slots[slot].finished_reason or "stop")
             if json_mode:
                 await send_safe(json.dumps({"done": True,
                                             "reason": reason}))
@@ -234,18 +274,21 @@ class WSServer:
                     pending_msg.append(recv_task.result())
                 except Exception:
                     pass
-            self.queues.pop(slot, None)
-            self.engine.release(slot)
+            self.queues.pop((ei, slot), None)
+            engine.release(slot)
             self._slot_freed.set()   # wake any parked joiners
         return pending_msg
 
 
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
-                n_slots: int = 8, template: bool = True, burst: int = 1):
+                n_slots: int = 8, template: bool = True, burst: int = 1,
+                replicas: int = 1):
     import websockets
-    server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst)
+    server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst,
+                      replicas=replicas)
     async with websockets.serve(server.handle, host, port, max_size=2 ** 22):
-        logger.info("listening on ws://%s:%d (%d slots)", host, port, n_slots)
+        logger.info("listening on ws://%s:%d (%d replicas x %d slots)",
+                    host, port, replicas, n_slots)
         await asyncio.Future()
 
 
@@ -260,6 +303,9 @@ def main():
                     help="tokens decoded per dispatch (multi-step "
                          "scheduling; higher = more throughput, chunkier "
                          "streaming)")
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="data-parallel serving: copy the model to N "
+                         "devices, one continuous-batching engine each")
     ap.add_argument("--max_seq_len", type=int, default=None)
     ap.add_argument("--no_template", action="store_true")
     ap.add_argument("-t", "--temperature", type=float, default=1.0)
@@ -278,7 +324,8 @@ def main():
     if args.lora:
         ctx.load_lora(args.lora)
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
-                      template=not args.no_template, burst=args.burst))
+                      template=not args.no_template, burst=args.burst,
+                      replicas=args.replicas))
 
 
 if __name__ == "__main__":

@@ -441,3 +441,51 @@ def test_wss_no_join_stall(tmp_path):
     # generous CPU-test bound: churn may add scheduling noise but never a
     # full-prefill-under-lock stall (which would be >100x the median)
     assert max(gaps) <= max(2.0, 40 * med), (max(gaps), med)
+
+
+def test_wss_data_parallel_replicas(tmp_path):
+    """replicas=N: the model is copied to N devices, each with its own
+    continuous-batching engine; concurrent greedy streams all match the
+    single-device output and the load actually spreads."""
+    websockets = pytest.importorskip("websockets")
+    import jax
+    from nano_tpu.serve.wss import WSServer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ctx = make_ctx(tmp_path)
+    prompts = ["abcdef", "qrs", "hello", "abc", "zz"]
+    expects = {p: ctx.decode(solo_greedy(ctx, p, 8)) for p in prompts}
+
+    async def client(port, prompt):
+        import websockets as ws
+        async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+            await c.send(json.dumps({
+                "prompt": prompt, "max_new_tokens": 8, "temperature": 0.0,
+                "repetition_penalty": 1.0, "template": False}))
+            chunks = []
+            while True:
+                m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                if m.get("done"):
+                    break
+                chunks.append(m["text"])
+            return prompt, "".join(chunks)
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False, replicas=4)
+        assert len(server.engines) == 4
+        # replicas live on distinct devices
+        devs = {next(iter(jax.tree.leaves(e.ctx.params)[0].devices()))
+                for e in server.engines}
+        assert len(devs) == 4
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            res = await asyncio.gather(*[client(port, p) for p in prompts])
+            used = sum(1 for e in server.engines
+                       if any(s.prompt_len for s in e.slots))
+            assert used >= 2, "load did not spread across replicas"
+            return res
+
+    for prompt, got in asyncio.run(run()):
+        e = expects[prompt]
+        assert got == e[:len(got)] and len(got) >= 6, (prompt, got, e)
