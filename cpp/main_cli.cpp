@@ -67,6 +67,9 @@ int main(int argc, char** argv) {
             auto ids = model.prompt_ids(prompt, use_template);
             nano::Session session(model, rt, &sampler, ids, max_seq, max_new);
             bool shown = false;
+            bool in_think = false;   // Qwen <think> sections render dim
+            // (reference strips them, infer/main_cli.c:19-64; dimming
+            // keeps the stream visible without polluting the answer)
             while (!session.finished()) {
                 int tok = session.step();
                 if (tok < 0) break;
@@ -77,10 +80,20 @@ int main(int argc, char** argv) {
                 } else {
                     if (!shown) { std::fprintf(stderr, "\r           \r");
                                   shown = true; }
-                    std::fputs(model.decode_one(tok).c_str(), stdout);
+                    std::string piece = model.decode_one(tok);
+                    if (piece == "<think>") {
+                        in_think = true;
+                        std::fputs("\033[2m<think>", stdout);
+                    } else if (piece == "</think>") {
+                        in_think = false;
+                        std::fputs("</think>\033[0m", stdout);
+                    } else {
+                        std::fputs(piece.c_str(), stdout);
+                    }
                     std::fflush(stdout);
                 }
             }
+            if (in_think) std::fputs("\033[0m", stdout);
             std::fprintf(stderr, "\n[%zu tokens, %.1f tok/s]\n",
                          session.output_ids().size(), session.tps());
         };

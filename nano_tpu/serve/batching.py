@@ -193,6 +193,20 @@ class BatchedEngine:
                 st.attached = False
             raise
 
+        try:
+            return self._attach_prefilled(
+                st, slot, n, pad, tmp, seen_row, last, temperature, top_p,
+                repetition_penalty, max_new_tokens)
+        except BaseException:
+            with self.lock:
+                st.attached = False
+                st.active = False
+            raise
+
+    def _attach_prefilled(self, st, slot, n, pad, tmp, seen_row, last,
+                          temperature, top_p, repetition_penalty,
+                          max_new_tokens):
+        ctx = self.ctx
         with self.lock:
             self.cache = gpt.KVCache(
                 k=self.cache.k.at[:, slot, :pad].set(tmp.k[:, 0]),
