@@ -394,6 +394,11 @@ class Trainer:
                                 and self.step_count > 0):
                     self.save_checkpoint()
 
+            # NOTE: batch prep overlaps device compute for free — the
+            # previous _train_step call dispatched asynchronously, so
+            # this host-side work runs while the chip is still busy (the
+            # reference needed an explicit async prefetch between fwd
+            # and bwd, train.py:448-449; JAX's async dispatch subsumes it)
             xs, ys, ms = self._get_accum_batch(denoise=denoise)
             trainable, self.opt_state, loss = self._train_step(
                 trainable, frozen, self.opt_state, xs, ys, ms)

@@ -27,14 +27,24 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--seed", type=int, default=39)
+    # model-size overrides (the reference's published calculator numbers
+    # use 8-16L/512-1024E, README.md:396-406; ours: 92.6% at 8L/512E)
+    ap.add_argument("--n_layer", type=int, default=None)
+    ap.add_argument("--n_embd", type=int, default=None)
+    ap.add_argument("--n_head", type=int, default=None)
+    ap.add_argument("--n_kv_head", type=int, default=None)
+    ap.add_argument("--n_hidden", type=int, default=None)
     args = ap.parse_args()
 
     from nano_tpu.problems import run_problem
     out_dir = args.out_dir or tempfile.mkdtemp(prefix=f"nano_{args.task}_")
+    overrides = {k: getattr(args, k) for k in
+                 ("n_layer", "n_embd", "n_head", "n_kv_head", "n_hidden")
+                 if getattr(args, k) is not None}
     acc = run_problem(args.task, out_dir, seq_length=args.seq_length,
                       max_steps=args.steps, batch_size=args.batch,
                       n_train=args.n_train, n_eval=args.n_eval,
-                      learning_rate=args.lr, seed=args.seed)
+                      learning_rate=args.lr, seed=args.seed, **overrides)
     print(f"{args.task}: exact-match accuracy {acc*100:.1f}% "
           f"(artifacts in {out_dir})")
 
