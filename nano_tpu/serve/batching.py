@@ -105,17 +105,23 @@ class Slot:
     generated: int = 0
     max_new_tokens: int = 0
     finished_reason: Optional[str] = None
+    sink: Optional[object] = None   # consumer's queue, set atomically in
+    # add() — burst results are delivered to the sink captured UNDER THE
+    # ENGINE LOCK with the tokens, so a late delivery can never reach a
+    # queue that belongs to a different (newer) stream
 
 
 class BurstResult(Dict[int, list]):
-    """{slot: [tokens...]} plus per-slot end flags captured atomically
-    under the engine lock — consumers must use `ended` instead of
-    re-reading live slot state (a new stream may have re-claimed the slot
-    by the time they look)."""
+    """{slot: [tokens...]} plus per-slot end flags and sinks captured
+    atomically under the engine lock — consumers must use `ended` and
+    `sinks` instead of re-reading live slot state (a new stream may have
+    re-claimed the slot by the time they look)."""
 
-    def __init__(self, toks: Dict[int, list], ended: Dict[int, bool]):
+    def __init__(self, toks: Dict[int, list], ended: Dict[int, bool],
+                 sinks: Optional[Dict[int, object]] = None):
         super().__init__(toks)
         self.ended = ended
+        self.sinks = sinks or {}
 
 
 class BatchedEngine:
@@ -151,7 +157,8 @@ class BatchedEngine:
     # ------------------------------------------------------------
     def add(self, prompt_ids: List[int], max_new_tokens: int = 256,
             temperature: float = 1.0, top_p: float = 0.8,
-            repetition_penalty: float = 1.1) -> Optional[tuple]:
+            repetition_penalty: float = 1.1,
+            sink: Optional[object] = None) -> Optional[tuple]:
         """Attach a stream.  Returns (slot, first_token or None-if-stopped),
         or None when no slot is free (caller queues/retries).
 
@@ -196,7 +203,7 @@ class BatchedEngine:
         try:
             return self._attach_prefilled(
                 st, slot, n, pad, tmp, seen_row, last, temperature, top_p,
-                repetition_penalty, max_new_tokens)
+                repetition_penalty, max_new_tokens, sink)
         except BaseException:
             with self.lock:
                 st.attached = False
@@ -205,7 +212,7 @@ class BatchedEngine:
 
     def _attach_prefilled(self, st, slot, n, pad, tmp, seen_row, last,
                           temperature, top_p, repetition_penalty,
-                          max_new_tokens):
+                          max_new_tokens, sink=None):
         ctx = self.ctx
         with self.lock:
             self.cache = gpt.KVCache(
@@ -239,6 +246,7 @@ class BatchedEngine:
             st.generated = 0
             st.max_new_tokens = max_new_tokens
             st.finished_reason = None
+            st.sink = sink
 
             if first in ctx.stop_tokens:
                 st.active = False
@@ -255,6 +263,7 @@ class BatchedEngine:
         with self.lock:
             self.slots[slot].active = False
             self.slots[slot].attached = False
+            self.slots[slot].sink = None
 
     # ------------------------------------------------------------
     def _consume(self, toks_2d: np.ndarray, pos: np.ndarray) -> BurstResult:
@@ -270,9 +279,11 @@ class BatchedEngine:
         n_steps = toks_2d.shape[0]
         out: Dict[int, list] = {}
         ended: Dict[int, bool] = {}
+        sinks: Dict[int, object] = {}
         for i, st in enumerate(self.slots):
             if not st.active:
                 continue
+            sinks[i] = st.sink
             got: list = []
             for k in range(n_steps):
                 t = int(toks_2d[k, i])
@@ -290,7 +301,7 @@ class BatchedEngine:
                     break
             out[i] = got
             ended[i] = not st.active
-        return BurstResult(out, ended)
+        return BurstResult(out, ended, sinks)
 
     def step_burst(self, n_steps: int = 1) -> BurstResult:
         """Advance every active slot up to n_steps tokens in one dispatch.
@@ -303,7 +314,7 @@ class BatchedEngine:
         ctx = self.ctx
         with self.lock:
             if self.n_active == 0:
-                return BurstResult({}, {})
+                return BurstResult({}, {}, {})
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \
                 _batched_scan(
                     ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,

@@ -61,7 +61,6 @@ class WSServer:
         # program (amortizes fixed dispatch cost; tokens stream in small
         # groups instead of one-by-one)
         self.burst = max(1, burst)
-        self.queues = {}          # (replica, slot) -> asyncio.Queue
         self._wakes = [asyncio.Event() for _ in self.engines]
         self._slot_freed = asyncio.Event()   # waiter queue for joins
         self._steppers = [None] * len(self.engines)
@@ -80,7 +79,11 @@ class WSServer:
             out = await loop.run_in_executor(
                 None, engine.step_burst, self.burst)
             for slot, toks in out.items():
-                q = self.queues.get((ei, slot))
+                # deliver to the sink captured with the tokens under the
+                # engine lock — never a lookup keyed by slot (stale
+                # deliveries must not reach a NEWER stream's queue, and a
+                # queue registered after add() would miss early bursts)
+                q = out.sinks.get(slot)
                 if q is None:
                     continue
                 for tok in toks:
@@ -176,14 +179,20 @@ class WSServer:
         # batching: joins mid-flight); waiters park on an event that
         # release() sets — no polling
         loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
         while True:
             ei = self._pick_engine()
             if ei is not None:
                 engine = self.engines[ei]
+                # the queue is registered INSIDE add() under the engine
+                # lock (sink=), so no burst can slip between slot
+                # activation and queue attachment
                 res = await loop.run_in_executor(
-                    None, engine.add, ids, int(params["max_new_tokens"]),
-                    float(params["temperature"]), float(params["top_p"]),
-                    float(params["repetition_penalty"]))
+                    None, lambda e=engine: e.add(
+                        ids, int(params["max_new_tokens"]),
+                        float(params["temperature"]),
+                        float(params["top_p"]),
+                        float(params["repetition_penalty"]), sink=q))
                 if res is not None:
                     break
             self._slot_freed.clear()
@@ -191,8 +200,6 @@ class WSServer:
                 continue       # a release slipped in before the clear
             await self._slot_freed.wait()
         slot, first = res
-        q: asyncio.Queue = asyncio.Queue()
-        self.queues[(ei, slot)] = q
         self._wakes[ei].set()
 
         closed = False
@@ -223,36 +230,40 @@ class WSServer:
         try:
             if first is not None:
                 await send_tok(first)
-                while (engine.slots[slot].active and not interrupted
-                       and not closed):
-                    get_task = asyncio.create_task(q.get())
-                    done, _ = await asyncio.wait(
-                        {get_task, recv_task},
-                        return_when=asyncio.FIRST_COMPLETED)
-                    if recv_task in done:
-                        try:
-                            msg = recv_task.result()
-                        except Exception:
-                            msg, interrupted = None, True
-                        if msg is not None:
-                            if self._is_stop(msg):
-                                interrupted = True
-                            else:   # pipelined next requests: queue ALL
-                                pending_msg.append(msg)
-                                recv_task = asyncio.create_task(
-                                    websocket.recv())
-                    if get_task in done:
-                        tok = get_task.result()
-                        if tok is None:
-                            break
-                        await send_tok(tok)
-                    else:
-                        get_task.cancel()
-                if not interrupted:
-                    while not q.empty():   # drain post-finish stragglers
-                        tok = q.get_nowait()
-                        if tok is not None:
+                # Loop until the stepper's None TERMINATOR — never on
+                # live slot state: _consume flips `active` inside the
+                # executor thread BEFORE the step loop enqueues that
+                # burst's tokens, so an active check here silently drops
+                # the stream's tail (observed as short replies under
+                # concurrency).  The terminator is guaranteed whenever
+                # the stream was ever visible to the stepper; the one
+                # case it never is — add() ended the stream immediately
+                # because max_new_tokens <= 1 — is excluded here.
+                if int(params["max_new_tokens"]) > 1:
+                    while not interrupted and not closed:
+                        get_task = asyncio.create_task(q.get())
+                        done, _ = await asyncio.wait(
+                            {get_task, recv_task},
+                            return_when=asyncio.FIRST_COMPLETED)
+                        if recv_task in done:
+                            try:
+                                msg = recv_task.result()
+                            except Exception:
+                                msg, interrupted = None, True
+                            if msg is not None:
+                                if self._is_stop(msg):
+                                    interrupted = True
+                                else:  # pipelined next requests: queue ALL
+                                    pending_msg.append(msg)
+                                    recv_task = asyncio.create_task(
+                                        websocket.recv())
+                        if get_task in done:
+                            tok = get_task.result()
+                            if tok is None:
+                                break
                             await send_tok(tok)
+                        else:
+                            get_task.cancel()
             reason = ("interrupted" if interrupted else
                       engine.slots[slot].finished_reason or "stop")
             if json_mode:
@@ -274,7 +285,6 @@ class WSServer:
                     pending_msg.append(recv_task.result())
                 except Exception:
                     pass
-            self.queues.pop((ei, slot), None)
             engine.release(slot)
             self._slot_freed.set()   # wake any parked joiners
         return pending_msg
