@@ -330,10 +330,26 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
                                                   (0, start_pos, 0))
         new_cache = (ck, cv, ks, vs)
         if quant:
-            k = (ck.astype(jnp.float32) * ks[..., None]).astype(dtype)
-            v = (cv.astype(jnp.float32) * vs[..., None]).astype(dtype)
-        else:
-            k, v = ck.astype(dtype), cv.astype(dtype)
+            # int8 KV: fold the per-vector scales into scores/probs
+            # instead of materializing a dequantized cache copy per
+            # layer — q·(k·s) == (q·k)·s per position, so the einsum
+            # reads the int8 cache directly (cast fused into the dot)
+            scores = _gqa_scores(q, ck.astype(dtype), cfg)
+            scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
+            if mask is not None:
+                scores = scores + mask
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            probs = probs * vs.transpose(0, 2, 1)[:, :, None, None, :
+                                                  ].astype(dtype)
+            heads = _gqa_out(probs, cv.astype(dtype))
+            observe.tap(Phase.ATTENTION, layer_idx, heads)
+            out = _dense(heads, layer["wo"], dtype)
+            if lora is not None:
+                out = out + _lora_delta(heads, lora["wo_a"], lora["wo_b"],
+                                        lora_scale, dtype)
+            observe.tap(Phase.ATTN_OUT, layer_idx, out)
+            return out, new_cache
+        k, v = ck.astype(dtype), cv.astype(dtype)
 
     if kv_cache is None and _use_flash(cfg, S, kv_cache):
         heads = _flash_attend(q, k, v, cfg, dtype)
