@@ -99,9 +99,9 @@ def _q4t_packed(rng, shape_out, inn, stack=None):
 # timed programs
 # ---------------------------------------------------------------------
 
-def decode_tok_s(params, cfg, n_steps=256, reps=3):
+def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
     s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
-    cache = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
+    cache = gpt.KVCache.create(cfg, 1, cfg.block_size, kv_dtype)
     seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
     key = jax.random.PRNGKey(0)
     tok = jnp.zeros((1,), jnp.int32)
@@ -186,6 +186,8 @@ def main():
     pq = q80_params(cfg, rng)
     q80 = decode_tok_s(pq, cfg)
     extra["qwen3_0.6b_q80_tok_s"] = round(q80, 1)
+    extra["qwen3_0.6b_q80_kv8_tok_s"] = round(
+        decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1)
     extra["ttft_p50_ms_q80_p64"] = round(ttft_p50_ms(pq, cfg), 1)
     extra["q80_batch8_agg_tok_s"] = round(
         batched_aggregate(pq, cfg, 8), 1)
