@@ -166,8 +166,7 @@ def _sample_windowed(key, logits, temperature, top_p, top_k, greedy,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
-                                   "greedy", "exact"),
-         donate_argnums=(5, 6))   # cache + seen mask alias step to step
+                                   "greedy", "exact"))
 def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps,
                  greedy=False, exact=False):
