@@ -768,9 +768,23 @@ def _maybe_int8_layout(params: Dict[str, Any]) -> bool:
         return t
 
     blocks = params["blocks"]
+    small_gs = None
     for k, v in list(blocks.items()):
         if isinstance(v, (Q80Tensor, Q4KTensor)):
             blocks[k] = conv(v)
+            if (isinstance(v, Q80Tensor)
+                    and v.group_size < qmatmul.MIN_GROUPED_GS):
+                small_gs = v.group_size
+    if small_gs is not None:
+        # surface the numerics choice: small groups run bf16 fused-dequant
+        # dots, not the C engine's f32 math — near-tie greedy divergence
+        # is possible.  NANO_TPU_QMATMUL=xla restores value parity.
+        import logging
+        logging.getLogger(__name__).info(
+            "Q80 group_size=%d < %d: decode uses bf16 fused-dequant dots "
+            "(quantization decisions exact, float values looser than the "
+            "C engine); set NANO_TPU_QMATMUL=xla for f32 value parity",
+            small_gs, qmatmul.MIN_GROUPED_GS)
     if "output_q" in params:
         return True          # head already attached (Q4K host-side path)
     out = params.get("output")

@@ -57,13 +57,41 @@ class _ShimPickleModule:
     loads = staticmethod(pickle.loads)
 
 
+#: (module, name) pairs allowed through the unpickler beyond the
+#: torch/numpy internals a tensor checkpoint legitimately references.
+_ALLOWED_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("builtins", "set"),
+    ("builtins", "frozenset"),
+    ("builtins", "slice"),
+    ("builtins", "complex"),
+    ("builtins", "bytearray"),
+}
+
+
 class _ShimUnpickler(pickle.Unpickler):
+    """Unpickler restricted to tensor-checkpoint globals.
+
+    A ``.pt`` is a pickle, and pickle resolves arbitrary callables — so
+    ``find_class`` only admits torch/numpy internals (storage + tensor
+    rebuild helpers, dtypes) and plain containers, and raises on
+    anything else.  Reference config dataclasses resolve to the
+    attribute-capturing shim by NAME (the reference pickles them under
+    whatever module train.py ran as: "model", "__main__", ...).
+    """
+
     def find_class(self, module: str, name: str):
-        # match by class name: the reference pickles its configs under
-        # whatever module name train.py ran as ("model", "__main__", ...)
         if name in ("ModelConfig", "TrainConfig"):
             return _ConfigShim
-        return super().find_class(module, name)
+        if (module == "torch" or module.startswith("torch.")
+                or module == "numpy" or module.startswith("numpy.")
+                or (module, name) in _ALLOWED_GLOBALS):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: .pt checkpoints may "
+            "only reference torch/numpy tensor internals and plain "
+            "containers")
 
 
 _ShimPickleModule.Unpickler = _ShimUnpickler

@@ -111,6 +111,53 @@ def test_greedy_parity_with_template(tmp_path):
 
 
 @pytest.mark.skipif(not oracle_ok, reason="reference oracle unavailable")
+def test_greedy_prefix_parity_small_group_q80(tmp_path):
+    """Q80 with group_size < 256 (e.g. the reference Qwen exporter's
+    gs=64) runs the bf16 fused-dequant dot under the default impl, NOT
+    the f32-HIGHEST oracle math — pin that looser-numerics path with a
+    greedy-prefix assertion so a regression (or an accidental layout
+    flip) shows up.  bf16 rounding can diverge from the C engine on
+    near-ties late in a long generation; a tiny model over 16 tokens
+    must still agree on a substantial prefix."""
+    from nano_tpu.ops import qmatmul as qm
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=256,
+                      n_head=4, n_kv_head=2, n_hidden=512)
+    params = gpt.init_params(jax.random.PRNGKey(9), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "g64.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="q80", group_size=64)
+    assert binfmt.read_model(path).header.group_size == 64
+
+    ref_prompt_ids, ref_out = run_oracle(path, "abcdefgh", max_new=16,
+                                         temperature=0.0)
+
+    assert qm._IMPL == "int8"   # the default under test
+    ctx = engine.LLMContext.from_bin(
+        path, max_seq_len=64, dtype=jnp.float32,
+        sampler=sampling.SamplerConfig(temperature=0.0,
+                                       repetition_penalty=1.0))
+    # gs < MIN_GROUPED_GS must stay in the rows layout (bf16 dequant dot)
+    from nano_tpu.ops.qmatmul import Q80Tensor
+    wqkv = ctx.params["blocks"].get("wqkv") or ctx.params["blocks"].get("wq")
+    assert isinstance(wqkv, Q80Tensor) and wqkv.layout == "rows"
+
+    session = engine.Session(ctx, "abcdefgh", max_new_tokens=16)
+    ours = []
+    while (t := session.step()) is not None:
+        ours.append(t)
+    ref_trimmed = [t for t in ref_out if t not in engine.NANO_STOP_TOKENS] \
+        if (ref_out and ref_out[-1] in engine.NANO_STOP_TOKENS) else ref_out
+    agree = 0
+    for a, b in zip(ours, ref_trimmed):
+        if a != b:
+            break
+        agree += 1
+    assert agree >= min(8, len(ref_trimmed)), f"ours={ours} ref={ref_out}"
+
+
+@pytest.mark.skipif(not oracle_ok, reason="reference oracle unavailable")
 def test_greedy_parity_int8_grouped_path(tmp_path):
     """The int8-MXU decode path (Q80 group_size >= 256, grouped layout,
     activations quantized on-chip) reproduces the C engine's integer dot

@@ -1,20 +1,28 @@
 """Web stack checks.
 
-The pure-JS engine (web/nano_infer.js) cannot be EXECUTED here — this
-environment ships no JS runtime (no node/bun/chromium; verified) — so
-these tests pin down everything checkable without one: the worker/page
-protocol contract, the format constants against io/binfmt.py, and the
-presence of the parity harness (web/test_parity.html) that runs the
-actual cross-engine token comparison in any browser.
+The pure-JS engine (web/nano_infer.js) cannot be EXECUTED in this image
+(no node/bun/chromium; verified), so its runtime contract is pinned by
+DATA instead of hand-waving: tools/make_js_fixtures.py derives golden
+fixtures (tiny .bin per quant + LoRA + expected greedy ids + unit
+vectors) from the Python engine, test_js_fixtures_byte_stable regenerates
+them on every run and asserts the committed bytes, and
+tests/js/run_parity.mjs executes the full check under any JS runtime
+(node/bun/deno) — test_js_runtime_parity runs it when one exists and
+skips otherwise.  web/test_parity.html consumes the same fixtures for a
+one-click browser run.  The remaining tests pin what is checkable
+without execution: protocol contract, format constants, offsets.
 """
 
 import json
 import re
+import shutil
+import subprocess
 from pathlib import Path
 
 import pytest
 
 WEB = Path(__file__).resolve().parent.parent / "web"
+FIXDIR = Path(__file__).resolve().parent / "js" / "fixtures"
 
 
 def read(name: str) -> str:
@@ -103,6 +111,57 @@ def test_parity_harness_served_files(tmp_path):
     assert "nano_infer.js" in harness
     assert "greedy(" in harness
     assert "JSON.stringify" in harness
+
+
+def _js_runtime():
+    """First available JS runtime as an argv prefix, or None."""
+    if shutil.which("node"):
+        return ["node"]
+    if shutil.which("bun"):
+        return ["bun", "run"]
+    if shutil.which("deno"):
+        return ["deno", "run", "--allow-read"]
+    return None
+
+
+def test_js_fixtures_byte_stable():
+    """The committed golden fixtures must match a fresh regeneration from
+    the Python engine — so the JS contract can never silently drift from
+    the Python/C engines."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_js_fixtures",
+        WEB.parent / "tools" / "make_js_fixtures.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fresh = mod.generate()
+    assert FIXDIR.exists(), "run tools/make_js_fixtures.py and commit"
+    for name, data in fresh.items():
+        committed = (FIXDIR / name).read_bytes()
+        assert committed == data, f"fixture {name} drifted: regenerate " \
+            "with tools/make_js_fixtures.py and review the diff"
+
+
+def test_js_runtime_parity():
+    """Execute the JS engine against the golden fixtures when a JS
+    runtime exists; skip (visibly) when none does."""
+    rt = _js_runtime()
+    if rt is None:
+        pytest.skip("no JS runtime (node/bun/deno) in this environment")
+    mjs = FIXDIR.parent / "run_parity.mjs"
+    res = subprocess.run(rt + [str(mjs)], capture_output=True, timeout=300)
+    assert res.returncode == 0, res.stdout.decode() + res.stderr.decode()
+    assert b"ALL PASS" in res.stdout
+
+
+def test_js_internals_exported_for_harness():
+    """run_parity.mjs drives these internals; keep them exported."""
+    js = read("nano_infer.js")
+    m = re.search(r"_internals:\s*\{([^}]*)\}", js)
+    assert m, "nano_infer.js must export _internals"
+    for fn in ("quantQ80Act", "quantQ4KAct", "matvecQ4K", "readQ4KFrame",
+               "Reader"):
+        assert fn in m.group(1), fn
 
 
 def test_voice_js_present_and_wired():

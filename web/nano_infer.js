@@ -242,7 +242,11 @@ function matvecQ4K(out, W, xv, xsv, xbv, nOut) {
       if (len <= 0) break;
       const base = g * 32;
       let sumPQ = 0, sumP = 0, sumQ = 0;
-      for (let i = 0; i < 32; i++) {
+      for (let i = 0; i < len; i++) {
+        // i < len only: pad nibbles beyond the line length are zero in
+        // OUR exporter but not guaranteed in foreign .bin files (the
+        // reference toolchain has partial-block quirks) — mirror the
+        // wn[] zeroing in cpp/nano.cpp matmul_q4k_int
         const pv = v[rowV + base + i], qv = xv[base + i];
         sumPQ += pv * qv;
         sumP += pv;
@@ -765,7 +769,12 @@ class Engine {
 }
 
 return { Engine, parseModel, parseLora, TrieTokenizer,
-         applyInstructTemplate, makeRng, nearestInt };
+         applyInstructTemplate, makeRng, nearestInt,
+         // numeric internals, exported for the runtime parity harness
+         // (tests/js/run_parity.mjs + web/test_parity.html)
+         _internals: { quantQ80Act, quantQ4KAct, matvecF32, matvecQ80,
+                       matvecQ4K, rmsnorm, roundAway, readQ4KFrame,
+                       Reader } };
 })();
 
 // worker/module interop
