@@ -13,6 +13,7 @@ the reference's base64-pickled lines; `convert` translates old files.
 """
 
 import argparse
+import os
 
 
 def main():
@@ -97,6 +98,13 @@ def main():
         return
     if args.cmd == "tokenizer":
         tok = TrieTokenizer()
+        if args.preset in (4096, 6000, 8192) and not args.charset:
+            # the repo ships its own charset data for the small presets
+            # (tools/make_charsets.py) — works without any reference tree
+            shipped = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "tokenizer", f"charset_{args.preset}.txt")
+            if os.path.exists(shipped):
+                args.charset = shipped
         if args.preset and (args.charset or args.from_vocab or
                             args.wordlist):
             from nano_tpu.tokenizer import presets

