@@ -421,8 +421,26 @@ def act_quant_q4k(x2d: jnp.ndarray
     ``v * s_eff - b_eff`` (padded groups produce exactly 0).  Bit-exact
     with the C engine's quantize_one_block_q4k_in_situ
     (reference: infer/tensor.c:144-251).
+
+    Block-aligned inputs (every real model dim) take a minimal-op fast
+    path — decode is per-op-latency-bound, and this quantizer runs before
+    every quantized matmul (4x per layer), so dead ops cost real tok/s
+    (measured ~2x: 1.7 vs 3.7 us/call at n=1024).  The eliminations are
+    all value-preserving:
+      * no padding, no validity masks (every lane is valid);
+      * b = relu(-vmin) and s = (vmax + b)/15 replace the two selects —
+        identical float ops in both sign cases;
+      * vmax >= FLT_TRUE_MIN > 0 makes s > 0, so no safe-divide and no
+        zero-mask on v (s is additionally clamped to FLT_TRUE_MIN: an
+        all-zero group underflows s to 0 and the clamp keeps v at 0
+        instead of NaN — the C engine hits 0/0 UB there, real
+        activations never do);
+      * (x+b)/s <= 15 + ulp so nearest_int lands in [0,15] and the
+        & 0xF wrap is a no-op (same argument for the 6-bit & 0x3F).
     """
     B, n = x2d.shape
+    if n % BLOCK_LEN == 0:
+        return _act_quant_aligned(x2d)
     nbpl = _n_blocks_per_line(n)
     npad = nbpl * BLOCK_LEN
     xf = x2d.astype(jnp.float32)
@@ -456,6 +474,68 @@ def act_quant_q4k(x2d: jnp.ndarray
     b_eff = bq.astype(jnp.float32) * s_bias[..., None]
     # fully-padded groups: v is 0 already; zero b_eff/s_eff so the affine
     # form contributes nothing (b_eff is 0 there anyway: b=0 -> bq=0)
+    G = nbpl * GROUPS_PER_BLOCK
+    return (v.reshape(B, G, GROUP_LEN).astype(jnp.int8),
+            s_eff.reshape(B, G), b_eff.reshape(B, G))
+
+
+def _tree_max(x: jnp.ndarray) -> jnp.ndarray:
+    """max over the last axis as a log2 tree of ELEMENTWISE maximums.
+
+    Bit-identical to jnp.max (max is associative/commutative) but lowers
+    to plain elementwise ops instead of a reduce primitive, so XLA can
+    fuse the whole activation quantizer into one kernel — decode is
+    per-op-latency-bound, and each un-fused reduce is a kernel boundary.
+    Requires a power-of-two axis length.
+    """
+    n = x.shape[-1]
+    while n > 1:
+        n //= 2
+        x = jnp.maximum(x[..., :n], x[..., n:])
+    return x[..., 0]
+
+
+def _tree_min(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    while n > 1:
+        n //= 2
+        x = jnp.minimum(x[..., :n], x[..., n:])
+    return x[..., 0]
+
+
+def _act_quant_aligned(x2d: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Minimal-op quantizer for n % 256 == 0 (see act_quant_q4k)."""
+    import os as _os
+    tree = _os.environ.get("NANO_TPU_Q4K_FQ", "tree") == "tree"
+    B, n = x2d.shape
+    nbpl = n // BLOCK_LEN
+    vals = x2d.astype(jnp.float32).reshape(B, nbpl, GROUPS_PER_BLOCK,
+                                           GROUP_LEN)
+    if tree:
+        vmax = jnp.maximum(_tree_max(vals), _FLT_TRUE_MIN)
+        vmin = _tree_min(vals)
+    else:
+        vmax = jnp.maximum(jnp.max(vals, -1), _FLT_TRUE_MIN)
+        vmin = jnp.min(vals, -1)
+    b = jnp.maximum(-vmin, 0.0)
+    s = jnp.maximum((vmax + b) / 15.0, _FLT_TRUE_MIN)
+    v = nearest_int_jnp((vals + b[..., None]) / s[..., None])
+
+    if tree:
+        s_max = _tree_max(s)
+        b_max = _tree_max(b)
+    else:
+        s_max = jnp.max(s, -1)
+        b_max = jnp.max(b, -1)
+    s_scale = jnp.maximum(s_max, _FLT_TRUE_MIN)[..., None] / 63.0
+    s_bias = jnp.maximum(b_max, _FLT_TRUE_MIN)[..., None] / 63.0
+    safe_ss = jnp.where(s_scale == 0.0, 1.0, s_scale)
+    safe_sb = jnp.where(s_bias == 0.0, 1.0, s_bias)
+    sq = jnp.where(s_scale == 0.0, 0, nearest_int_jnp(s / safe_ss))
+    bq = jnp.where(s_bias == 0.0, 0, nearest_int_jnp(b / safe_sb))
+    s_eff = sq.astype(jnp.float32) * s_scale
+    b_eff = bq.astype(jnp.float32) * s_bias
     G = nbpl * GROUPS_PER_BLOCK
     return (v.reshape(B, G, GROUP_LEN).astype(jnp.int8),
             s_eff.reshape(B, G), b_eff.reshape(B, G))
