@@ -143,27 +143,40 @@ def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
     return float(np.percentile(times, 50))
 
 
-def batched_aggregate(params, cfg, slots, n_steps=128, reps=2):
-    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, jnp.bfloat16)
-    pos = jnp.full((slots,), 4, jnp.int32)
+def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
+                      kv_dtype=jnp.int8, start_pos=384):
+    """Aggregate decode throughput at the SERVING defaults: int8 KV
+    cache + per-burst cache-length bucketing (serve/batching.py).
+
+    start_pos models streams that already hold a prompt + some decode
+    history (384 + 128 steps -> a 512 bucket out of the 1024 cache);
+    attn_len mirrors step_burst's bucket choice.
+    """
+    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, kv_dtype)
+    pos = jnp.full((slots,), start_pos, jnp.int32)
     tok = jnp.arange(slots, dtype=jnp.int32) % 997
     seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
     key = jax.random.PRNGKey(1)
     temp = jnp.zeros((slots,), jnp.float32)
     topp = jnp.full((slots,), 0.8, jnp.float32)
     rp = jnp.ones((slots,), jnp.float32)
+    from nano_tpu.infer.engine import _bucket
+    attn_len = min(cfg.block_size, _bucket(start_pos + n_steps + 1,
+                                           minimum=128))
+    if attn_len >= cfg.block_size:
+        attn_len = None
 
     def run(tok, pos, cache, seen, key):
         return batching._batched_scan(
             params, None, 0.0, tok, pos, cache, seen, key, temp, topp, rp,
-            cfg, jnp.bfloat16, 0, n_steps)
+            cfg, jnp.bfloat16, 0, n_steps, attn_len)
 
     toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
     np.asarray(toks)
     best = 0.0
     for it in range(reps):
         tok = (tok + it + 1) % cfg.vocab_size
-        pos = jnp.full((slots,), 4, jnp.int32)
+        pos = jnp.full((slots,), start_pos, jnp.int32)
         t0 = time.time()
         toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
         np.asarray(toks)

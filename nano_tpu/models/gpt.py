@@ -32,6 +32,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from nano_tpu.config import ModelConfig
 from nano_tpu import observe
@@ -258,13 +259,21 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
               kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
               start_pos: Optional[jnp.ndarray] = None,
               layer_idx: Any = -1,
+              attn_len: Optional[int] = None,
               ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One attention layer.  Returns (output, updated kv cache or None).
 
     Training: kv_cache=None, full-sequence causal (or global) attention.
     Decode:   kv_cache=(k,v) of static shape (B, max_seq, KV, D); new keys
               are written at start_pos and attention runs over the whole
-              static cache with a length mask.
+              static cache with a length mask.  `attn_len` (static,
+              batched decode) restricts the attended prefix to the first
+              attn_len cache rows — per-burst cache-length bucketing: at
+              32 slots the full-T cache read is the serving-throughput
+              ceiling (PERF.md), and rows past every stream's position
+              are masked zeros anyway.  The caller guarantees
+              max(pos) + burst < attn_len; writes still target the full
+              cache.
     """
     B, S, E = x.shape
     H, KV, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
@@ -288,6 +297,10 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         k = k + layer["bk"].astype(dtype)
         v = v + layer["bv"].astype(dtype)
 
+    # names feed the REMAT_POLICIES table (no-ops outside policy remat)
+    q = checkpoint_name(q, "qkv")
+    k = checkpoint_name(k, "qkv")
+    v = checkpoint_name(v, "qkv")
     observe.tap(Phase.QKV, layer_idx, q)
     q = q.reshape(B, S, H, D)
     k = k.reshape(B, S, KV, D)
@@ -329,6 +342,32 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
                 vs = jax.lax.dynamic_update_slice(vs, v_sc,
                                                   (0, start_pos, 0))
         new_cache = (ck, cv, ks, vs)
+        # cache-length bucketing: attend only the first attn_len rows
+        # (reads drop, writes above already hit the full cache)
+        if attn_len is not None and attn_len < ck.shape[1]:
+            ck, cv = ck[:, :attn_len], cv[:, :attn_len]
+            if quant:
+                ks, vs = ks[:, :attn_len], vs[:, :attn_len]
+        from nano_tpu.ops import decode_attn
+        if S == 1 and decode_attn.supported(
+                ck.shape[1], D, H // KV,
+                jax.default_backend() == "tpu"):
+            # fused Pallas decode attention: one launch replaces the
+            # ~8-op einsum/softmax chain (decode is per-op-latency-bound;
+            # int8-KV scales fold in, GQA stays grouped)
+            posv = (start_pos if getattr(start_pos, "ndim", 0) == 1
+                    else jnp.full((B,), start_pos, jnp.int32))
+            heads = decode_attn.decode_attention(
+                q[:, 0], ck, cv,
+                ks if quant else None, vs if quant else None,
+                posv, KV, H // KV)[:, None, :].astype(dtype)
+            observe.tap(Phase.ATTENTION, layer_idx, heads)
+            out = _dense(heads, layer["wo"], dtype)
+            if lora is not None:
+                out = out + _lora_delta(heads, lora["wo_a"], lora["wo_b"],
+                                        lora_scale, dtype)
+            observe.tap(Phase.ATTN_OUT, layer_idx, out)
+            return out, new_cache
         if quant:
             # int8 KV: fold the per-vector scales into scores/probs
             # instead of materializing a dequantized cache copy per
@@ -359,12 +398,14 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
             scores = scores + mask
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         heads = _gqa_out(probs, v)
+    heads = checkpoint_name(heads, "attn_heads")
     observe.tap(Phase.ATTENTION, layer_idx, heads)
 
     out = _dense(heads, layer["wo"], dtype)
     if lora is not None:
         # reference applies LoRA to the wo input (the concatenated heads)
         out = out + _lora_delta(heads, lora["wo_a"], lora["wo_b"], lora_scale, dtype)
+    out = checkpoint_name(out, "attn_out")
     observe.tap(Phase.ATTN_OUT, layer_idx, out)
     return out, new_cache
 
@@ -372,26 +413,28 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
 def feed_forward(x: jnp.ndarray, layer: Params, dtype) -> jnp.ndarray:
     """SwiGLU: w2(silu(w1 x) * w3 x) (reference: model.py:292-307)."""
     if "w13" in layer:
-        h13 = _dense(x, layer["w13"], dtype)
+        h13 = checkpoint_name(_dense(x, layer["w13"], dtype), "ffn_w13")
         F = h13.shape[-1] // 2
         h1, h3 = h13[..., :F], h13[..., F:]
     else:
-        h1 = _dense(x, layer["w1"], dtype)
-        h3 = _dense(x, layer["w3"], dtype)
-    return _dense(jax.nn.silu(h1) * h3, layer["w2"], dtype)
+        h1 = checkpoint_name(_dense(x, layer["w1"], dtype), "ffn_w13")
+        h3 = checkpoint_name(_dense(x, layer["w3"], dtype), "ffn_w13")
+    return checkpoint_name(
+        _dense(jax.nn.silu(h1) * h3, layer["w2"], dtype), "ffn_out")
 
 
 def block(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
           cos, sin, mask, dtype,
           lora: Optional[Params] = None, lora_scale: float = 0.0,
-          kv_cache=None, start_pos=None, layer_idx: Any = -1):
+          kv_cache=None, start_pos=None, layer_idx: Any = -1,
+          attn_len: Optional[int] = None):
     """Pre-norm residual block (reference: model.py:310-322)."""
     xn = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     observe.tap(Phase.ATTN_NORM, layer_idx, xn)
     a, new_cache = attention(
         xn, layer, cfg,
         cos, sin, mask, dtype, lora, lora_scale, kv_cache, start_pos,
-        layer_idx)
+        layer_idx, attn_len)
     h = x + a
     hn = rms_norm(h, layer["ffn_norm"], cfg.norm_eps)
     observe.tap(Phase.FFN_NORM, layer_idx, hn)
@@ -413,14 +456,16 @@ def _causal_mask(S: int) -> jnp.ndarray:
     return jnp.where(j <= i, 0.0, -jnp.inf).astype(jnp.float32)
 
 
-def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
-            dtype=jnp.bfloat16,
-            lora: Optional[Params] = None, lora_scale: float = 0.0,
-            remat: bool = False) -> jnp.ndarray:
-    """Full-sequence forward -> logits (B, S, V).  Training / prefill path.
+def forward_hidden(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
+                   dtype=jnp.bfloat16,
+                   lora: Optional[Params] = None, lora_scale: float = 0.0,
+                   remat: bool = False) -> jnp.ndarray:
+    """Full-sequence forward -> final-norm hidden states (B, S, E).
 
     Scans over stacked layer params; with `remat` the block body is
-    rematerialized in backward to trade FLOPs for HBM.
+    rematerialized in backward to trade FLOPs for HBM.  `remat` may be
+    a policy name from REMAT_POLICIES ("dots", "ffn", "heads") selecting
+    which intermediates survive to backward (see the table there).
     """
     B, S = idx.shape
     h = embed_tokens(params, idx, dtype)
@@ -447,11 +492,11 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
         # attention: measured +14% on v5e (39.6k vs 34.8k tokens/s,
         # Nano-168M batch 64 bf16) but needs ~3 GB more HBM than full
         # remat — it OOMs a 16 GB chip once Adam state is resident, so
-        # full remat stays the default.
-        if remat == "dots":
-            body = jax.checkpoint(
-                body, policy=jax.checkpoint_policies
-                .dots_with_no_batch_dims_saveable)
+        # full remat stays the default.  The named policies below pick
+        # intermediate memory/recompute points (see REMAT_POLICIES).
+        policy = REMAT_POLICIES.get(remat) if isinstance(remat, str) else None
+        if policy is not None:
+            body = jax.checkpoint(body, policy=policy())
         else:
             body = jax.checkpoint(body)
 
@@ -462,6 +507,33 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     observe.tap(Phase.FINAL_NORM, -1, h)
+    return h
+
+
+# Remat policies for the training layer scan, keyed by TrainConfig's
+# remat_policy.  Memory/recompute trade-off per 24-layer Nano-168M step
+# at batch 64 (bf16 activations, 32k tokens):
+#   full    save only the residual carry; recompute the whole block
+#   "heads" also save the attention context ('attn_heads') — skips the
+#           score/prob einsum recompute (the only batched-dims dots)
+#   "ffn"   save every projection output EXCEPT the 2F-wide w13
+#           intermediate — backward recomputes only the widest matmul
+#   "dots"  save all non-batch matmul outputs (jax builtin policy)
+REMAT_POLICIES = {
+    "dots": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    "ffn": lambda: jax.checkpoint_policies.save_any_names_but_these(
+        "ffn_w13"),
+    "heads": lambda: jax.checkpoint_policies.save_only_these_names(
+        "attn_heads"),
+}
+
+
+def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
+            dtype=jnp.bfloat16,
+            lora: Optional[Params] = None, lora_scale: float = 0.0,
+            remat: bool = False) -> jnp.ndarray:
+    """Full-sequence forward -> logits (B, S, V).  Training / prefill path."""
+    h = forward_hidden(params, idx, cfg, dtype, lora, lora_scale, remat)
     logits = compute_logits(h, params, dtype)
     observe.tap(Phase.LOGITS, -1, logits)
     return logits
@@ -470,8 +542,23 @@ def forward(params: Params, idx: jnp.ndarray, cfg: ModelConfig,
 def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
             loss_mask: Optional[jnp.ndarray], cfg: ModelConfig,
             dtype=jnp.bfloat16, lora: Optional[Params] = None,
-            lora_scale: float = 0.0, remat: bool = False) -> jnp.ndarray:
-    """Per-token CE, optionally masked and normalized by mask sum."""
+            lora_scale: float = 0.0, remat: bool = False,
+            ce_chunk: int = 0) -> jnp.ndarray:
+    """Per-token CE, optionally masked and normalized by mask sum.
+
+    ``ce_chunk`` > 0 computes the cross-entropy in token chunks of that
+    size without ever materializing the full (B*S, V) logits: at the
+    Nano-168M training shape (32k tokens x 16k vocab) the one-shot
+    logits + log_softmax + backward d(logits) cost ~6 GB of peak HBM on
+    a 16 GB chip — the difference between the fast "dots" remat policy
+    fitting or OOMing.  Each chunk's logits are rematerialized in
+    backward (jax.checkpoint over the chunk body); values match the
+    unchunked loss up to f32 summation order.
+    """
+    if ce_chunk and ce_chunk > 0:
+        h = forward_hidden(params, idx, cfg, dtype, lora, lora_scale,
+                           remat)
+        return _chunked_ce(h, params, targets, loss_mask, dtype, ce_chunk)
     logits = forward(params, idx, cfg, dtype, lora, lora_scale, remat)
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -480,6 +567,43 @@ def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
         return jnp.mean(nll)
     m = loss_mask.astype(jnp.float32)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _chunked_ce(h: jnp.ndarray, params: Params, targets: jnp.ndarray,
+                loss_mask: Optional[jnp.ndarray], dtype,
+                ce_chunk: int) -> jnp.ndarray:
+    """Scan the LM head + CE over token chunks of the flattened batch.
+
+    Peak memory per chunk is (ce_chunk, V) instead of (B*S, V); the
+    checkpointed body makes backward recompute each chunk's logits, so
+    only the (B*S, E) hidden states persist across the loss.
+    """
+    B, S, E = h.shape
+    N = B * S
+    m = (jnp.ones((B, S), jnp.float32) if loss_mask is None
+         else loss_mask.astype(jnp.float32))
+    n_chunks = -(-N // ce_chunk)
+    pad = n_chunks * ce_chunk - N
+    hf = jnp.pad(h.reshape(N, E), ((0, pad), (0, 0)))
+    tf = jnp.pad(targets.reshape(N), (0, pad))
+    mf = jnp.pad(m.reshape(N), (0, pad))        # pad rows weigh 0
+
+    hc = hf.reshape(n_chunks, ce_chunk, E)
+    tc = tf.reshape(n_chunks, ce_chunk)
+    mc = mf.reshape(n_chunks, ce_chunk)
+
+    @jax.checkpoint
+    def body(acc, xs):
+        h_c, t_c, m_c = xs
+        logits = compute_logits(h_c, params, dtype).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, t_c[:, None], axis=-1)[:, 0]
+        return acc + jnp.sum(nll * m_c), ()
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), (hc, tc, mc))
+    if loss_mask is None:
+        return total / N
+    return total / jnp.maximum(jnp.sum(m), 1.0)
 
 
 # =====================================================================
@@ -590,6 +714,7 @@ def forward_decode_batched(params: Params, tok: jnp.ndarray,
                            cfg: ModelConfig, dtype=jnp.bfloat16,
                            lora: Optional[Params] = None,
                            lora_scale: float = 0.0,
+                           attn_len: Optional[int] = None,
                            ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step with PER-SLOT positions — the continuous-batching
     primitive: slot b holds an independent stream at position pos[b].
@@ -597,9 +722,13 @@ def forward_decode_batched(params: Params, tok: jnp.ndarray,
     tok: (B,) current token per slot; pos: (B,) absolute positions.
     Returns logits (B, V) and the updated cache.  Inactive slots simply
     compute garbage that the caller ignores — shapes stay static.
+    `attn_len` (static) bounds the attended cache prefix; the caller must
+    guarantee every ACTIVE slot's pos < attn_len (serve/batching.py picks
+    the bucket per burst).
     """
     B = tok.shape[0]
     T = cache.max_seq
+    Ta = attn_len if attn_len is not None else T
     h = embed_tokens(params, tok[:, None], dtype)         # (B, 1, E)
 
     if cfg.use_rope:
@@ -610,19 +739,16 @@ def forward_decode_batched(params: Params, tok: jnp.ndarray,
         cos = sin = None
         h = h + params["wpe"][pos][:, None, :].astype(dtype)
 
-    j = jnp.arange(T)[None, :]
-    if cfg.is_causal:
-        m = jnp.where(j <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
-    else:
-        m = jnp.where(j <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
-    mask = m[:, None, None, None, :]                      # (B,1,1,1,T)
+    j = jnp.arange(Ta)[None, :]
+    m = jnp.where(j <= pos[:, None], 0.0, -jnp.inf).astype(jnp.float32)
+    mask = m[:, None, None, None, :]                      # (B,1,1,1,Ta)
 
     def body(carry, xs):
         layer, lora_layer, kvc, li = xs
         out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
                             lora_layer, lora_scale,
                             kv_cache=kvc, start_pos=pos,
-                            layer_idx=li)
+                            layer_idx=li, attn_len=attn_len)
         return out, new_kv
 
     h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(

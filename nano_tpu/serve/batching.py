@@ -31,13 +31,14 @@ from nano_tpu.infer import engine as eng
 from nano_tpu.ops import sampling
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "attn_len"))
 def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
-                  temperature, top_p, rep_penalty, cfg, dtype, top_k):
+                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
+                  attn_len=None):
     """One decode step for all B slots (per-slot positions + samplers)."""
     logits, cache = gpt.forward_decode_batched(
         params, tok, cache, pos, cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale)
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     logits = logits.astype(jnp.float32)
     logits = jnp.where(seen, logits / rep_penalty[:, None], logits)
 
@@ -69,22 +70,28 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     return next_tok, pos + 1, cache, seen, key_out
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
+                                   "attn_len"))
 def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
                   temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                  n_steps):
+                  n_steps, attn_len=None):
     """n_steps batched decode steps in ONE dispatched program.
 
     Multi-step scheduling: the per-dispatch fixed cost (30 ms through
     this setup's TPU tunnel; ~0.1 ms on directly-attached chips) is paid
     once per burst instead of once per token.  Streams that hit a stop
     token mid-burst decode a few garbage tokens that the host discards.
+
+    `attn_len` (static) is the per-burst cache-length bucket: attention
+    reads only the first attn_len cache rows.  One compiled program per
+    (n_steps, attn_len) pair — buckets are powers of two, so at most
+    log2(T) variants exist.
     """
     def body(carry, _):
         tok, pos, cache, seen, key = carry
         tok, pos, cache, seen, key = _batched_step(
             params, lora, lora_scale, tok, pos, cache, seen, key,
-            temperature, top_p, rep_penalty, cfg, dtype, top_k)
+            temperature, top_p, rep_penalty, cfg, dtype, top_k, attn_len)
         return (tok, pos, cache, seen, key), tok
 
     (tok, pos, cache, seen, key), toks = jax.lax.scan(
@@ -315,13 +322,25 @@ class BatchedEngine:
         with self.lock:
             if self.n_active == 0:
                 return BurstResult({}, {}, {})
+            # cache-length bucket for this burst: the attended prefix
+            # must cover every ACTIVE stream through the whole burst.
+            # Inactive slots compute garbage regardless; their stale pos
+            # must not inflate the bucket.
+            T = ctx.max_seq_len
+            pos_np = np.asarray(self.pos)
+            need = 1 + n_steps + max(
+                (int(pos_np[i]) for i, s in enumerate(self.slots)
+                 if s.active), default=0)
+            attn_len = min(T, eng._bucket(need, minimum=128))
+            if attn_len >= T:
+                attn_len = None          # full cache — no slicing program
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \
                 _batched_scan(
                     ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,
                     self.cache, self.seen, self.key,
                     jnp.asarray(self.temperature), jnp.asarray(self.top_p),
                     jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
-                    ctx.sampler.top_k, n_steps)
+                    ctx.sampler.top_k, n_steps, attn_len)
             return self._consume(np.asarray(toks), np.asarray(self.pos))
 
     def step(self) -> Dict[int, Optional[int]]:

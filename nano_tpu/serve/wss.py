@@ -317,10 +317,11 @@ def main():
                     help="data-parallel serving: copy the model to N "
                          "devices, one continuous-batching engine each")
     ap.add_argument("--max_seq_len", type=int, default=None)
-    ap.add_argument("--kv_cache", default="model", choices=["model", "int8"],
-                    help="int8 halves KV-cache HBM and lifted 32-slot "
-                         "aggregate throughput 57%% at the 0.6B shape "
-                         "(PERF.md); small attention-precision cost")
+    ap.add_argument("--kv_cache", default="int8", choices=["model", "int8"],
+                    help="int8 (the serving default) halves KV-cache HBM "
+                         "and lifted 32-slot aggregate throughput 57%% at "
+                         "the 0.6B shape (PERF.md); 'model' keeps the "
+                         "model dtype for C-engine value parity")
     ap.add_argument("--no_template", action="store_true")
     ap.add_argument("-t", "--temperature", type=float, default=1.0)
     ap.add_argument("-p", "--top_p", type=float, default=0.8)

@@ -28,8 +28,8 @@ def make_ctx(tmp_path, **kw):
                        tok.config, quant="f32")
     kw.setdefault("sampler", sampling.SamplerConfig(temperature=0.0,
                                                     repetition_penalty=1.0))
-    return engine.LLMContext.from_bin(path, max_seq_len=64,
-                                      dtype=jnp.float32, **kw)
+    kw.setdefault("max_seq_len", 64)
+    return engine.LLMContext.from_bin(path, dtype=jnp.float32, **kw)
 
 
 def solo_greedy(ctx, prompt, n):
@@ -88,6 +88,34 @@ def test_continuous_batching_join_midflight(tmp_path):
 
     assert out1 == solo_greedy(ctx, "abcdef", 10)
     assert out2 == solo_greedy(ctx, "qrs", 10)
+
+
+def test_cache_length_bucketing_matches_full_attention(tmp_path):
+    """With max_seq_len > 128 and short streams, step_burst slices the
+    attended cache to a 128-row bucket — tokens must be IDENTICAL to the
+    solo engine's full-cache attention (masked rows are zeros either
+    way), including across a burst that spans a bucket boundary."""
+    ctx = make_ctx(tmp_path, max_seq_len=256)
+    be = BatchedEngine(ctx, n_slots=2)
+
+    # short streams -> bucket 128 engages (T=256)
+    assert collect(be, ctx, "abcdef", 12) == solo_greedy(ctx, "abcdef", 12)
+
+    # a long prompt pushes need past 128 -> full-T program (attn_len None)
+    long_prompt = "ab" * 70                     # 140 tokens > 128 bucket
+    assert collect(be, ctx, long_prompt, 8) == \
+        solo_greedy(ctx, long_prompt, 8)
+
+    # burst mode crossing the boundary: pos ~120 + burst 16 -> need > 128
+    slot, first = be.add(ctx.encode("xy" * 59), max_new_tokens=24,
+                         temperature=0.0, repetition_penalty=1.0)
+    toks = [first]
+    while be.slots[slot].active:
+        for s, got in be.step_burst(8).items():
+            if s == slot:
+                toks.extend(got)
+    be.release(slot)
+    assert toks == solo_greedy(ctx, "xy" * 59, 24)
 
 
 def test_slots_exhaust_and_recycle(tmp_path):
