@@ -137,7 +137,12 @@ class TrainConfig:
     mesh_shape: Optional[dict] = None     # e.g. {"data": 8} or {"data": 4, "model": 2}
     param_dtype: str = "float32"          # master weights
     remat: bool = False                   # jax.checkpoint the blocks
-    remat_policy: str = "full"            # "full" | "dots" (see gpt.forward)
+    remat_policy: str = "full"            # "full" | "dots" | "ffn" | "heads"
+                                          # (gpt.REMAT_POLICIES)
+    ce_chunk: int = 0                     # chunked cross-entropy: compute
+                                          # the LM head + CE over token
+                                          # chunks of this size (0 = one
+                                          # shot); see gpt.loss_fn
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

@@ -256,13 +256,15 @@ class Trainer:
                  tc.remat_policy != "full") else tc.remat)
         tx = self._tx
 
+        ce_chunk = tc.ce_chunk
+
         def compute_loss(trainable, frozen, x, y, m):
             if use_lora:
                 return gpt.loss_fn(frozen, x, y, m, mc, dtype=dtype,
                                    lora=trainable, lora_scale=lora_scale,
-                                   remat=remat)
+                                   remat=remat, ce_chunk=ce_chunk)
             return gpt.loss_fn(trainable, x, y, m, mc, dtype=dtype,
-                               remat=remat)
+                               remat=remat, ce_chunk=ce_chunk)
 
         def train_step(trainable, frozen, opt_state, xs, ys, ms):
             """xs: (accum, B, S) — scan over microbatches, one update."""

@@ -50,6 +50,49 @@ def test_loss_mask_changes_loss():
     assert not np.isclose(float(l_all), float(l_masked))
 
 
+def test_chunked_ce_matches_full_loss_and_grads():
+    """ce_chunk must reproduce the one-shot CE (values to f32 summation
+    order, grads close) — masked and unmasked, incl. a chunk size that
+    does not divide the token count (padding path)."""
+    cfg = tiny_cfg()
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+    mask = jnp.zeros((2, 16), jnp.int32).at[:, 3:].set(1)
+    for m in (None, mask):
+        full, gfull = jax.value_and_grad(gpt.loss_fn)(
+            params, idx, tgt, m, cfg, dtype=jnp.float32)
+        for chunk in (8, 12, 32, 64):
+            ck, gck = jax.value_and_grad(gpt.loss_fn)(
+                params, idx, tgt, m, cfg, dtype=jnp.float32, ce_chunk=chunk)
+            assert np.isclose(float(full), float(ck), rtol=1e-6), (
+                m is None, chunk, float(full), float(ck))
+            flat_a = jax.tree.leaves(gfull)
+            flat_b = jax.tree.leaves(gck)
+            for a, b in zip(flat_a, flat_b):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=1e-6)
+
+
+def test_named_remat_policies_match_full():
+    """"ffn"/"heads"/"dots" remat policies change memory scheduling only —
+    loss and grads must match the unrematerialized forward."""
+    cfg = tiny_cfg()
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+    base, gbase = jax.value_and_grad(gpt.loss_fn)(
+        params, idx, tgt, None, cfg, dtype=jnp.float32)
+    for policy in (True, "dots", "ffn", "heads"):
+        loss, g = jax.value_and_grad(gpt.loss_fn)(
+            params, idx, tgt, None, cfg, dtype=jnp.float32, remat=policy)
+        assert np.isclose(float(base), float(loss), rtol=1e-6), policy
+        for a, b in zip(jax.tree.leaves(gbase), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6,
+                                       err_msg=str(policy))
+
+
 def test_kv_cache_matches_full_forward():
     """Prefill+decode through the cache must equal the full forward."""
     cfg = tiny_cfg()
