@@ -1,5 +1,5 @@
-"""HF-model gateway: serve any transformers causal-LM over the same
-WebSocket protocol as the TPU engine.
+"""Model gateway: serve transformers causal-LMs OR llama.cpp GGUF models
+over the same WebSocket protocol as the TPU engine.
 
 Parity with the reference's "Mio" gateway (reference: infer/web/server.py
 — a flask-socketio bridge to llama.cpp/HF models with streaming via
@@ -7,10 +7,17 @@ TextIteratorStreamer and model hot-swap): the browser UI (web/index.html)
 can point at either this gateway or the TPU server interchangeably.
 
     python -m nano_tpu.serve.gateway --model /path/to/hf_model --port 8081
+    python -m nano_tpu.serve.gateway --model model.gguf        # llama.cpp
 
-Streaming uses transformers' TextIteratorStreamer on a worker thread; one
-generation at a time per model (HF generate is not batched-reentrant),
-queued requests wait.
+The backend is picked by file extension (`.gguf` -> llama.cpp, anything
+else -> transformers) or forced with --backend.  The GGUF path needs
+llama-cpp-python installed (reference: infer/web/server.py:211-256 uses
+the same library); without it the gateway refuses with a clear error
+instead of importing lazily mid-request.
+
+Streaming runs on a worker thread; one generation at a time per model
+(neither HF generate nor llama.cpp is batched-reentrant), queued
+requests wait.
 """
 
 from __future__ import annotations
@@ -24,7 +31,45 @@ import threading
 logger = logging.getLogger("nano_tpu.gateway")
 
 
-class HFGateway:
+class _Gateway:
+    """Shared WebSocket protocol; subclasses provide _generate_stream
+    returning (iterator-of-text-pieces, error-list)."""
+
+    async def handle(self, websocket):
+        async for message in websocket:
+            try:
+                req = json.loads(message) if message.lstrip().startswith("{") \
+                    else {"prompt": message[5:5 + int(message[:5])]}
+                async with self.lock:
+                    streamer, err = self._generate_stream(
+                        req.get("prompt", ""), bool(req.get("template", True)),
+                        int(req.get("max_new_tokens", 256)),
+                        float(req.get("temperature", 1.0)),
+                        float(req.get("top_p", 0.8)),
+                        float(req.get("repetition_penalty", 1.05)))
+                    loop = asyncio.get_running_loop()
+                    it = iter(streamer)
+                    while True:
+                        piece = await loop.run_in_executor(
+                            None, lambda: next(it, None))
+                        if piece is None:
+                            break
+                        if piece:
+                            await websocket.send(json.dumps(
+                                {"text": piece}, ensure_ascii=False))
+                    if err:
+                        raise err[0]
+                    await websocket.send(json.dumps({"done": True,
+                                                     "reason": "stop"}))
+            except Exception as e:   # pragma: no cover - network edge
+                logger.exception("gateway request failed")
+                try:
+                    await websocket.send(json.dumps({"error": str(e)}))
+                except Exception:
+                    break
+
+
+class HFGateway(_Gateway):
     def __init__(self, model_path: str, device: str = "cpu",
                  dtype: str = "float32"):
         import torch
@@ -79,60 +124,96 @@ class HFGateway:
         thread.start()
         return streamer, err
 
-    async def handle(self, websocket):
-        async for message in websocket:
-            try:
-                req = json.loads(message) if message.lstrip().startswith("{") \
-                    else {"prompt": message[5:5 + int(message[:5])]}
-                async with self.lock:
-                    streamer, err = self._generate_stream(
-                        req.get("prompt", ""), bool(req.get("template", True)),
-                        int(req.get("max_new_tokens", 256)),
-                        float(req.get("temperature", 1.0)),
-                        float(req.get("top_p", 0.8)),
-                        float(req.get("repetition_penalty", 1.05)))
-                    loop = asyncio.get_running_loop()
-                    it = iter(streamer)
-                    while True:
-                        piece = await loop.run_in_executor(
-                            None, lambda: next(it, None))
-                        if piece is None:
-                            break
-                        if piece:
-                            await websocket.send(json.dumps(
-                                {"text": piece}, ensure_ascii=False))
-                    if err:
-                        raise err[0]
-                    await websocket.send(json.dumps({"done": True,
-                                                     "reason": "stop"}))
-            except Exception as e:   # pragma: no cover - network edge
-                logger.exception("gateway request failed")
-                try:
-                    await websocket.send(json.dumps({"error": str(e)}))
-                except Exception:
-                    break
+
+class GGUFGateway(_Gateway):
+    """llama.cpp backend: stream a local GGUF model (reference: the Mio
+    server's llama-cpp-python path, infer/web/server.py:211-256)."""
+
+    def __init__(self, model_path: str, n_ctx: int = 4096,
+                 n_threads: int = 0, n_gpu_layers: int = 0):
+        try:
+            from llama_cpp import Llama
+        except ImportError as e:
+            raise RuntimeError(
+                "GGUF backend needs llama-cpp-python (pip install "
+                "llama-cpp-python); use an HF model path for the "
+                "transformers backend") from e
+        self.llama = Llama(model_path=model_path, n_ctx=n_ctx,
+                           n_threads=n_threads or None,
+                           n_gpu_layers=n_gpu_layers, verbose=False)
+        self.lock = asyncio.Lock()
+
+    def _generate_stream(self, prompt: str, template: bool,
+                         max_new_tokens: int, temperature: float,
+                         top_p: float, repetition_penalty: float):
+        kwargs = dict(max_tokens=max_new_tokens,
+                      temperature=max(temperature, 0.0), top_p=top_p,
+                      repeat_penalty=repetition_penalty, stream=True)
+
+        def pieces():
+            if template:
+                # GGUF metadata carries the chat template; llama.cpp
+                # applies it (create_chat_completion)
+                for chunk in self.llama.create_chat_completion(
+                        [{"role": "user", "content": prompt}], **kwargs):
+                    delta = chunk["choices"][0].get("delta", {})
+                    if "content" in delta and delta["content"]:
+                        yield delta["content"]
+            else:
+                for chunk in self.llama.create_completion(prompt, **kwargs):
+                    text = chunk["choices"][0].get("text", "")
+                    if text:
+                        yield text
+
+        return pieces(), []
 
 
-async def serve(model_path: str, host: str, port: int, device: str,
-                dtype: str):
+def make_gateway(model_path: str, backend: str = "auto", **kw):
+    """Pick the backend: explicit --backend wins, else .gguf extension."""
+    if backend == "auto":
+        backend = "gguf" if model_path.endswith(".gguf") else "hf"
+    if backend == "gguf":
+        return GGUFGateway(model_path,
+                           n_ctx=kw.get("n_ctx", 4096),
+                           n_threads=kw.get("n_threads", 0),
+                           n_gpu_layers=kw.get("n_gpu_layers", 0))
+    if backend == "hf":
+        return HFGateway(model_path, device=kw.get("device", "cpu"),
+                         dtype=kw.get("dtype", "float32"))
+    raise ValueError(f"unknown gateway backend: {backend!r}")
+
+
+async def serve(model_path: str, host: str, port: int, **kw):
     import websockets
-    gw = HFGateway(model_path, device=device, dtype=dtype)
+    gw = make_gateway(model_path, **kw)
     async with websockets.serve(gw.handle, host, port, max_size=2 ** 22):
-        logger.info("HF gateway on ws://%s:%d (%s)", host, port, model_path)
+        logger.info("%s gateway on ws://%s:%d (%s)",
+                    type(gw).__name__, host, port, model_path)
         await asyncio.Future()
 
 
 def main():
-    ap = argparse.ArgumentParser(description="HF-model WebSocket gateway")
-    ap.add_argument("--model", required=True, help="HF model path/name")
+    ap = argparse.ArgumentParser(description="Model WebSocket gateway "
+                                             "(transformers or llama.cpp)")
+    ap.add_argument("--model", required=True,
+                    help="HF model path/name or .gguf file")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "hf", "gguf"])
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8081)
-    ap.add_argument("--device", default="cpu")
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--device", default="cpu", help="hf backend")
+    ap.add_argument("--dtype", default="float32", help="hf backend")
+    ap.add_argument("--n_ctx", type=int, default=4096, help="gguf backend")
+    ap.add_argument("--n_threads", type=int, default=0, help="gguf backend")
+    ap.add_argument("--n_gpu_layers", type=int, default=0,
+                    help="gguf backend")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    asyncio.run(serve(args.model, args.host, args.port, args.device,
-                      args.dtype))
+    asyncio.run(serve(args.model, args.host, args.port,
+                      backend=args.backend, device=args.device,
+                      dtype=args.dtype, n_ctx=args.n_ctx,
+                      n_threads=args.n_threads,
+                      n_gpu_layers=args.n_gpu_layers))
 
 
 if __name__ == "__main__":

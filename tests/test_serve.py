@@ -253,6 +253,65 @@ def test_hf_gateway_end_to_end(tmp_path):
     assert isinstance(out, str) and len(out) > 0
 
 
+def test_gguf_gateway_backend(tmp_path, monkeypatch):
+    """GGUF backend: extension routing, clean refusal without
+    llama-cpp-python, and a full WebSocket stream through the shared
+    protocol handler with a stubbed llama_cpp module."""
+    websockets = pytest.importorskip("websockets")
+    import sys
+    import types
+    from nano_tpu.serve import gateway
+
+    # without llama_cpp installed the factory must refuse clearly
+    if "llama_cpp" not in sys.modules:
+        with pytest.raises((RuntimeError, ValueError)) as ei:
+            gateway.make_gateway(str(tmp_path / "m.gguf"))
+        assert "llama-cpp-python" in str(ei.value)
+
+    class FakeLlama:
+        def __init__(self, model_path, **kw):
+            self.model_path = model_path
+
+        def create_chat_completion(self, messages, **kw):
+            assert kw.get("stream") is True
+            for piece in ["Hi ", "from ", "gguf"]:
+                yield {"choices": [{"delta": {"content": piece}}]}
+
+        def create_completion(self, prompt, **kw):
+            assert kw.get("stream") is True
+            for piece in [prompt[:2], "..."]:
+                yield {"choices": [{"text": piece}]}
+
+    fake = types.ModuleType("llama_cpp")
+    fake.Llama = FakeLlama
+    monkeypatch.setitem(sys.modules, "llama_cpp", fake)
+
+    gw = gateway.make_gateway(str(tmp_path / "m.gguf"))
+    assert isinstance(gw, gateway.GGUFGateway)
+    # explicit backend override beats extension
+    assert isinstance(gateway.make_gateway("whatever", backend="gguf"),
+                      gateway.GGUFGateway)
+
+    async def run(template):
+        async with websockets.serve(gw.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({"prompt": "hello",
+                                         "template": template,
+                                         "max_new_tokens": 8}))
+                chunks = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("error"):
+                        raise AssertionError(m["error"])
+                    if m.get("done"):
+                        return "".join(chunks)
+                    chunks.append(m["text"])
+
+    assert asyncio.run(run(True)) == "Hi from gguf"
+    assert asyncio.run(run(False)) == "he..."
+
+
 def test_wss_interrupt_midstream(tmp_path):
     """{"stop": true} mid-generation ends the reply with
     reason=interrupted and frees the slot for the next request."""
