@@ -309,3 +309,71 @@ def test_asr_fifo_server_protocol(tmp_path):
         assert texts == ["你好 world"]
     finally:
         srv.stop()
+
+
+def test_voice_ws_bridge_roundtrip():
+    """The browser-facing WebSocket voice bridge: mic-style PCM frames
+    in -> recognized text out, and a TTS request -> playable WAV whose
+    audio decodes back to the input text (fully offline DSP loop)."""
+    import asyncio
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve import asr
+    from nano_tpu.serve.voice_ws import VoiceWSServer
+
+    srv = VoiceWSServer(asr.make_morse_recognizer())
+
+    async def run():
+        async with websockets.serve(srv.handle, "127.0.0.1", 0,
+                                    max_size=2 ** 24) as s:
+            port = list(s.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}",
+                                          max_size=2 ** 24) as c:
+                # --- ASR: stream PCM chunks like the ScriptProcessor does
+                await c.send(json.dumps({"type": "start", "rate": 8000}))
+                pcm = asr.text_to_morse_pcm("CQ TPU", rate=8000, noise=0.05)
+                pcm16 = (np.clip(pcm, -1, 1) * 32767).astype("<i2").tobytes()
+                for i in range(0, len(pcm16), 4096):
+                    await c.send(pcm16[i:i + 4096])
+                await c.send(json.dumps({"type": "stop"}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 30))
+                assert m == {"type": "asr", "text": "CQ TPU"}
+
+                # --- PCM outside a capture is ignored, next capture clean
+                await c.send(pcm16[:4096])
+                await c.send(json.dumps({"type": "start", "rate": 8000}))
+                await c.send(json.dumps({"type": "stop"}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 30))
+                assert m["type"] == "asr" and m["text"] == ""
+
+                # --- TTS: WAV header frame + binary WAV; decode it back
+                await c.send(json.dumps({"type": "tts", "text": "73 DE NANO"}))
+                hdr = json.loads(await asyncio.wait_for(c.recv(), 30))
+                assert hdr["type"] == "tts_wav"
+                wav = await asyncio.wait_for(c.recv(), 30)
+                assert isinstance(wav, (bytes, bytearray))
+                assert len(wav) == hdr["bytes"]
+                audio, rate = asr.read_wav(bytes(wav))
+                assert asr.decode_morse_audio(audio, rate) == "73 DE NANO"
+
+                # --- errors keep the connection alive
+                await c.send(json.dumps({"type": "bogus"}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 30))
+                assert m["type"] == "error"
+                await c.send(json.dumps({"type": "tts", "text": "OK"}))
+                hdr = json.loads(await asyncio.wait_for(c.recv(), 30))
+                assert hdr["type"] == "tts_wav"
+                await asyncio.wait_for(c.recv(), 30)
+
+    asyncio.run(run())
+
+
+def test_voice_js_server_backends_wired():
+    """asr.js/tts.js expose the offline server backends the bridge
+    serves (useServer + PCM streaming + WAV playback paths)."""
+    a = read("asr.js")
+    t = read("tts.js")
+    for frag in ("useServer", "serverBackend", "Int16Array",
+                 '"start"', '"stop"'):
+        assert frag in a, frag
+    for frag in ("useServer", "serverBackend", "decodeAudioData", '"tts"'):
+        assert frag in t, frag

@@ -17,6 +17,43 @@ const NanoTTS = (() => {
   let enabled = false;
   const SENTENCE_END = /[。！？!?.;；\n]/;
 
+  // offline backend: text -> voice bridge (nano_tpu/serve/voice_ws.py)
+  // -> WAV bytes -> AudioContext playback.  Fully self-hosted; the
+  // bridge's synthesizer is pluggable (morse DSP by default).
+  function serverBackend(url) {
+    let ctx = null;
+    let queue = Promise.resolve();
+    function play(buf) {
+      queue = queue.then(() => new Promise(res => {
+        if (!ctx) ctx = new (window.AudioContext || window.webkitAudioContext)();
+        ctx.decodeAudioData(buf.slice(0), decoded => {
+          const src = ctx.createBufferSource();
+          src.buffer = decoded;
+          src.connect(ctx.destination);
+          src.onended = res;
+          src.start();
+        }, () => res());
+      }));
+    }
+    return {
+      name: "server",
+      speak(text) {
+        const ws = new WebSocket(url);
+        ws.binaryType = "arraybuffer";
+        ws.onopen = () => ws.send(JSON.stringify({ type: "tts", text }));
+        ws.onmessage = ev => {
+          if (typeof ev.data === "string") return;   // header frame
+          play(ev.data);
+          ws.close();
+        };
+      },
+      cancel() {
+        queue = Promise.resolve();
+        if (ctx) { ctx.close(); ctx = null; }
+      },
+    };
+  }
+
   function synthBackend() {
     if (typeof speechSynthesis === "undefined") return null;
     return {
@@ -49,6 +86,7 @@ const NanoTTS = (() => {
   return {
     available() { return !!(backend || synthBackend()); },
     setBackend(b) { backend = b; },
+    useServer(url) { backend = serverBackend(url); },
     setEnabled(on) {
       enabled = on;
       if (!backend) backend = synthBackend();
