@@ -59,6 +59,16 @@ struct Q4KView {                 // packed 160-byte blocks, 256 values each
     uint32_t cols = 0;           // true columns (n_pad = bpr * 256)
 };
 
+// Load-time side tables for the Q4K integer dot: per-group scales and
+// weight-nibble sums are input-invariant, but the packed 160-byte block
+// stores them 6-bit-packed — decoding them per (row, block, matmul)
+// dominated the integer kernel (measured 3.6 -> 24+ tok/s at Nano-168M
+// on the 1-core host).  ~12 bytes per 256-value block (+0.7% model size).
+struct Q4KAux {
+    std::vector<float> ws, wb;       // (n_blocks * 8) effective scale/bias
+    std::vector<int32_t> sum_p;      // (n_blocks * 8) nibble sums, tail-zeroed
+};
+
 // One weight matrix in any quantization; `rows x cols`, row-major.
 struct Weight {
     Quant quant = Quant::F32;
@@ -66,6 +76,7 @@ struct Weight {
     const float* f32 = nullptr;
     Q80View q80;
     Q4KView q4k;
+    std::shared_ptr<const Q4KAux> q4k_aux;   // built by map_weights
 };
 
 // ------------------------------------------------------------------

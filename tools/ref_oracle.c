@@ -14,6 +14,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 #include <wchar.h>
 
 #include "infer.h"
@@ -64,10 +65,12 @@ int main(int argc, char **argv) {
 
     printf("OUTPUT_IDS:");
     int produced = 0;
+    struct timespec t0 = {0, 0}, t1 = {0, 0};
     while (produced < max_new) {
         int32_t status = llm_session_step(ctx, session);
         if (status == LLM_RUNNING_IN_PREFILLING) continue;
         if (status == LLM_RUNNING_IN_DECODING || status == LLM_STOPPED_NORMALLY) {
+            if (produced == 0) clock_gettime(CLOCK_MONOTONIC, &t0);
             printf(" %u", session->next_token);
             produced++;
             if (status == LLM_STOPPED_NORMALLY) break;
@@ -75,7 +78,13 @@ int main(int argc, char **argv) {
             break;
         }
     }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
     printf("\n");
+    if (produced > 1) {
+        double dt = (t1.tv_sec - t0.tv_sec) + (t1.tv_nsec - t0.tv_nsec) * 1e-9;
+        /* decode-only tokens/s (first decoded token marks t0) */
+        printf("TPS: %.2f\n", (produced - 1) / dt);
+    }
     fflush(stdout);
     return 0;
 }
