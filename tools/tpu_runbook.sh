@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-3 TPU measurement sequence — run SOLO (one TPU job at a time).
+# Results land in /tmp/r3/*.log; safe to re-run (each stage overwrites).
+set -u
+cd /root/repo
+mkdir -p /tmp/r3
+R=/tmp/r3
+
+stage() { echo "=== $1 ($(date +%H:%M:%S)) ==="; }
+
+stage "0 probe"
+timeout 300 python -c "
+import jax, numpy as np
+x = jax.numpy.ones((256,256))
+print('TPU ok', float(np.asarray(x @ x)[0,0]))
+" > $R/probe.log 2>&1 || { echo "probe FAILED"; exit 1; }
+cat $R/probe.log
+
+stage "1 q4k e2e A/B"
+timeout 1800 python tools/bench_q4k_e2e.py q4k > $R/q4k_tree.log 2>&1
+tail -1 $R/q4k_tree.log
+NANO_TPU_Q4K_FQ=max timeout 1800 python tools/bench_q4k_e2e.py q4k > $R/q4k_max.log 2>&1
+tail -1 $R/q4k_max.log
+timeout 1800 python tools/bench_q4k_e2e.py bf16 > $R/bf16.log 2>&1
+tail -1 $R/bf16.log
+
+stage "2 train sweep (168M batch 64)"
+timeout 7200 python tools/bench_train.py full:0 full:8192 ffn:8192 heads:8192 dots:8192 dots:0 > $R/train_sweep.log 2>&1
+cat $R/train_sweep.log
+
+stage "3 56M pretrain (2500 steps)"
+timeout 14400 python train.py -m config/model_56m.json -t config/pretrain_56m.json > $R/train56m.log 2>&1
+tail -3 $R/train56m.log
+
+stage "4 export f32/q80/q4k"
+CK=$(ls -t ckpt/pretrain56m/*.npz 2>/dev/null | head -1)
+echo "checkpoint: $CK"
+timeout 1200 python export.py --checkpoint "$CK" /tmp/r3/m56_f32.bin > $R/export.log 2>&1
+timeout 1200 python export.py --quant "$CK" /tmp/r3/m56_q80.bin >> $R/export.log 2>&1
+timeout 1200 python export.py --q4k "$CK" /tmp/r3/m56_q4k.bin >> $R/export.log 2>&1
+tail -3 $R/export.log; ls -la /tmp/r3/*.bin
+
+stage "5 PPL deltas (held-out text)"
+head -c 40000 /root/reference/dataset/pretrain_psycho.txt > /tmp/r3/eval_text.txt
+timeout 3600 python eval.py -m /tmp/r3/m56_q80.bin -i /tmp/r3/eval_text.txt --compare /tmp/r3/m56_f32.bin > $R/ppl_q80.log 2>&1
+cat $R/ppl_q80.log
+timeout 3600 python eval.py -m /tmp/r3/m56_q4k.bin -i /tmp/r3/eval_text.txt --compare /tmp/r3/m56_f32.bin > $R/ppl_q4k.log 2>&1
+cat $R/ppl_q4k.log
+
+stage "6 bench panel"
+timeout 5400 python bench.py > $R/bench.log 2>&1
+tail -1 $R/bench.log
+
+stage "DONE"
