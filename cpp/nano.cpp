@@ -493,9 +493,42 @@ static void matmul_q80(float* y, const Weight& w, const float* x, int gs) {
 // int8 x int8 -> int32 per group, f32 scale combine.  ~2x the f32
 // dequant dot on SIMD CPUs (half the bytes, integer multiply-adds).
 static void matmul_q80_int(float* y, const Weight& w, const int8_t* xq,
-                           const float* xs, int gs) {
+                           const uint8_t* xu, const float* xs, int gs) {
     int rows = (int)w.rows, cols = (int)w.cols;
     int n_groups = cols / gs;
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__)
+    // vpdpbusd wants u8 x s8: feed the +128-shifted activation (xu) and
+    // unfold the shift with the load-time group weight sums —
+    // sum((a+128) * w) - 128 * sum(w) == sum(a * w), exactly.  64 int8
+    // products per instruction; the scalar i32 result and the float
+    // combine are identical to the plain loop (bit-exact outputs).
+    if ((gs & 63) == 0 && w.q80_wsum) {
+        const int32_t* wsum_all = w.q80_wsum->data();
+        #pragma omp parallel for schedule(static)
+        for (int r = 0; r < rows; r++) {
+            const int8_t* q = w.q80.q + (size_t)r * cols;
+            const float* s = w.q80.s + (size_t)r * n_groups;
+            const int32_t* wsum = wsum_all + (size_t)r * n_groups;
+            float acc = 0.0f;
+            for (int g = 0; g < n_groups; g++) {
+                const int8_t* qg = q + g * gs;
+                const uint8_t* ag = xu + g * gs;
+                __m512i vacc = _mm512_setzero_si512();
+                for (int c = 0; c < gs; c += 64)
+                    vacc = _mm512_dpbusd_epi32(
+                        vacc,
+                        _mm512_loadu_si512((const void*)(ag + c)),
+                        _mm512_loadu_si512((const void*)(qg + c)));
+                int32_t ival = _mm512_reduce_add_epi32(vacc)
+                               - 128 * wsum[g];
+                acc += (float)ival * s[g] * xs[g];
+            }
+            y[r] = acc;
+        }
+        return;
+    }
+#endif
+    (void)xu;
     #pragma omp parallel for schedule(static)
     for (int r = 0; r < rows; r++) {
         const int8_t* q = w.q80.q + (size_t)r * cols;
@@ -642,6 +675,7 @@ struct Model::Runtime {
     std::vector<float> att;      // per-head scores scratch (max_seq)
     // integer-dot activation buffers (NANO_CPP_INT_DOT, default on)
     std::vector<int8_t> xq8;     // Q80 int8 activation
+    std::vector<uint8_t> xu8;    // xq8 + 128 (u8 operand for VNNI dots)
     std::vector<float> xs8;      // Q80 per-group activation scales
     std::vector<uint8_t> a4v;    // Q4K 4-bit activation values (padded)
     std::vector<float> a4s, a4b;  // Q4K per-32-group eff scale/bias
@@ -675,6 +709,7 @@ Model::Runtime* Model::new_runtime(int max_seq_len) const {
         int maxdim = std::max({c.n_embd, qdim, c.n_hidden});
         int maxpad = (maxdim + Q4K_BLOCK - 1) / Q4K_BLOCK * Q4K_BLOCK;
         rt->xq8.resize(maxdim);
+        rt->xu8.resize(maxdim);
         rt->xs8.resize(maxdim);          // overallocated (>= maxdim/gs)
         rt->a4v.resize(maxpad);
         rt->a4s.resize(maxpad / Q4K_GROUP);
@@ -792,6 +827,20 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
             w.q80.s = (const float*)p;
             p += (numel / group_size_) * 4;
             if (p > limit) throw std::runtime_error("model file truncated");
+            if (int_dot_enabled() && (group_size_ & 63) == 0) {
+                // group weight sums for the VNNI dot (see matmul_q80_int)
+                size_t ng = numel / group_size_;
+                auto sums = std::make_shared<std::vector<int32_t>>(ng);
+                const int8_t* qp = w.q80.q;
+                #pragma omp parallel for schedule(static)
+                for (size_t i = 0; i < ng; i++) {
+                    int32_t sacc = 0;
+                    const int8_t* b = qp + i * group_size_;
+                    for (int32_t c = 0; c < group_size_; c++) sacc += b[c];
+                    (*sums)[i] = sacc;
+                }
+                w.q80_wsum = std::move(sums);
+            }
         }
         return w;
     };
@@ -973,8 +1022,11 @@ void Model::attach_lora(const std::string& path) {
 static void prep_act(Model::Runtime* rt, const float* x, int n, Quant q,
                      int gs) {
     if (q == Quant::Q80) {
-        if (int_dot_enabled())
+        if (int_dot_enabled()) {
             q80_quant_act(x, n, gs, rt->xq8.data(), rt->xs8.data());
+            for (int i = 0; i < n; i++)
+                rt->xu8[i] = (uint8_t)(rt->xq8[i] + 128);
+        }
     } else if (q == Quant::Q4K) {
         if (int_dot_enabled()) {
             q4k_quant_act(x, n, rt->a4v.data(), rt->a4s.data(),
@@ -1008,7 +1060,8 @@ static void dispatch_matmul(float* y, const Weight& w, const float* x,
         matmul_f32(y, w, x);
     } else if (w.quant == Quant::Q80) {
         if (int_dot_enabled())
-            matmul_q80_int(y, w, rt->xq8.data(), rt->xs8.data(), gs);
+            matmul_q80_int(y, w, rt->xq8.data(), rt->xu8.data(),
+                           rt->xs8.data(), gs);
         else
             matmul_q80(y, w, x, gs);
     } else {

@@ -77,6 +77,9 @@ struct Weight {
     Q80View q80;
     Q4KView q4k;
     std::shared_ptr<const Q4KAux> q4k_aux;   // built by map_weights
+    // Q80 per-(row, group) weight sums for the VNNI dot (u8 x s8 needs
+    // the activation shifted by +128; the shift unfolds via these sums)
+    std::shared_ptr<const std::vector<int32_t>> q80_wsum;
 };
 
 // ------------------------------------------------------------------
