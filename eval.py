@@ -62,6 +62,45 @@ def model_ppl(path: str, text: str, block_size: int = 0,
     return math.exp(total_nll / total_tok)
 
 
+def cpp_model_ppl(path: str, text: str, block_size: int = 512,
+                  stride: int = 0) -> float:
+    """PPL through the C++ host engine (cpp/ via libnano.so) — the same
+    strided-window token accounting as model_ppl, so `--engine cpp` is a
+    direct cross-engine check of the quantized-quality numbers."""
+    import numpy as np
+    from nano_tpu.cpp_engine import CppEngine
+
+    S = block_size or 512
+    stride = stride or S
+    with CppEngine(path, max_seq_len=S) as eng:
+        ids = np.asarray(eng.encode(text), np.int32)
+        if len(ids) < 2:
+            raise ValueError("text too short")
+        total_nll, total_tok = 0.0, 0
+        counted_to = 0
+        for start in range(0, max(len(ids) - 1, 1), stride):
+            window = ids[start:start + S + 1]
+            if len(window) < 2:
+                break
+            valid = len(window) - 1
+            lo_abs = max(start + 1, counted_to + 1)
+            if lo_abs > start + valid:
+                continue
+            lo = lo_abs - (start + 1)
+            for p in range(valid):
+                logits = np.asarray(eng.forward(int(window[p]), p),
+                                    np.float64)
+                if p < lo:
+                    continue
+                t = int(window[p + 1])
+                m = logits.max()
+                total_nll += -(logits[t] - m
+                               - math.log(np.exp(logits - m).sum()))
+                total_tok += 1
+            counted_to = start + valid
+        return math.exp(total_nll / total_tok)
+
+
 def main():
     ap = argparse.ArgumentParser(description="Nano PPL evaluation")
     ap.add_argument("-m", "--model", required=True)
@@ -71,15 +110,19 @@ def main():
                          "the PPL delta against")
     ap.add_argument("-b", "--block_size", type=int, default=0)
     ap.add_argument("--stride", type=int, default=0)
+    ap.add_argument("--engine", default="jax", choices=["jax", "cpp"],
+                    help="cpp = score with the C++ host engine "
+                         "(build/libnano.so) instead of the TPU engine")
     args = ap.parse_args()
 
     with open(args.input, "r", encoding="utf-8") as f:
         text = f.read()
 
-    ppl = model_ppl(args.model, text, args.block_size, args.stride)
+    fn = model_ppl if args.engine == "jax" else cpp_model_ppl
+    ppl = fn(args.model, text, args.block_size, args.stride)
     print(f"{args.model}: ppl = {ppl:.4f}")
     if args.compare:
-        ref = model_ppl(args.compare, text, args.block_size, args.stride)
+        ref = fn(args.compare, text, args.block_size, args.stride)
         print(f"{args.compare}: ppl = {ref:.4f}")
         print(f"delta = {ppl - ref:+.4f}")
 

@@ -216,3 +216,18 @@ def test_cpp_qwen3_matches_jax(tmp_path):
         assert eng.encode("hello") == ids
         cpp_out = eng.generate(ids, 10)
     assert cpp_out == jax_out[:len(cpp_out)] and len(cpp_out) >= 5
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_ppl_matches_jax(tmp_path):
+    """eval.py --engine cpp scores the same .bin within float-accumulation
+    noise of the JAX engine (same strided-window token accounting)."""
+    import sys
+    sys.path.insert(0, str(REPO_ROOT))
+    import eval as eval_mod
+
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    text = "abc defg hij klmno " * 12
+    jax_ppl = eval_mod.model_ppl(path, text, block_size=32, stride=16)
+    cpp_ppl = eval_mod.cpp_model_ppl(path, text, block_size=32, stride=16)
+    assert abs(jax_ppl - cpp_ppl) / jax_ppl < 1e-3, (jax_ppl, cpp_ppl)
