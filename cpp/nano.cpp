@@ -456,15 +456,20 @@ static void q80_quant_act(const float* x, int n, int gs, int8_t* q,
     }
 }
 
+// Row-dot helpers: ONE body each for the matvec (decode) and GEMM
+// (batched prefill) paths, so batched prefill is bit-identical to P
+// single-token forwards by construction.
+static inline float f32_row_dot(const float* wr, const float* x, int cols) {
+    float acc = 0.0f;
+    for (int c = 0; c < cols; c++) acc += wr[c] * x[c];
+    return acc;
+}
+
 static void matmul_f32(float* y, const Weight& w, const float* x) {
     int rows = (int)w.rows, cols = (int)w.cols;
     #pragma omp parallel for schedule(static)
-    for (int r = 0; r < rows; r++) {
-        const float* wr = w.f32 + (size_t)r * cols;
-        float acc = 0.0f;
-        for (int c = 0; c < cols; c++) acc += wr[c] * x[c];
-        y[r] = acc;
-    }
+    for (int r = 0; r < rows; r++)
+        y[r] = f32_row_dot(w.f32 + (size_t)r * cols, x, cols);
 }
 
 static void matmul_q80(float* y, const Weight& w, const float* x, int gs) {
@@ -492,58 +497,56 @@ static void matmul_q80(float* y, const Weight& w, const float* x, int gs) {
 // integer-dot Q80 (the reference engine's path, infer/infer.c:654-679):
 // int8 x int8 -> int32 per group, f32 scale combine.  ~2x the f32
 // dequant dot on SIMD CPUs (half the bytes, integer multiply-adds).
+// One Q80 integer row dot (see matmul_q80_int for the VNNI details:
+// vpdpbusd wants u8 x s8, so the +128-shifted activation feeds it and
+// the shift unfolds via the load-time group weight sums — the scalar
+// i32 result and float combine are identical to the plain loop).
+static inline float q80_row_dot(const int8_t* q, const float* s,
+                                const int32_t* wsum, const int8_t* xq,
+                                const uint8_t* xu, const float* xs,
+                                int cols, int gs) {
+    int n_groups = cols / gs;
+    float acc = 0.0f;
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__)
+    if ((gs & 63) == 0 && wsum) {
+        for (int g = 0; g < n_groups; g++) {
+            const int8_t* qg = q + g * gs;
+            const uint8_t* ag = xu + g * gs;
+            __m512i vacc = _mm512_setzero_si512();
+            for (int c = 0; c < gs; c += 64)
+                vacc = _mm512_dpbusd_epi32(
+                    vacc,
+                    _mm512_loadu_si512((const void*)(ag + c)),
+                    _mm512_loadu_si512((const void*)(qg + c)));
+            int32_t ival = _mm512_reduce_add_epi32(vacc) - 128 * wsum[g];
+            acc += (float)ival * s[g] * xs[g];
+        }
+        return acc;
+    }
+#endif
+    (void)xu; (void)wsum;
+    for (int g = 0; g < n_groups; g++) {
+        const int8_t* qg = q + g * gs;
+        const int8_t* ag = xq + g * gs;
+        int32_t ival = 0;
+        for (int c = 0; c < gs; c++)
+            ival += (int32_t)qg[c] * (int32_t)ag[c];
+        acc += (float)ival * s[g] * xs[g];
+    }
+    return acc;
+}
+
 static void matmul_q80_int(float* y, const Weight& w, const int8_t* xq,
                            const uint8_t* xu, const float* xs, int gs) {
     int rows = (int)w.rows, cols = (int)w.cols;
     int n_groups = cols / gs;
-#if defined(__AVX512VNNI__) && defined(__AVX512BW__)
-    // vpdpbusd wants u8 x s8: feed the +128-shifted activation (xu) and
-    // unfold the shift with the load-time group weight sums —
-    // sum((a+128) * w) - 128 * sum(w) == sum(a * w), exactly.  64 int8
-    // products per instruction; the scalar i32 result and the float
-    // combine are identical to the plain loop (bit-exact outputs).
-    if ((gs & 63) == 0 && w.q80_wsum) {
-        const int32_t* wsum_all = w.q80_wsum->data();
-        #pragma omp parallel for schedule(static)
-        for (int r = 0; r < rows; r++) {
-            const int8_t* q = w.q80.q + (size_t)r * cols;
-            const float* s = w.q80.s + (size_t)r * n_groups;
-            const int32_t* wsum = wsum_all + (size_t)r * n_groups;
-            float acc = 0.0f;
-            for (int g = 0; g < n_groups; g++) {
-                const int8_t* qg = q + g * gs;
-                const uint8_t* ag = xu + g * gs;
-                __m512i vacc = _mm512_setzero_si512();
-                for (int c = 0; c < gs; c += 64)
-                    vacc = _mm512_dpbusd_epi32(
-                        vacc,
-                        _mm512_loadu_si512((const void*)(ag + c)),
-                        _mm512_loadu_si512((const void*)(qg + c)));
-                int32_t ival = _mm512_reduce_add_epi32(vacc)
-                               - 128 * wsum[g];
-                acc += (float)ival * s[g] * xs[g];
-            }
-            y[r] = acc;
-        }
-        return;
-    }
-#endif
-    (void)xu;
+    const int32_t* wsum_all = w.q80_wsum ? w.q80_wsum->data() : nullptr;
     #pragma omp parallel for schedule(static)
-    for (int r = 0; r < rows; r++) {
-        const int8_t* q = w.q80.q + (size_t)r * cols;
-        const float* s = w.q80.s + (size_t)r * n_groups;
-        float acc = 0.0f;
-        for (int g = 0; g < n_groups; g++) {
-            const int8_t* qg = q + g * gs;
-            const int8_t* ag = xq + g * gs;
-            int32_t ival = 0;
-            for (int c = 0; c < gs; c++)
-                ival += (int32_t)qg[c] * (int32_t)ag[c];
-            acc += (float)ival * s[g] * xs[g];
-        }
-        y[r] = acc;
-    }
+    for (int r = 0; r < rows; r++)
+        y[r] = q80_row_dot(
+            w.q80.q + (size_t)r * cols, w.q80.s + (size_t)r * n_groups,
+            wsum_all ? wsum_all + (size_t)r * n_groups : nullptr,
+            xq, xu, xs, cols, gs);
 }
 
 // integer-dot Q4K: both sides quantized, affine expansion per 32-group
@@ -568,6 +571,74 @@ static void matmul_q80_int(float* y, const Weight& w, const int8_t* xq,
 // 16-wide scalar loop ("not profitable").  The float combine below is
 // UNCHANGED in op order either way — results stay bit-identical to the
 // scalar form and to the pre-aux kernel.
+static inline float q4k_row_dot(const uint8_t* row_blocks, int bpr,
+                                const float* ws_row, const float* wb_row,
+                                const int32_t* wsum_row,
+                                const uint8_t* ae, const uint8_t* ao,
+                                const int32_t* asum,
+                                const float* as, const float* ab) {
+    float acc = 0.0f;
+    for (int blk = 0; blk < bpr; blk++) {
+        const uint8_t* block = row_blocks + (size_t)blk * Q4K_BYTES;
+        uint32_t len = read_le<uint32_t>(block + 4);
+        const uint8_t* v = block + 32;
+        const float* ws = ws_row + blk * 8;
+        const float* wb = wb_row + blk * 8;
+        const int32_t* wsum = wsum_row + blk * 8;
+        int32_t pq[8];
+#if defined(__AVX2__)
+        const __m256i nib = _mm256_set1_epi8(0x0F);
+        const __m256i one16 = _mm256_set1_epi16(1);
+        for (int c = 0; c < 4; c++) {
+            __m256i wv = _mm256_loadu_si256(
+                (const __m256i*)(v + 32 * c));
+            __m256i lo = _mm256_and_si256(wv, nib);
+            __m256i hi = _mm256_and_si256(
+                _mm256_srli_epi16(wv, 4), nib);
+            __m256i ev = _mm256_loadu_si256(
+                (const __m256i*)(ae + blk * 128 + 32 * c));
+            __m256i ov = _mm256_loadu_si256(
+                (const __m256i*)(ao + blk * 128 + 32 * c));
+            __m256i s16 = _mm256_add_epi16(
+                _mm256_maddubs_epi16(lo, ev),
+                _mm256_maddubs_epi16(hi, ov));
+            __m256i s32 = _mm256_madd_epi16(s16, one16);
+            // i32 lanes 0..3 = bytes 0..15 (group 2c), 4..7 = 2c+1
+            __m128i ga = _mm256_castsi256_si128(s32);
+            __m128i gb = _mm256_extracti128_si256(s32, 1);
+            __m128i ha = _mm_add_epi32(ga, _mm_shuffle_epi32(ga, 0x4E));
+            ha = _mm_add_epi32(ha, _mm_shuffle_epi32(ha, 0xB1));
+            __m128i hb = _mm_add_epi32(gb, _mm_shuffle_epi32(gb, 0x4E));
+            hb = _mm_add_epi32(hb, _mm_shuffle_epi32(hb, 0xB1));
+            pq[2 * c] = _mm_cvtsi128_si32(ha);
+            pq[2 * c + 1] = _mm_cvtsi128_si32(hb);
+        }
+#else
+        for (int g = 0; g < 8; g++) {
+            const uint8_t* wbytes = v + g * (Q4K_GROUP / 2);
+            const uint8_t* e = ae + (blk * 8 + g) * (Q4K_GROUP / 2);
+            const uint8_t* o = ao + (blk * 8 + g) * (Q4K_GROUP / 2);
+            int32_t sg = 0;
+            for (int i = 0; i < Q4K_GROUP / 2; i++)
+                sg += (int32_t)(wbytes[i] & 0x0F) * (int32_t)e[i]
+                    + (int32_t)(wbytes[i] >> 4) * (int32_t)o[i];
+            pq[g] = sg;
+        }
+#endif
+        for (int g = 0; g < 8 && (uint32_t)(g * Q4K_GROUP) < len; g++) {
+            int glen = std::min((uint32_t)Q4K_GROUP,
+                                len - g * Q4K_GROUP);
+            float sp = ws[g], bp = wb[g];
+            float sq = as[blk * 8 + g], bq = ab[blk * 8 + g];
+            acc += sp * sq * (float)pq[g]
+                 - sp * bq * (float)wsum[g]
+                 - sq * bp * (float)asum[blk * 8 + g]
+                 + (float)glen * bp * bq;
+        }
+    }
+    return acc;
+}
+
 static void matmul_q4k_int(float* y, const Weight& w, const uint8_t* ae,
                            const uint8_t* ao, const int32_t* asum,
                            const float* as, const float* ab) {
@@ -575,69 +646,12 @@ static void matmul_q4k_int(float* y, const Weight& w, const uint8_t* ae,
     int bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
     const Q4KAux& aux = *w.q4k_aux;
     #pragma omp parallel for schedule(static)
-    for (int r = 0; r < rows; r++) {
-        float acc = 0.0f;
-        for (int blk = 0; blk < bpr; blk++) {
-            size_t bi = (size_t)r * bpr + blk;
-            const uint8_t* block = w.q4k.blocks + bi * Q4K_BYTES;
-            uint32_t len = read_le<uint32_t>(block + 4);
-            const uint8_t* v = block + 32;
-            const float* ws = &aux.ws[bi * 8];
-            const float* wb = &aux.wb[bi * 8];
-            const int32_t* wsum = &aux.sum_p[bi * 8];
-            int32_t pq[8];
-#if defined(__AVX2__)
-            const __m256i nib = _mm256_set1_epi8(0x0F);
-            const __m256i one16 = _mm256_set1_epi16(1);
-            for (int c = 0; c < 4; c++) {
-                __m256i wv = _mm256_loadu_si256(
-                    (const __m256i*)(v + 32 * c));
-                __m256i lo = _mm256_and_si256(wv, nib);
-                __m256i hi = _mm256_and_si256(
-                    _mm256_srli_epi16(wv, 4), nib);
-                __m256i ev = _mm256_loadu_si256(
-                    (const __m256i*)(ae + blk * 128 + 32 * c));
-                __m256i ov = _mm256_loadu_si256(
-                    (const __m256i*)(ao + blk * 128 + 32 * c));
-                __m256i s16 = _mm256_add_epi16(
-                    _mm256_maddubs_epi16(lo, ev),
-                    _mm256_maddubs_epi16(hi, ov));
-                __m256i s32 = _mm256_madd_epi16(s16, one16);
-                // i32 lanes 0..3 = bytes 0..15 (group 2c), 4..7 = 2c+1
-                __m128i ga = _mm256_castsi256_si128(s32);
-                __m128i gb = _mm256_extracti128_si256(s32, 1);
-                __m128i ha = _mm_add_epi32(ga, _mm_shuffle_epi32(ga, 0x4E));
-                ha = _mm_add_epi32(ha, _mm_shuffle_epi32(ha, 0xB1));
-                __m128i hb = _mm_add_epi32(gb, _mm_shuffle_epi32(gb, 0x4E));
-                hb = _mm_add_epi32(hb, _mm_shuffle_epi32(hb, 0xB1));
-                pq[2 * c] = _mm_cvtsi128_si32(ha);
-                pq[2 * c + 1] = _mm_cvtsi128_si32(hb);
-            }
-#else
-            for (int g = 0; g < 8; g++) {
-                const uint8_t* wbytes = v + g * (Q4K_GROUP / 2);
-                const uint8_t* e = ae + (blk * 8 + g) * (Q4K_GROUP / 2);
-                const uint8_t* o = ao + (blk * 8 + g) * (Q4K_GROUP / 2);
-                int32_t s = 0;
-                for (int i = 0; i < Q4K_GROUP / 2; i++)
-                    s += (int32_t)(wbytes[i] & 0x0F) * (int32_t)e[i]
-                       + (int32_t)(wbytes[i] >> 4) * (int32_t)o[i];
-                pq[g] = s;
-            }
-#endif
-            for (int g = 0; g < 8 && (uint32_t)(g * Q4K_GROUP) < len; g++) {
-                int glen = std::min((uint32_t)Q4K_GROUP,
-                                    len - g * Q4K_GROUP);
-                float sp = ws[g], bp = wb[g];
-                float sq = as[blk * 8 + g], bq = ab[blk * 8 + g];
-                acc += sp * sq * (float)pq[g]
-                     - sp * bq * (float)wsum[g]
-                     - sq * bp * (float)asum[blk * 8 + g]
-                     + (float)glen * bp * bq;
-            }
-        }
-        y[r] = acc;
-    }
+    for (int r = 0; r < rows; r++)
+        y[r] = q4k_row_dot(
+            w.q4k.blocks + (size_t)r * bpr * Q4K_BYTES, bpr,
+            &aux.ws[(size_t)r * bpr * 8], &aux.wb[(size_t)r * bpr * 8],
+            &aux.sum_p[(size_t)r * bpr * 8],
+            ae, ao, asum, as, ab);
 }
 
 static void matmul_q4k(float* y, const Weight& w, const float* xq4) {
@@ -836,7 +850,7 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
                 for (size_t i = 0; i < ng; i++) {
                     int32_t sacc = 0;
                     const int8_t* b = qp + i * group_size_;
-                    for (int32_t c = 0; c < group_size_; c++) sacc += b[c];
+                    for (uint32_t c = 0; c < group_size_; c++) sacc += b[c];
                     (*sums)[i] = sacc;
                 }
                 w.q80_wsum = std::move(sums);
@@ -1074,6 +1088,287 @@ static void dispatch_matmul(float* y, const Weight& w, const float* x,
     }
 }
 
+// ===================================================================
+// batched prefill (GEMM over prompt positions)
+// ===================================================================
+
+static void lora_delta(float* y, const float* a, const float* b, int r,
+                       int rows, int cols, const float* x, float scale);
+
+// Per-position quantized activations for one GEMM input.  Each position
+// is quantized with the SAME per-token functions the decode path uses,
+// so batched prefill changes weight traffic, not values.
+struct BatchActs {
+    int n = 0, ng = 0, npad = 0;
+    std::vector<int8_t> xq;        // Q80: (P, n)
+    std::vector<uint8_t> xu;       // Q80: (P, n) +128-shifted
+    std::vector<float> xs;         // Q80: (P, n/gs)
+    std::vector<uint8_t> a4v, ae, ao;   // Q4K: (P, npad), (P, npad/2) x2
+    std::vector<float> as, ab;          // Q4K: (P, npad/32)
+    std::vector<int32_t> asum;          // Q4K: (P, npad/32)
+};
+
+static void prep_acts_batch(BatchActs& A, const float* X, size_t xstride,
+                            int P, int n, Quant q, int gs) {
+    if (q == Quant::Q80) {
+        A.n = n;
+        A.ng = n / gs;
+        A.xq.resize((size_t)P * n);
+        A.xu.resize((size_t)P * n);
+        A.xs.resize((size_t)P * A.ng);
+        for (int p = 0; p < P; p++) {
+            int8_t* xq = A.xq.data() + (size_t)p * n;
+            q80_quant_act(X + p * xstride, n, gs, xq,
+                          A.xs.data() + (size_t)p * A.ng);
+            uint8_t* xu = A.xu.data() + (size_t)p * n;
+            for (int i = 0; i < n; i++) xu[i] = (uint8_t)(xq[i] + 128);
+        }
+    } else if (q == Quant::Q4K) {
+        A.n = n;
+        A.npad = (n + Q4K_BLOCK - 1) / Q4K_BLOCK * Q4K_BLOCK;
+        int G = A.npad / Q4K_GROUP;
+        A.a4v.resize((size_t)P * A.npad);
+        A.ae.resize((size_t)P * A.npad / 2);
+        A.ao.resize((size_t)P * A.npad / 2);
+        A.as.resize((size_t)P * G);
+        A.ab.resize((size_t)P * G);
+        A.asum.resize((size_t)P * G);
+        for (int p = 0; p < P; p++) {
+            uint8_t* av = A.a4v.data() + (size_t)p * A.npad;
+            q4k_quant_act(X + p * xstride, n, av,
+                          A.as.data() + (size_t)p * G,
+                          A.ab.data() + (size_t)p * G, nullptr);
+            uint8_t* e = A.ae.data() + (size_t)p * (A.npad / 2);
+            uint8_t* o = A.ao.data() + (size_t)p * (A.npad / 2);
+            int32_t* sm = A.asum.data() + (size_t)p * G;
+            for (int g = 0; g < G; g++) {
+                const uint8_t* a = av + g * Q4K_GROUP;
+                int32_t acc = 0;
+                for (int i = 0; i < Q4K_GROUP / 2; i++) {
+                    e[g * (Q4K_GROUP / 2) + i] = a[2 * i];
+                    o[g * (Q4K_GROUP / 2) + i] = a[2 * i + 1];
+                    acc += a[2 * i] + a[2 * i + 1];
+                }
+                sm[g] = acc;
+            }
+        }
+    }
+}
+
+// Y (P, rows) token-major <- W (rows, cols) @ X (P, cols) per position.
+// Row-outer loops: each weight row streams from memory ONCE for all P
+// positions (the whole point — prefill is weight-bandwidth-bound).
+static void gemm_dispatch(float* Y, const Weight& w, const BatchActs& A,
+                          const float* X, size_t xstride, int P, int gs) {
+    int rows = (int)w.rows, cols = (int)w.cols;
+    if (w.quant == Quant::F32) {
+        #pragma omp parallel for schedule(static)
+        for (int r = 0; r < rows; r++) {
+            const float* wr = w.f32 + (size_t)r * cols;
+            for (int p = 0; p < P; p++)
+                Y[(size_t)p * rows + r] =
+                    f32_row_dot(wr, X + p * xstride, cols);
+        }
+    } else if (w.quant == Quant::Q80) {
+        int ng = cols / gs;
+        const int32_t* wsum_all = w.q80_wsum ? w.q80_wsum->data() : nullptr;
+        #pragma omp parallel for schedule(static)
+        for (int r = 0; r < rows; r++) {
+            const int8_t* q = w.q80.q + (size_t)r * cols;
+            const float* sc = w.q80.s + (size_t)r * ng;
+            const int32_t* wsum =
+                wsum_all ? wsum_all + (size_t)r * ng : nullptr;
+            for (int p = 0; p < P; p++)
+                Y[(size_t)p * rows + r] = q80_row_dot(
+                    q, sc, wsum,
+                    A.xq.data() + (size_t)p * cols,
+                    A.xu.data() + (size_t)p * cols,
+                    A.xs.data() + (size_t)p * ng, cols, gs);
+        }
+    } else {
+        int bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
+        int G = A.npad / Q4K_GROUP;
+        const Q4KAux& aux = *w.q4k_aux;
+        #pragma omp parallel for schedule(static)
+        for (int r = 0; r < rows; r++) {
+            const uint8_t* rb = w.q4k.blocks + (size_t)r * bpr * Q4K_BYTES;
+            const float* ws = &aux.ws[(size_t)r * bpr * 8];
+            const float* wb = &aux.wb[(size_t)r * bpr * 8];
+            const int32_t* wsum = &aux.sum_p[(size_t)r * bpr * 8];
+            for (int p = 0; p < P; p++)
+                Y[(size_t)p * rows + r] = q4k_row_dot(
+                    rb, bpr, ws, wb, wsum,
+                    A.ae.data() + (size_t)p * (A.npad / 2),
+                    A.ao.data() + (size_t)p * (A.npad / 2),
+                    A.asum.data() + (size_t)p * G,
+                    A.as.data() + (size_t)p * G,
+                    A.ab.data() + (size_t)p * G);
+        }
+    }
+}
+
+void Model::prefill(Runtime* rt, const int* tokens, int P) const {
+    const Config& c = cfg_;
+    int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
+    int F = c.n_hidden;
+    int qdim = H * D, kvdim = KV * D, rep = H / KV;
+    int gs = (int)group_size_;
+    const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
+    if (P <= 0) return;
+
+    std::vector<float> X((size_t)P * E), XB((size_t)P * std::max(E, qdim));
+    std::vector<float> QKV((size_t)P * (qdim + 2 * kvdim));
+    std::vector<float> ATT((size_t)P * qdim);
+    std::vector<float> H13((size_t)P * 2 * F), HBv((size_t)P * F);
+    BatchActs A;
+
+    for (int p = 0; p < P; p++) embed_row(X.data() + (size_t)p * E,
+                                          tokens[p]);
+
+    // Session only routes here for f32 models or integer-dot quantized
+    // modes; the f32-dequant oracle modes keep the per-token path.
+    bool q_int = (quant_ != Quant::F32) && int_dot_enabled();
+    auto prep = [&](const float* S, size_t stride, int n) -> const float* {
+        if (q_int) prep_acts_batch(A, S, stride, P, n, quant_, gs);
+        return S;
+    };
+
+    for (int l = 0; l < c.n_layer; l++) {
+        for (int p = 0; p < P; p++)
+            rmsnorm(XB.data() + (size_t)p * E, X.data() + (size_t)p * E,
+                    attn_norm_ + (size_t)l * E, E, EPS);
+
+        const float* src = prep(XB.data(), E, E);
+        gemm_dispatch(QKV.data(), wq_[l], A, src, E, P, gs);
+        // pack k and v behind q per position: run into temporaries
+        std::vector<float> KB((size_t)P * kvdim), VB((size_t)P * kvdim);
+        gemm_dispatch(KB.data(), wk_[l], A, src, E, P, gs);
+        gemm_dispatch(VB.data(), wv_[l], A, src, E, P, gs);
+
+        float* kcache = rt->kc.data() + (size_t)l * rt->max_seq * kvdim;
+        float* vcache = rt->vc.data() + (size_t)l * rt->max_seq * kvdim;
+
+        for (int p = 0; p < P; p++) {
+            float* q = QKV.data() + (size_t)p * qdim;
+            float* k = KB.data() + (size_t)p * kvdim;
+            float* v = VB.data() + (size_t)p * kvdim;
+            if (lora_) {
+                const LoraLayer& ll = lora_->layers[l];
+                float sc = lora_->scale();
+                const float* xb = XB.data() + (size_t)p * E;
+                lora_delta(q, ll.qa, ll.qb, lora_->rank, qdim, E, xb, sc);
+                lora_delta(k, ll.ka, ll.kb, lora_->rank, kvdim, E, xb, sc);
+                lora_delta(v, ll.va, ll.vb, lora_->rank, kvdim, E, xb, sc);
+            }
+            if (arch_ == Arch::Qwen2) {
+                for (int i = 0; i < qdim; i++)
+                    q[i] += bq_[(size_t)l * qdim + i];
+                for (int i = 0; i < kvdim; i++) {
+                    k[i] += bk_[(size_t)l * kvdim + i];
+                    v[i] += bv_[(size_t)l * kvdim + i];
+                }
+            }
+            if (arch_ == Arch::Qwen3) {
+                for (int h = 0; h < H; h++)
+                    rmsnorm(q + h * D, q + h * D,
+                            q_norm_ + (size_t)l * D, D, 1e-6f);
+                for (int h = 0; h < KV; h++)
+                    rmsnorm(k + h * D, k + h * D,
+                            k_norm_ + (size_t)l * D, D, 1e-6f);
+            }
+            const float* cosr = rope_cos_.data() + (size_t)p * (D / 2);
+            const float* sinr = rope_sin_.data() + (size_t)p * (D / 2);
+            bool half = (arch_ == Arch::Qwen3);
+            auto rope = [&](float* vec, int heads) {
+                for (int h = 0; h < heads; h++) {
+                    float* hd = vec + h * D;
+                    for (int i = 0; i < D / 2; i++) {
+                        float cr = cosr[i], sr = sinr[i];
+                        if (half) {
+                            float a = hd[i], bb = hd[i + D / 2];
+                            hd[i] = a * cr - bb * sr;
+                            hd[i + D / 2] = a * sr + bb * cr;
+                        } else {
+                            float a = hd[2 * i], bb = hd[2 * i + 1];
+                            hd[2 * i] = a * cr - bb * sr;
+                            hd[2 * i + 1] = a * sr + bb * cr;
+                        }
+                    }
+                }
+            };
+            rope(q, H);
+            rope(k, KV);
+            std::memcpy(kcache + (size_t)p * kvdim, k,
+                        kvdim * sizeof(float));
+            std::memcpy(vcache + (size_t)p * kvdim, v,
+                        kvdim * sizeof(float));
+        }
+
+        // causal attention, parallel across heads (position loop inside
+        // so each head reuses its scores scratch row)
+        float inv_sqrt_d = 1.0f / std::sqrt((float)D);
+        #pragma omp parallel for schedule(static)
+        for (int h = 0; h < H; h++) {
+            int kvh = h / rep;
+            float* scores = rt->att.data() + (size_t)h * rt->max_seq;
+            for (int p = 0; p < P; p++) {
+                const float* qh = QKV.data() + (size_t)p * qdim + h * D;
+                for (int t = 0; t <= p; t++) {
+                    const float* kt = kcache + (size_t)t * kvdim + kvh * D;
+                    float acc = 0.0f;
+                    for (int i = 0; i < D; i++) acc += qh[i] * kt[i];
+                    scores[t] = acc * inv_sqrt_d;
+                }
+                softmax_inplace(scores, p + 1);
+                float* oh = ATT.data() + (size_t)p * qdim + h * D;
+                std::memset(oh, 0, D * sizeof(float));
+                for (int t = 0; t <= p; t++) {
+                    const float* vt = vcache + (size_t)t * kvdim + kvh * D;
+                    float pw = scores[t];
+                    for (int i = 0; i < D; i++) oh[i] += pw * vt[i];
+                }
+            }
+        }
+
+        src = prep(ATT.data(), qdim, qdim);
+        gemm_dispatch(XB.data(), wo_[l], A, src, qdim, P, gs);
+        for (int p = 0; p < P; p++) {
+            if (lora_) {
+                const LoraLayer& ll = lora_->layers[l];
+                lora_delta(XB.data() + (size_t)p * E,
+                           ll.oa, ll.ob, lora_->rank, E, qdim,
+                           ATT.data() + (size_t)p * qdim, lora_->scale());
+            }
+            float* x = X.data() + (size_t)p * E;
+            const float* xb = XB.data() + (size_t)p * E;
+            for (int i = 0; i < E; i++) x[i] += xb[i];
+        }
+
+        for (int p = 0; p < P; p++)
+            rmsnorm(XB.data() + (size_t)p * E, X.data() + (size_t)p * E,
+                    ffn_norm_ + (size_t)l * E, E, EPS);
+        src = prep(XB.data(), E, E);
+        gemm_dispatch(H13.data(), w1_[l], A, src, E, P, gs);
+        gemm_dispatch(H13.data() + (size_t)P * F, w3_[l], A, src, E, P, gs);
+        for (int p = 0; p < P; p++) {
+            const float* h1 = H13.data() + (size_t)p * F;
+            const float* h3 = H13.data() + (size_t)P * F + (size_t)p * F;
+            float* hb = HBv.data() + (size_t)p * F;
+            for (int i = 0; i < F; i++) {
+                float a = h1[i];
+                hb[i] = (a / (1.0f + std::exp(-a))) * h3[i];
+            }
+        }
+        src = prep(HBv.data(), F, F);
+        gemm_dispatch(XB.data(), w2_[l], A, src, F, P, gs);
+        for (int p = 0; p < P; p++) {
+            float* x = X.data() + (size_t)p * E;
+            const float* xb = XB.data() + (size_t)p * E;
+            for (int i = 0; i < E; i++) x[i] += xb[i];
+        }
+    }
+}
+
 // y += scale * B (rows x r) @ (A (r x cols) @ x)
 static void lora_delta(float* y, const float* a, const float* b, int r,
                        int rows, int cols, const float* x, float scale) {
@@ -1093,18 +1388,9 @@ static void lora_delta(float* y, const float* a, const float* b, int r,
     }
 }
 
-const float* Model::forward(Runtime* rt, int token, int pos) const {
-    const Config& c = cfg_;
-    int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
-    int qdim = H * D, kvdim = KV * D;
-    int rep = H / KV;
-    int gs = (int)group_size_;
-    // model-correct eps per arch, matching the JAX engine (the reference
-    // C engine hardcodes 1e-5 everywhere, a known divergence for Qwen)
-    const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
-    float* x = rt->x.data();
-
-    // embedding row (dequantize on demand for quantized tables)
+// embedding row (dequantize on demand for quantized tables)
+void Model::embed_row(float* x, int token) const {
+    int E = cfg_.n_embd, gs = (int)group_size_;
     if (tok_emb_.quant == Quant::F32) {
         std::memcpy(x, tok_emb_.f32 + (size_t)token * E, E * sizeof(float));
     } else if (tok_emb_.quant == Quant::Q80) {
@@ -1119,6 +1405,20 @@ const float* Model::forward(Runtime* rt, int token, int pos) const {
                     ((size_t)token * bpr + blk) * Q4K_BYTES,
                 x + blk * Q4K_BLOCK);
     }
+}
+
+const float* Model::forward(Runtime* rt, int token, int pos) const {
+    const Config& c = cfg_;
+    int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
+    int qdim = H * D, kvdim = KV * D;
+    int rep = H / KV;
+    int gs = (int)group_size_;
+    // model-correct eps per arch, matching the JAX engine (the reference
+    // C engine hardcodes 1e-5 everywhere, a known divergence for Qwen)
+    const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
+    float* x = rt->x.data();
+
+    embed_row(x, token);
     if (observation) observation(Phase::Embedding, -1, pos, x, E);
 
     float* xb = rt->xb.data();
@@ -1507,6 +1807,21 @@ int Session::step() {
     if (state_ == State::Finished) return -1;
     int n = (int)prompt_ids_.size();
     if (state_ == State::Prefilling) {
+        static const bool batch_pf = [] {
+            const char* e = std::getenv("NANO_CPP_BATCH_PREFILL");
+            return !(e && e[0] == '0');
+        }();
+        if (batch_pf && pos_ == 0 && n > 8 && !model_.observation &&
+            (model_.quant() == Quant::F32 || int_dot_enabled())) {
+            // batched prompt ingestion: positions [0, n-1) in one GEMM
+            // sweep (logits not needed there); the last prompt token
+            // flows through the per-token path below to produce the
+            // first sampling distribution.  Observation hooks and the
+            // f32-dequant oracle modes keep the per-token path.
+            model_.prefill(rt_, prompt_ids_.data(), n - 1);
+            for (int i = 0; i + 1 < n; i++) seen_[prompt_ids_[i]] = true;
+            pos_ = n - 1;
+        }
         const float* logits = model_.forward(rt_, prompt_ids_[pos_], pos_);
         seen_[prompt_ids_[pos_]] = true;
         if (pos_ + 1 < n) {

@@ -179,6 +179,15 @@ class Model {
     ObservationHook observation;   // optional per-phase tap
 
     const float* forward(Runtime* rt, int token, int pos) const;
+    // batched prompt ingestion: run positions [0, P) through every
+    // layer with row-major GEMMs (each weight row streams once per
+    // GEMM instead of once per token — ~Px less weight traffic, the
+    // prefill bottleneck on memory-bound hosts).  Writes the KV cache
+    // exactly like P forward() calls (bit-identical: the per-row dot
+    // loops are the same code) but computes NO logits; callers forward
+    // the final prompt token normally.  Used by Session when no
+    // observation hook is installed.
+    void prefill(Runtime* rt, const int* tokens, int P) const;
     // global-attention single-position pass (used by seq2seq)
     const float* forward_global(Runtime* rt, int token, int pos,
                                 int total) const;
@@ -191,6 +200,7 @@ class Model {
   private:
     void parse_();
     void map_weights(const uint8_t* p, size_t remaining);
+    void embed_row(float* x, int token) const;
 
     int fd_ = -1;
     const uint8_t* data_ = nullptr;
