@@ -231,3 +231,24 @@ def test_cpp_ppl_matches_jax(tmp_path):
     jax_ppl = eval_mod.model_ppl(path, text, block_size=32, stride=16)
     cpp_ppl = eval_mod.cpp_model_ppl(path, text, block_size=32, stride=16)
     assert abs(jax_ppl - cpp_ppl) / jax_ppl < 1e-3, (jax_ppl, cpp_ppl)
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
+def test_batched_prefill_matches_per_token(tmp_path, quant):
+    """NANO_CPP_BATCH_PREFILL=0/1 must produce identical greedy streams —
+    the GEMM prefill reuses the per-token row-dot bodies, so the KV
+    cache it writes is bit-identical (long prompt engages the P>8 gate)."""
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    prompt = "abcdefghij" * 4                        # 40 prompt tokens
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for flag in ("0", "1"):
+        env = dict(os.environ, NANO_CPP_BATCH_PREFILL=flag)
+        r = subprocess.run(
+            [cli, path, "-t", "0", "-r", "1.0", "-n", "12", "-c", "64",
+             "-q", prompt],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]
