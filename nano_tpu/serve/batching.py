@@ -151,6 +151,44 @@ class BatchedEngine:
         self.lock = threading.Lock()   # one device mutator at a time
 
     # ------------------------------------------------------------
+    def warmup(self, n_steps: int = 1) -> int:
+        """Pre-compile every program variant serving can hit — the
+        prefill buckets and the (n_steps, attn_len) decode-scan buckets —
+        on throwaway buffers, so no client pays a multi-second XLA
+        compile at first contact.  jit caches key on shapes/dtypes and
+        static args only, so warming with dummy values covers the real
+        calls.  Returns the number of programs compiled."""
+        ctx = self.ctx
+        cfg = ctx.cfg
+        T = ctx.max_seq_len
+        n = 0
+        pad = eng._bucket(1)                 # smallest prefill bucket
+        while pad <= T:                      # prefill buckets
+            tmp = ctx.new_cache(1, seq_len=pad)
+            eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
+                         jnp.zeros((1, pad), jnp.int32), tmp, cfg,
+                         ctx.dtype)
+            n += 1
+            pad *= 2
+        buckets = []
+        b = 128
+        while b < T:                         # decode cache-length buckets
+            buckets.append(b)
+            b *= 2
+        buckets.append(None)                 # full-T program
+        cache = ctx.new_cache(self.n_slots)
+        zs = jnp.zeros((self.n_slots,), jnp.int32)
+        seen = jnp.zeros((self.n_slots, cfg.vocab_size), jnp.bool_)
+        f = jnp.zeros((self.n_slots,), jnp.float32)
+        for attn_len in buckets:
+            _batched_scan(ctx.params, ctx.lora, ctx.lora_scale, zs, zs,
+                          cache, seen, jax.random.PRNGKey(0), f, f + 0.8,
+                          f + 1.0, cfg, ctx.dtype, ctx.sampler.top_k,
+                          n_steps, attn_len)
+            n += 1
+        return n
+
+    # ------------------------------------------------------------
     def free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
             if not s.active and not s.attached:

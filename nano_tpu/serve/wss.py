@@ -23,6 +23,7 @@ import argparse
 import asyncio
 import json
 import logging
+import time
 from typing import Optional
 
 from nano_tpu.serve.batching import BatchedEngine
@@ -292,10 +293,16 @@ class WSServer:
 
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
                 n_slots: int = 8, template: bool = True, burst: int = 1,
-                replicas: int = 1):
+                replicas: int = 1, warmup: bool = False):
     import websockets
     server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst,
                       replicas=replicas)
+    if warmup:
+        for i, be in enumerate(server.engines):
+            t0 = time.time()
+            k = be.warmup(n_steps=burst)
+            logger.info("replica %d: warmed %d program variants in %.1fs",
+                        i, k, time.time() - t0)
     async with websockets.serve(server.handle, host, port, max_size=2 ** 22):
         logger.info("listening on ws://%s:%d (%d replicas x %d slots)",
                     host, port, replicas, n_slots)
@@ -322,6 +329,11 @@ def main():
                          "and lifted 32-slot aggregate throughput 57%% at "
                          "the 0.6B shape (PERF.md); 'model' keeps the "
                          "model dtype for C-engine value parity")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile every prefill/decode bucket before "
+                         "accepting connections (a few minutes on a cold "
+                         "compile cache; no client then hits an XLA "
+                         "compile pause)")
     ap.add_argument("--no_template", action="store_true")
     ap.add_argument("-t", "--temperature", type=float, default=1.0)
     ap.add_argument("-p", "--top_p", type=float, default=0.8)
@@ -342,7 +354,7 @@ def main():
         ctx.load_lora(args.lora)
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
                       template=not args.no_template, burst=args.burst,
-                      replicas=args.replicas))
+                      replicas=args.replicas, warmup=args.warmup))
 
 
 if __name__ == "__main__":

@@ -576,3 +576,24 @@ def test_wss_data_parallel_replicas(tmp_path):
     for prompt, got in asyncio.run(run()):
         e = expects[prompt]
         assert got == e[:len(got)] and len(got) >= 6, (prompt, got, e)
+
+
+def test_warmup_compiles_all_buckets(tmp_path):
+    """warmup() covers every program variant a stream can hit: after it,
+    serving a short and a long stream triggers no new trace (pinned via
+    jit cache sizes staying flat)."""
+    ctx = make_ctx(tmp_path, max_seq_len=256)
+    be = BatchedEngine(ctx, n_slots=2)
+    n = be.warmup(n_steps=1)
+    assert n >= 3            # >=2 prefill buckets + >=2 decode buckets
+    long_prompt = "ab" * 70
+    solo_short = solo_greedy(ctx, "abcdef", 6)     # solo engine compiles
+    solo_long = solo_greedy(ctx, long_prompt, 6)   # its own variants
+    from nano_tpu.serve import batching as b
+    from nano_tpu.infer import engine as e
+    scans = b._batched_scan._cache_size()
+    prefills = e._prefill._cache_size()
+    assert collect(be, ctx, "abcdef", 6) == solo_short
+    assert collect(be, ctx, long_prompt, 6) == solo_long
+    assert b._batched_scan._cache_size() == scans
+    assert e._prefill._cache_size() == prefills
