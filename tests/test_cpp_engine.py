@@ -252,3 +252,37 @@ def test_batched_prefill_matches_per_token(tmp_path, quant):
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout)
     assert outs[0] == outs[1]
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_batched_prefill_with_lora_matches_per_token(tmp_path):
+    """LoRA deltas apply inside the batched prefill too (per position,
+    same order as the per-token path)."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    r, E = 4, cfg.n_embd
+    L, H, KV, D = (cfg.n_layer, cfg.n_head, cfg.n_kv_head, cfg.head_dim)
+    rng = np.random.RandomState(3)
+    lora = {
+        "wq_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wq_b": rng.randn(L, r, H * D).astype(np.float32) * 0.2,
+        "wk_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wk_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wv_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wv_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wo_a": rng.randn(L, H * D, r).astype(np.float32) * 0.2,
+        "wo_b": rng.randn(L, r, E).astype(np.float32) * 0.2,
+    }
+    lora_path = str(tmp_path / "l.bin")
+    binfmt.write_lora(lora_path, lora, cfg, rank=r, alpha=8)
+
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for flag in ("0", "1"):
+        env = dict(os.environ, NANO_CPP_BATCH_PREFILL=flag)
+        res = subprocess.run(
+            [cli, path, "-l", lora_path, "-t", "0", "-r", "1.0", "-n",
+             "10", "-c", "64", "-q", "abcdefghij" * 4],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert res.returncode == 0, res.stderr
+        outs.append(res.stdout)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
