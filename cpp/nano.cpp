@@ -277,6 +277,12 @@ std::vector<int> BpeTokenizer::chat_template(const std::string& user_prompt,
     constexpr int IM_START = 151644, IM_END = 151645, USER = 872,
                   ASSISTANT = 77091, NL = 198, THINK_O = 151667,
                   THINK_C = 151668;
+    // the control-token ids above are the canonical Qwen vocabulary's;
+    // a smaller (test/toy) vocab cannot contain them — fall back to the
+    // raw encoding instead of emitting out-of-range ids (the reference
+    // engine segfaults here, infer/tokenizer.c:214-262)
+    if (IM_START >= vocab_size() || THINK_C >= vocab_size())
+        return encode(user_prompt);
     std::vector<int> ids = {IM_START, USER, NL};
     std::vector<int> body = encode(user_prompt);
     ids.insert(ids.end(), body.begin(), body.end());
@@ -1793,6 +1799,12 @@ Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
       prompt_ids_(std::move(prompt_ids)), max_seq_len_(max_seq_len),
       max_new_tokens_(max_new_tokens) {
     seen_.assign(model.config().vocab_size, false);
+    for (int id : prompt_ids_)
+        if (id < 0 || id >= model.config().vocab_size)
+            throw std::runtime_error(
+                "prompt token id " + std::to_string(id) +
+                " outside vocab (" +
+                std::to_string(model.config().vocab_size) + ")");
     if (max_seq_len_ > 1 && (int)prompt_ids_.size() >= max_seq_len_) {
         // keep the TAIL of over-long prompts, matching the Python engine
         prompt_ids_.erase(

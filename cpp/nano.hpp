@@ -107,6 +107,7 @@ class TrieTokenizer {
 class BpeTokenizer {
   public:
     void parse_field(const uint8_t* data, size_t* offset, int vocab_size);
+    int vocab_size() const { return (int)vocab_.size(); }
     std::vector<int> encode(const std::string& utf8) const;
     std::string decode(const std::vector<int>& ids) const;
     std::string decode_one(int id) const;

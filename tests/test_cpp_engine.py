@@ -286,3 +286,43 @@ def test_batched_prefill_with_lora_matches_per_token(tmp_path):
         assert res.returncode == 0, res.stderr
         outs.append(res.stdout)
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_cpp_qwen3_batched_prefill_matches_per_token(tmp_path):
+    """Qwen3's extra prefill branches (per-head qk-norm, half RoPE,
+    untied classifier) through the batched GEMM path: CLI output is
+    byte-identical with NANO_CPP_BATCH_PREFILL=0/1 (the chat template
+    makes the prompt long enough to engage the P>8 gate)."""
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    if not cpp_ok:
+        pytest.skip("C++ engine not built")
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+    from nano_tpu.io.qwen import convert_hf_qwen
+    from .test_qwen import _write_toy_hf_tokenizer_json
+
+    d = tmp_path / "hf"
+    d.mkdir()
+    qcfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rope_theta=1e6,
+        rms_norm_eps=1e-6, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    Qwen3ForCausalLM(qcfg).save_pretrained(str(d), safe_serialization=True)
+    _write_toy_hf_tokenizer_json(str(d / "tokenizer.json"), 512)
+    out = str(tmp_path / "qwen3.bin")
+    convert_hf_qwen(str(d), out, quant="f32")
+
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for flag in ("0", "1"):
+        env = dict(os.environ, NANO_CPP_BATCH_PREFILL=flag)
+        res = subprocess.run(
+            [cli, out, "-t", "0", "-r", "1.0", "-n", "8", "-c", "64",
+             "-q", "hello world hello world"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert res.returncode == 0, res.stderr
+        outs.append(res.stdout)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
