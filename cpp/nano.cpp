@@ -1223,7 +1223,8 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
     if (P <= 0) return;
 
     std::vector<float> X((size_t)P * E), XB((size_t)P * std::max(E, qdim));
-    std::vector<float> QKV((size_t)P * (qdim + 2 * kvdim));
+    std::vector<float> QKV((size_t)P * qdim);
+    std::vector<float> KB((size_t)P * kvdim), VB((size_t)P * kvdim);
     std::vector<float> ATT((size_t)P * qdim);
     std::vector<float> H13((size_t)P * 2 * F), HBv((size_t)P * F);
     BatchActs A;
@@ -1246,8 +1247,6 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
 
         const float* src = prep(XB.data(), E, E);
         gemm_dispatch(QKV.data(), wq_[l], A, src, E, P, gs);
-        // pack k and v behind q per position: run into temporaries
-        std::vector<float> KB((size_t)P * kvdim), VB((size_t)P * kvdim);
         gemm_dispatch(KB.data(), wk_[l], A, src, E, P, gs);
         gemm_dispatch(VB.data(), wv_[l], A, src, E, P, gs);
 
