@@ -143,6 +143,10 @@ class TrainConfig:
                                           # the LM head + CE over token
                                           # chunks of this size (0 = one
                                           # shot); see gpt.loss_fn
+    pp_microbatches: int = 0              # pipeline microbatches per step
+                                          # when mesh_shape has "pipe"
+                                          # (0 = 2*n_pipe, bubble < 1/3;
+                                          # parallel/pipeline.py)
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

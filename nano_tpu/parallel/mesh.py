@@ -28,6 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"      # sequence/context parallel (GSPMD partitions attention)
+PIPE_AXIS = "pipe"    # pipeline parallel (parallel/pipeline.py)
 
 
 def maybe_distributed_init() -> bool:
@@ -67,18 +69,46 @@ def maybe_distributed_init() -> bool:
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """Build a ("data", "model") mesh over the available devices."""
+              n_seq: int = 1, n_pipe: int = 1, devices=None) -> Mesh:
+    """Build a device mesh; axes ordered ("data", "seq", "pipe", "model").
+
+    "seq" and "pipe" only appear when their size > 1, so the default
+    call keeps the original ("data", "model") two-axis mesh (and every
+    existing sharding spec) unchanged.  Axis order puts "model" last —
+    innermost on the physical topology, where TP's per-layer
+    all-gather/reduce-scatter traffic wants the shortest ICI hops —
+    then "pipe"/"seq" (per-tick and per-attention collectives), with
+    "data" outermost (one gradient psum per step tolerates the longest
+    links, including DCN in multi-pod layouts).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_data is None:
-        n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        n_data = n // (n_model * n_seq * n_pipe)
+    assert n_data * n_model * n_seq * n_pipe == n, \
+        (n_data, n_seq, n_pipe, n_model, n)
+    dims = [(DATA_AXIS, n_data)]
+    if n_seq > 1:
+        dims.append((SEQ_AXIS, n_seq))
+    if n_pipe > 1:
+        dims.append((PIPE_AXIS, n_pipe))
+    dims.append((MODEL_AXIS, n_model))
+    arr = np.asarray(devices).reshape([d for _, d in dims])
+    return Mesh(arr, tuple(name for name, _ in dims))
 
 
-def batch_spec() -> P:
+def batch_spec(mesh: Optional[Mesh] = None) -> P:
+    """(B, S) batch spec: B over "data", S over "seq" when present.
+
+    Sharding the sequence axis is the whole of sequence/context
+    parallelism on the jit path: tokens, targets and therefore every
+    (B, S, ...) activation downstream are partitioned on S, and GSPMD
+    partitions the attention score/prob einsums itself (all-gathering
+    K/V over "seq" — the all-gather variant of context parallelism;
+    the causal mask is an iota comparison, partitioned exactly).
+    """
+    if mesh is not None and SEQ_AXIS in mesh.axis_names:
+        return P(DATA_AXIS, SEQ_AXIS)
     return P(DATA_AXIS)
 
 

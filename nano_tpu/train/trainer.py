@@ -182,19 +182,23 @@ class Trainer:
         if self.mesh is None:
             shape = tc.mesh_shape or {}
             n_model = shape.get("model", 1)
+            n_seq = shape.get("seq", 1)
+            n_pipe = shape.get("pipe", 1)
+            n_other = n_model * n_seq * n_pipe
             n_data = shape.get("data")
             if n_data is None:
-                n_data = len(jax.devices()) // n_model
+                n_data = len(jax.devices()) // n_other
             # the global batch is sharded over "data": shrink the axis to
             # the largest divisor of batch_size rather than erroring
             while tc.batch_size % n_data != 0:
                 n_data -= 1
-            if n_data * n_model < len(jax.devices()):
-                self.log(f"WARNING: using {n_data * n_model}/"
+            if n_data * n_other < len(jax.devices()):
+                self.log(f"WARNING: using {n_data * n_other}/"
                          f"{len(jax.devices())} devices (batch_size="
                          f"{tc.batch_size} not divisible)")
-            devices = jax.devices()[:n_data * n_model]
+            devices = jax.devices()[:n_data * n_other]
             self.mesh = meshlib.make_mesh(n_data=n_data, n_model=n_model,
+                                          n_seq=n_seq, n_pipe=n_pipe,
                                           devices=devices)
         self.log(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
 
@@ -226,8 +230,15 @@ class Trainer:
 
         # shard/replicate over the mesh
         tp = (tc.mesh_shape or {}).get("model", 1) > 1
-        self.params = meshlib.shard_params(self.params, self.mesh,
-                                           tensor_parallel=tp)
+        pp = meshlib.PIPE_AXIS in self.mesh.axis_names
+        if pp:
+            assert not tp and not tc.use_lora, \
+                "pipeline parallel composes with DP (not TP/LoRA)"
+            from nano_tpu.parallel import pipeline
+            self.params = pipeline.shard_params_pp(self.params, self.mesh)
+        else:
+            self.params = meshlib.shard_params(self.params, self.mesh,
+                                               tensor_parallel=tp)
         if self.lora is not None:
             self.lora = meshlib.shard_params(self.lora, self.mesh)
 
@@ -258,13 +269,25 @@ class Trainer:
 
         ce_chunk = tc.ce_chunk
 
-        def compute_loss(trainable, frozen, x, y, m):
-            if use_lora:
-                return gpt.loss_fn(frozen, x, y, m, mc, dtype=dtype,
-                                   lora=trainable, lora_scale=lora_scale,
+        if meshlib.PIPE_AXIS in self.mesh.axis_names:
+            # pipeline-parallel loss (parallel/pipeline.py): shard_map'd
+            # GPipe schedule; drop-in for gpt.loss_fn in the grad path
+            from nano_tpu.parallel import pipeline
+            pp_loss = pipeline.make_pp_loss(
+                mc, self.mesh, dtype=dtype,
+                n_micro=tc.pp_microbatches, remat=remat)
+
+            def compute_loss(trainable, frozen, x, y, m):
+                return pp_loss(trainable, x, y, m)
+        else:
+            def compute_loss(trainable, frozen, x, y, m):
+                if use_lora:
+                    return gpt.loss_fn(frozen, x, y, m, mc, dtype=dtype,
+                                       lora=trainable,
+                                       lora_scale=lora_scale,
+                                       remat=remat, ce_chunk=ce_chunk)
+                return gpt.loss_fn(trainable, x, y, m, mc, dtype=dtype,
                                    remat=remat, ce_chunk=ce_chunk)
-            return gpt.loss_fn(trainable, x, y, m, mc, dtype=dtype,
-                               remat=remat, ce_chunk=ce_chunk)
 
         def train_step(trainable, frozen, opt_state, xs, ys, ms):
             """xs: (accum, B, S) — scan over microbatches, one update."""
@@ -285,8 +308,9 @@ class Trainer:
             return compute_loss(trainable, frozen, x, y, m)
 
         repl = NamedSharding(self.mesh, P())
-        batch_sh = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
-        eval_sh = NamedSharding(self.mesh, P(meshlib.DATA_AXIS))
+        bspec = meshlib.batch_spec(self.mesh)      # (B[, S]) incl. "seq"
+        batch_sh = NamedSharding(self.mesh, P(None, *bspec))
+        eval_sh = NamedSharding(self.mesh, bspec)
         self._train_step = jax.jit(
             train_step,
             in_shardings=(None, None, None, batch_sh, batch_sh, batch_sh),
