@@ -184,6 +184,47 @@ def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
     return best
 
 
+def spec_decode_tok_s(params, cfg, n_tokens=256, k=7, reps=3):
+    """Speculative greedy decode on a cyclic stream (infer/speculative.py).
+
+    Random weights decode greedily into a short cycle, so prompt-lookup
+    acceptance approaches 1 — this measures the MECHANISM's ceiling
+    (verify k+1 tokens at ~1 step's cost), not free-text acceptance;
+    reported alongside tokens-per-round so the multiplier is explicit.
+    """
+    from nano_tpu.infer import speculative
+    T = cfg.block_size
+    prompt = ([5, 9, 3, 17, 11, 2, 29, 7] * 4)[:32]
+    cache = gpt.KVCache.create(cfg, 1, T, jnp.bfloat16)
+    ids = np.zeros((1, 32), np.int32)
+    ids[0] = prompt
+    logits, cache, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                       cache, cfg, jnp.bfloat16)
+    tok = jnp.argmax(logits[0, 31]).astype(jnp.int32)
+    hist0 = np.zeros((T,), np.int32)
+    hist0[:32] = prompt
+    hist0[32] = int(tok)
+
+    def run(hist):
+        return speculative.spec_decode_loop(
+            params, None, 0.0, tok, jnp.int32(32), cache, hist,
+            cfg, jnp.bfloat16, n_tokens, k)
+
+    out, n_em, rounds, _ = run(jnp.asarray(hist0))
+    np.asarray(out)                       # compile + warm
+    best, tpr = 0.0, 0.0
+    for it in range(reps):
+        hist0[0] = 40 + it                # new value -> no memoized hit
+        t0 = time.time()
+        out, n_em, rounds, _ = run(jnp.asarray(hist0))
+        np.asarray(out)                   # force full execution
+        dt = time.time() - t0
+        n = int(n_em)
+        best = max(best, n / dt)
+        tpr = n / max(int(rounds), 1)
+    return best, tpr
+
+
 def main():
     rng = np.random.RandomState(0)
     cfg = ModelConfig(**QWEN3_06B)
@@ -206,6 +247,9 @@ def main():
         batched_aggregate(pq, cfg, 8), 1)
     extra["q80_batch32_agg_tok_s"] = round(
         batched_aggregate(pq, cfg, 32), 1)
+    sp, tpr = spec_decode_tok_s(pq, cfg)
+    extra["q80_spec_tok_s_cyclic"] = round(sp, 1)
+    extra["spec_tokens_per_round"] = round(tpr, 2)
     del pq
 
     # --- Q4K in the loader's packed layout (binfmt._q4k_device_params) ---

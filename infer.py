@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--top_p", type=float, default=0.8)
     ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
     ap.add_argument("-s", "--seed", type=int, default=39)
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="speculative greedy decode: draft K tokens by "
+                         "n-gram prompt lookup, verify in one forward "
+                         "(greedy + repetition_penalty=1.0 only; "
+                         "identical output, fewer dispatches)")
     ap.add_argument("-o", "--observe", action="store_true",
                     help="visualize per-layer activity and top-6 next-token "
                          "candidates per step (the reference Pod renders "
@@ -86,7 +91,7 @@ def main():
               else engine.LLMContext.from_checkpoint)
     ctx = loader(args.model, max_seq_len=args.max_seq_len,
                  sampler=sampler, random_seed=args.seed,
-                 observation=observer)
+                 observation=observer, spec_k=args.spec)
     if args.lora:
         if args.lora.endswith(".bin"):
             ctx.load_lora(args.lora)

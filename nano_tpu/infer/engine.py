@@ -220,6 +220,10 @@ class LLMContext:
     mesh: Optional[Any] = None          # set via shard()
     kv_cache_dtype: Optional[Any] = None   # jnp.int8 halves cache HBM
     device: Optional[Any] = None        # set via replicate_to()
+    spec_k: int = 0                     # speculative decode draft length
+                                        # (greedy + rep_penalty=1.0 only;
+                                        # infer/speculative.py; 7 = one
+                                        # 8-row MXU sublane block)
 
     def replicate_to(self, device) -> "LLMContext":
         """A replica of this context pinned to one device — the
@@ -412,6 +416,17 @@ class Session:
         self._seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
         self._cur_tok: Optional[jnp.ndarray] = None
 
+        # speculative decode state (infer/speculative.py): each verify
+        # dispatch emits >= 1 tokens into _pending; step() drains it —
+        # through the tunnel's ~30 ms/dispatch this multiplies
+        # interactive decode by the acceptance rate
+        self._pending: List[int] = []
+        self._hist: Optional[jnp.ndarray] = None
+        self._spec = (ctx.spec_k > 0
+                      and ctx.sampler.temperature <= 0.0
+                      and ctx.sampler.repetition_penalty == 1.0
+                      and ctx.observation is None)
+
         # TPS accounting (reference: infer/infer.h:247-250)
         self.t_start = time.time()
         self.t_first_token: Optional[float] = None
@@ -448,7 +463,13 @@ class Session:
         self.pos = n
         self.state = Session.DECODING
         self.t_first_token = time.time()
-        return int(self._cur_tok[0])
+        first = int(self._cur_tok[0])
+        if self._spec:
+            hist = np.zeros((ctx.max_seq_len,), np.int32)
+            hist[:n] = self.prompt_ids
+            hist[n] = first
+            self._hist = jnp.asarray(hist)
+        return first
 
     def step(self) -> Optional[int]:
         """Generate the next token, or None when finished."""
@@ -457,25 +478,43 @@ class Session:
             return None
         if self.state == Session.PREFILLING:
             tok = self._do_prefill()
+        elif self._pending:
+            tok = self._pending.pop(0)
         else:
             if (self.pos + 1 >= ctx.max_seq_len or
                     len(self.output_ids) >= self.max_new_tokens):
                 self.state = Session.FINISHED
                 return None
-            s = ctx.sampler
-            observe.set_observer(ctx.observation)
-            next_tok, self._cache, self._seen, self._key, _, obs_rows = _decode_step(
-                ctx.params, ctx.lora, ctx.lora_scale,
-                self._cur_tok, jnp.int32(self.pos), self._cache, self._seen,
-                self._key, jnp.float32(s.temperature), jnp.float32(s.top_p),
-                jnp.float32(s.repetition_penalty), ctx.cfg, ctx.dtype, s.top_k,
-                s.temperature <= 0.0, exact=_exact_multinomial(s),
-                observed=observe.trace_token())
-            if observe.fallback_active():
-                observe.deliver(np.asarray(obs_rows))
-            self._cur_tok = next_tok
-            self.pos += 1
-            tok = int(next_tok[0])
+            if self._spec and self.pos + ctx.spec_k + 2 <= ctx.max_seq_len:
+                # one verify round refills _pending with >= 1 tokens
+                from nano_tpu.infer import speculative
+                g, n_out, self._cache, self._hist = speculative.verify_step(
+                    ctx.params, ctx.lora, ctx.lora_scale,
+                    self._cur_tok[0], jnp.int32(self.pos), self._cache,
+                    self._hist, ctx.cfg, ctx.dtype, ctx.spec_k)
+                n_out = int(n_out)
+                self._pending = np.asarray(g)[:n_out].tolist()
+                self._cur_tok = g[n_out - 1][None]
+                self.pos += n_out
+                tok = self._pending.pop(0)
+            else:
+                s = ctx.sampler
+                observe.set_observer(ctx.observation)
+                next_tok, self._cache, self._seen, self._key, _, obs_rows = \
+                    _decode_step(
+                        ctx.params, ctx.lora, ctx.lora_scale,
+                        self._cur_tok, jnp.int32(self.pos), self._cache,
+                        self._seen, self._key, jnp.float32(s.temperature),
+                        jnp.float32(s.top_p),
+                        jnp.float32(s.repetition_penalty), ctx.cfg,
+                        ctx.dtype, s.top_k, s.temperature <= 0.0,
+                        exact=_exact_multinomial(s),
+                        observed=observe.trace_token())
+                if observe.fallback_active():
+                    observe.deliver(np.asarray(obs_rows))
+                self._cur_tok = next_tok
+                self.pos += 1
+                tok = int(next_tok[0])
 
         if tok in ctx.stop_tokens:
             self.state = Session.FINISHED
@@ -540,6 +579,22 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     tok = jnp.argmax(jnp.where(seen, last / ctx.sampler.repetition_penalty,
                                last), axis=-1).astype(jnp.int32)
     s = ctx.sampler
+    if (ctx.spec_k > 0 and s.temperature <= 0.0
+            and s.repetition_penalty == 1.0
+            and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len):
+        # speculative greedy decode: identical token stream, >= 1 tokens
+        # per verify round (infer/speculative.py)
+        from nano_tpu.infer import speculative
+        hist = np.zeros((ctx.max_seq_len,), np.int32)
+        hist[:n] = prompt_ids
+        hist[n] = int(tok[0])
+        out, n_em, rounds, _cache = speculative.spec_decode_loop(
+            ctx.params, ctx.lora, ctx.lora_scale, tok[0], jnp.int32(n),
+            cache, jnp.asarray(hist), cfg, ctx.dtype, n_tokens - 1,
+            ctx.spec_k)
+        speculative.LAST_STATS = {"tokens": int(n_em),
+                                  "rounds": int(rounds)}
+        return np.concatenate([np.asarray(tok), np.asarray(out)])
     toks, *_ = _decode_scan(
         ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
         jax.random.PRNGKey(ctx.random_seed), jnp.float32(s.temperature),

@@ -1,0 +1,149 @@
+"""Self-speculative greedy decoding — n-gram prompt-lookup drafts,
+verified k+1 tokens at a time, entirely on device.
+
+Measured fact this exploits (PERF.md): batch-1 decode on this TPU is
+per-op-latency-bound — a (k+1)-token forward costs nearly the same wall
+time as a 1-token forward (k+1 <= 8 rides the MXU's sublane padding for
+free).  So drafting k likely-next tokens and verifying them in ONE
+forward emits 1..k+1 tokens per step at ~1 step's cost.  Drafts come
+from the sequence itself (the "prompt lookup" scheme: find the latest
+earlier occurrence of the current 3-/2-gram and propose its
+continuation), so there is no draft model, no extra weights, and —
+because acceptance is exact token equality against the argmax — the
+emitted stream is IDENTICAL to plain greedy decode, token for token.
+
+Two consumers:
+  * `spec_decode_loop`: on-device `lax.while_loop` (one dispatch per
+    burst) for the throughput path — `engine.generate_on_device`
+    with `ctx.spec_k > 0`.
+  * `verify_step`: one jitted speculation round for the host-driven
+    `engine.Session` — each dispatch emits >= 1 tokens, so the ~30 ms
+    tunnel cost per dispatched program is amortized over every accepted
+    token (interactive decode gets the same multiplier as throughput).
+
+Correctness of the cache under rejection needs no rollback: a round at
+position p writes cache rows [p, p+k]; rows past the accepted prefix
+hold K/V of rejected drafts, but the next round starts at
+p' = p + n_accepted + 1 <= p + k + 1 and writes [p', p'+k] — which
+covers every stale row (the write happens before attend inside
+`gpt.attention`), and the causal mask hides rows > query position in
+the meantime.  The same invariant covers the history buffer.
+
+Scope: greedy (temperature == 0) with repetition_penalty == 1.0 —
+penalized sampling makes later verify positions depend on earlier
+in-round acceptance, which breaks the one-forward verification.  The
+engine falls back to plain decode outside this scope.  (The reference
+has no speculative path at all; its C engine decodes strictly one
+token per forward, infer/infer.c:1196-1308.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nano_tpu.models import gpt
+
+# stats of the most recent spec_decode_loop call (host-side, for
+# benchmarks): {"tokens": emitted, "rounds": verify forwards}
+LAST_STATS = None
+
+
+def ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Draft k tokens by prompt lookup over the token history.
+
+    hist: (T,) int32 — hist[i] is the token fed at absolute position i;
+    entries <= pos are valid.  Finds the LATEST position p < pos whose
+    trailing 3-gram matches (hist[pos-2], hist[pos-1], hist[pos]),
+    falling back to a 2-gram match, and proposes hist[p+1 : p+1+k].
+    With no match the slice from 0 is returned — a junk draft costs
+    nothing (the verify forward runs regardless; acceptance just lands
+    at 0).
+    """
+    T = hist.shape[0]
+    idx = jnp.arange(T)
+    h1 = jnp.concatenate([hist[:1], hist[:-1]])     # hist[i-1]
+    h2 = jnp.concatenate([hist[:2], hist[:-2]])     # hist[i-2]
+    a0, a1, a2 = hist[pos], hist[pos - 1], hist[pos - 2]
+    valid = (idx < pos) & (idx >= 2)
+    m2 = valid & (hist == a0) & (h1 == a1)
+    m3 = m2 & (h2 == a2)
+    score = jnp.where(m3, idx + T, jnp.where(m2, idx, -1))
+    best = jnp.max(score)
+    p_star = jnp.where(best >= T, best - T, best)
+    start = jnp.where(p_star >= 1, p_star + 1, 0)
+    start = jnp.clip(start, 0, T - k)
+    return lax.dynamic_slice(hist, (start,), (k,))
+
+
+def _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
+                  cfg, dtype, k):
+    """One speculation round: draft k, verify k+1 in one forward.
+
+    tok: () int32 current token (input at position pos).  Returns
+    (g, n_out, cache, hist): g[(k+1,)] are the greedy tokens at
+    positions pos..pos+k; the first n_out of them are the emitted
+    continuation (g[:n_out] extends the stream exactly as plain greedy
+    decode would), and the next round's input token is g[n_out-1] at
+    position pos + n_out.
+    """
+    draft = ngram_draft(hist, pos, k)
+    ids = jnp.concatenate([tok[None], draft])[None, :]          # (1, k+1)
+    logits, cache = gpt.forward_with_cache(
+        params, ids, cache, pos, cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale)
+    g = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    match = jnp.concatenate([draft == g[:k],
+                             jnp.zeros((1,), jnp.bool_)])
+    n_acc = jnp.argmin(match)            # leading-True run length
+    n_out = (n_acc + 1).astype(jnp.int32)
+    hist = lax.dynamic_update_slice(hist, g, (pos + 1,))
+    return g, n_out, cache, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "k"))
+def verify_step(params, lora, lora_scale, tok, pos, cache, hist,
+                cfg, dtype, k):
+    """Jitted single round for the host-driven Session path."""
+    return _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
+                         cfg, dtype, k)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "n_tokens", "k"))
+def spec_decode_loop(params, lora, lora_scale, tok, pos, cache, hist,
+                     cfg, dtype, n_tokens, k
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                "gpt.KVCache"]:
+    """On-device speculative greedy decode of >= n_tokens tokens.
+
+    One dispatched program; internally a while_loop of verify rounds.
+    Returns (out[(n_tokens + k,)], n_emitted, n_rounds, cache) — the
+    caller keeps out[:n_tokens] (entries past n_emitted, when the
+    position guard stopped the loop early near the cache end, are
+    zeros; the engine sizes the cache so that cannot happen for the
+    requested length).
+    """
+    T = hist.shape[0]
+    out0 = jnp.zeros((n_tokens + k + 1,), jnp.int32)
+
+    def cond(c):
+        _tok, pos, _cache, _hist, _out, n_em, _r = c
+        return (n_em < n_tokens) & (pos + k + 2 <= T)
+
+    def body(c):
+        tok, pos, cache, hist, out, n_em, r = c
+        g, n_out, cache, hist = _verify_round(
+            params, lora, lora_scale, tok, pos, cache, hist,
+            cfg, dtype, k)
+        out = lax.dynamic_update_slice(out, g, (n_em,))
+        return (g[n_out - 1], pos + n_out, cache, hist, out,
+                n_em + n_out, r + 1)
+
+    (_tok, _pos, cache, _hist, out, n_em, rounds) = lax.while_loop(
+        cond, body,
+        (tok, pos, cache, hist, out0, jnp.int32(0), jnp.int32(0)))
+    return out[:n_tokens], n_em, rounds, cache

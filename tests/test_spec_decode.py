@@ -1,0 +1,123 @@
+"""Speculative greedy decode (infer/speculative.py): the emitted token
+stream must be IDENTICAL to plain greedy decode — acceptance is exact
+argmax equality, so speculation is a pure latency optimization.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.models import gpt
+from nano_tpu.io import binfmt
+from nano_tpu.infer import engine, speculative
+from nano_tpu.ops import sampling
+from nano_tpu.tokenizer.trie import TrieTokenizer
+
+CFG = ModelConfig(block_size=128, vocab_size=64, n_layer=2, n_embd=32,
+                  n_head=4, n_kv_head=2, n_hidden=64)
+GREEDY = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+
+
+def make_ctx(tmp_path=None, quant=None, **kw):
+    if quant is None:
+        params = gpt.init_params(jax.random.PRNGKey(11), CFG)
+        tok = TrieTokenizer()
+        tok.build([chr(ord("a") + i) for i in range(52)])
+        return engine.LLMContext(cfg=CFG, params=params, tokenizer=tok,
+                                 max_seq_len=128, dtype=jnp.float32,
+                                 sampler=GREEDY, **kw)
+    params = jax.tree.map(np.asarray, gpt.init_params(jax.random.PRNGKey(11),
+                                                      CFG))
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / f"spec_{quant}.bin")
+    binfmt.write_model(path, params, CFG, tok.config, quant=quant)
+    return engine.LLMContext.from_bin(path, max_seq_len=128,
+                                      dtype=jnp.float32, sampler=GREEDY,
+                                      **kw)
+
+
+REPETITIVE = [5, 9, 3, 5, 9, 3, 5, 9, 3, 5, 9, 3, 5, 9]
+RANDOMISH = [7, 1, 30, 12, 4, 44, 2, 19]
+
+
+@pytest.mark.parametrize("prompt", [REPETITIVE, RANDOMISH])
+@pytest.mark.parametrize("k", [3, 7])
+def test_on_device_spec_matches_plain(prompt, k):
+    import dataclasses
+    ctx = make_ctx()
+    plain = engine.generate_on_device(ctx, prompt, 40)
+    ctx_s = dataclasses.replace(ctx, spec_k=k)
+    spec = engine.generate_on_device(ctx_s, prompt, 40)
+    np.testing.assert_array_equal(spec, plain)
+    assert speculative.LAST_STATS["tokens"] >= 39
+    assert speculative.LAST_STATS["rounds"] >= 1
+
+
+def test_acceptance_on_repetitive_text():
+    """A greedy model decodes into a cycle; prompt-lookup must then
+    accept multiple tokens per round (rounds strictly < tokens)."""
+    import dataclasses
+    ctx = dataclasses.replace(make_ctx(), spec_k=7)
+    engine.generate_on_device(ctx, REPETITIVE, 60)
+    st = speculative.LAST_STATS
+    assert st["rounds"] < st["tokens"], st
+
+
+def test_session_spec_matches_plain():
+    ctx = make_ctx()
+    plain = engine.generate_sync(ctx, "abcabcabcabc", max_new_tokens=30)
+    ctx_s = make_ctx(spec_k=7)
+    spec = engine.generate_sync(ctx_s, "abcabcabcabc", max_new_tokens=30)
+    assert spec.output_ids == plain.output_ids
+    # the spec session ran verify rounds (pending buffer exercised)
+    assert ctx_s.spec_k == 7
+
+
+def test_session_spec_respects_max_new_tokens():
+    ctx = make_ctx(spec_k=7)
+    s = engine.generate_sync(ctx, "abcabc", max_new_tokens=5)
+    assert len(s.output_ids) <= 5
+
+
+def test_spec_disabled_for_sampling():
+    """Non-greedy sampler: _spec must be off, plain path taken."""
+    ctx = make_ctx(spec_k=7)
+    import dataclasses
+    ctx = dataclasses.replace(
+        ctx, sampler=sampling.SamplerConfig(temperature=0.8, top_p=0.9,
+                                            repetition_penalty=1.1))
+    s = engine.Session(ctx, "abc", max_new_tokens=4)
+    assert not s._spec
+    while s.step() is not None:
+        pass
+    assert len(s.output_ids) <= 4
+
+
+@pytest.mark.parametrize("quant", ["q80"])
+def test_spec_quantized_parity(tmp_path, quant):
+    import dataclasses
+    ctx = make_ctx(tmp_path, quant)
+    plain = engine.generate_on_device(ctx, REPETITIVE, 32)
+    spec = engine.generate_on_device(dataclasses.replace(ctx, spec_k=7),
+                                     REPETITIVE, 32)
+    np.testing.assert_array_equal(spec, plain)
+
+
+def test_spec_int8_kv_parity():
+    import dataclasses
+    ctx = make_ctx(kv_cache_dtype=jnp.int8)
+    plain = engine.generate_on_device(ctx, REPETITIVE, 32)
+    spec = engine.generate_on_device(dataclasses.replace(ctx, spec_k=7),
+                                     REPETITIVE, 32)
+    np.testing.assert_array_equal(spec, plain)
+
+
+def test_ngram_draft_finds_latest_continuation():
+    hist = jnp.asarray([0, 5, 9, 3, 5, 9, 7, 2, 5, 9, 0, 0], jnp.int32)
+    # current 2-gram at pos=9 is (5, 9); latest earlier match is at p=5
+    # (with 3-gram (3,5,9) also matching at p=5) -> draft starts at 6
+    d = speculative.ngram_draft(hist, jnp.int32(9), 3)
+    np.testing.assert_array_equal(np.asarray(d), [7, 2, 5])
