@@ -1213,7 +1213,8 @@ static void gemm_dispatch(float* Y, const Weight& w, const BatchActs& A,
     }
 }
 
-void Model::prefill(Runtime* rt, const int* tokens, int P) const {
+void Model::prefill(Runtime* rt, const int* tokens, int P, int pos0,
+                    float* logits_out) const {
     const Config& c = cfg_;
     int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
     int F = c.n_hidden;
@@ -1281,8 +1282,10 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
                     rmsnorm(k + h * D, k + h * D,
                             k_norm_ + (size_t)l * D, D, 1e-6f);
             }
-            const float* cosr = rope_cos_.data() + (size_t)p * (D / 2);
-            const float* sinr = rope_sin_.data() + (size_t)p * (D / 2);
+            const float* cosr = rope_cos_.data() +
+                (size_t)(pos0 + p) * (D / 2);
+            const float* sinr = rope_sin_.data() +
+                (size_t)(pos0 + p) * (D / 2);
             bool half = (arch_ == Arch::Qwen3);
             auto rope = [&](float* vec, int heads) {
                 for (int h = 0; h < heads; h++) {
@@ -1303,9 +1306,9 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
             };
             rope(q, H);
             rope(k, KV);
-            std::memcpy(kcache + (size_t)p * kvdim, k,
+            std::memcpy(kcache + (size_t)(pos0 + p) * kvdim, k,
                         kvdim * sizeof(float));
-            std::memcpy(vcache + (size_t)p * kvdim, v,
+            std::memcpy(vcache + (size_t)(pos0 + p) * kvdim, v,
                         kvdim * sizeof(float));
         }
 
@@ -1318,16 +1321,16 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
             float* scores = rt->att.data() + (size_t)h * rt->max_seq;
             for (int p = 0; p < P; p++) {
                 const float* qh = QKV.data() + (size_t)p * qdim + h * D;
-                for (int t = 0; t <= p; t++) {
+                for (int t = 0; t <= pos0 + p; t++) {
                     const float* kt = kcache + (size_t)t * kvdim + kvh * D;
                     float acc = 0.0f;
                     for (int i = 0; i < D; i++) acc += qh[i] * kt[i];
                     scores[t] = acc * inv_sqrt_d;
                 }
-                softmax_inplace(scores, p + 1);
+                softmax_inplace(scores, pos0 + p + 1);
                 float* oh = ATT.data() + (size_t)p * qdim + h * D;
                 std::memset(oh, 0, D * sizeof(float));
-                for (int t = 0; t <= p; t++) {
+                for (int t = 0; t <= pos0 + p; t++) {
                     const float* vt = vcache + (size_t)t * kvdim + kvh * D;
                     float pw = scores[t];
                     for (int i = 0; i < D; i++) oh[i] += pw * vt[i];
@@ -1371,6 +1374,16 @@ void Model::prefill(Runtime* rt, const int* tokens, int P) const {
             const float* xb = XB.data() + (size_t)p * E;
             for (int i = 0; i < E; i++) x[i] += xb[i];
         }
+    }
+
+    if (logits_out) {
+        // final norm + classifier for every position in ONE head sweep
+        // (same row-dot bodies as forward()'s tail — bit-identical)
+        for (int p = 0; p < P; p++)
+            rmsnorm(XB.data() + (size_t)p * E, X.data() + (size_t)p * E,
+                    final_norm_, E, EPS);
+        const float* src2 = prep(XB.data(), E, E);
+        gemm_dispatch(logits_out, classifier_, A, src2, E, P, gs);
     }
 }
 
@@ -1812,6 +1825,82 @@ Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
     }
     if (prompt_ids_.empty() || max_seq_len_ <= 1)
         state_ = State::Finished;      // nothing to prefill
+    hist_ = prompt_ids_;
+    static const int spec_env = [] {
+        const char* e = std::getenv("NANO_CPP_SPEC");
+        return e ? std::atoi(e) : 0;
+    }();
+    spec_k_ = std::max(0, std::min(spec_env, 31));
+}
+
+bool Session::spec_eligible() const {
+    // exact-parity scope: greedy, no repetition penalty, no observer,
+    // GEMM-capable weight mode (mirrors the batched-prefill gate)
+    return spec_k_ > 0 && sampler_->temperature <= 0.0f &&
+           sampler_->repetition_penalty == 1.0f && !model_.observation &&
+           (model_.quant() == Quant::F32 || int_dot_enabled());
+}
+
+int Session::emit_token(int tok) {
+    if (model_.is_stop_token(tok)) { state_ = State::Finished; return -1; }
+    seen_[tok] = true;
+    output_ids_.push_back(tok);
+    size_t nout = output_ids_.size();
+    if (nout > 1) tps_ = (double)(nout - 1) / std::max(now_s() - t_first_,
+                                                       1e-9);
+    if ((int)nout >= max_new_tokens_) state_ = State::Finished;
+    return tok;
+}
+
+void Session::spec_round() {
+    // draft k tokens by n-gram prompt lookup over (hist_, cur_tok_),
+    // verify all k+1 in one prefill(pos0) weight sweep — decode is
+    // memory-bound, so the sweep costs ~1 matvec pass for up to k+1
+    // emitted tokens; acceptance is exact argmax equality, making the
+    // stream token-identical to plain decode.
+    // adaptive draft length: unpredictable text parks k at 1 (a 2-row
+    // sweep, ~1.4x a plain matvec step), repetitive text doubles it to
+    // the NANO_CPP_SPEC cap within a few rounds
+    int K = std::min(k_cur_, std::min(spec_k_, max_seq_len_ - pos_ - 2));
+    K = std::max(K, 1);
+    int V = model_.config().vocab_size;
+    std::vector<int> ids(K + 1);
+    ids[0] = cur_tok_;
+    const std::vector<int>& h = hist_;
+    int len = (int)h.size();
+    int a1 = len >= 1 ? h[len - 1] : -1;
+    int a2 = len >= 2 ? h[len - 2] : -1;
+    int bestq = -1, bestrank = -1;
+    for (int q = 1; q + 1 < len; q++) {
+        if (h[q] != cur_tok_ || h[q - 1] != a1) continue;
+        int rank = (q >= 2 && h[q - 2] == a2) ? 1 : 0;   // prefer 3-gram
+        if (rank >= bestrank) { bestrank = rank; bestq = q; }
+    }
+    for (int j = 1; j <= K; j++) {
+        int src = bestq >= 0 ? bestq + j : -1;
+        ids[j] = (src >= 0 && src < len) ? h[src] : ids[j - 1];
+    }
+
+    std::vector<float> lg((size_t)(K + 1) * V);
+    model_.prefill(rt_, ids.data(), K + 1, pos_, lg.data());
+    std::vector<int> g(K + 1);
+    for (int i = 0; i <= K; i++) {
+        const float* row = lg.data() + (size_t)i * V;
+        int b = 0;
+        for (int j = 1; j < V; j++)
+            if (row[j] > row[b]) b = j;       // same tie-break as Sampler
+        g[i] = b;
+    }
+    int n_acc = 0;
+    while (n_acc < K && ids[n_acc + 1] == g[n_acc]) n_acc++;
+    k_cur_ = (n_acc == K) ? std::min(2 * K, spec_k_)
+                          : std::max(1, n_acc);
+    int n_out = n_acc + 1;
+    for (int i = 0; i < n_out; i++) hist_.push_back(ids[i]);
+    pending_.assign(g.begin(), g.begin() + n_out);
+    pending_i_ = 0;
+    cur_tok_ = g[n_acc];
+    pos_ += n_out;
 }
 
 int Session::step() {
@@ -1852,26 +1941,23 @@ int Session::step() {
         output_ids_.push_back(cur_tok_);
         return cur_tok_;
     }
+    if (pending_i_ < pending_.size())
+        return emit_token(pending_[pending_i_++]);
     if (pos_ + 1 >= max_seq_len_ ||
         (int)output_ids_.size() >= max_new_tokens_) {
         state_ = State::Finished;
         return -1;
     }
+    if (spec_eligible() && pos_ + spec_k_ + 1 < max_seq_len_) {
+        spec_round();
+        return emit_token(pending_[pending_i_++]);
+    }
+    hist_.push_back(cur_tok_);
     const float* logits = model_.forward(rt_, cur_tok_, pos_);
     std::vector<float> lg(logits, logits + model_.config().vocab_size);
     cur_tok_ = sampler_->sample(lg.data(), model_.config().vocab_size, seen_);
     pos_++;
-    if (model_.is_stop_token(cur_tok_)) {
-        state_ = State::Finished;
-        return -1;
-    }
-    seen_[cur_tok_] = true;
-    output_ids_.push_back(cur_tok_);
-    size_t nout = output_ids_.size();
-    if (nout > 1) tps_ = (double)(nout - 1) / std::max(now_s() - t_first_,
-                                                       1e-9);
-    if ((int)nout >= max_new_tokens_) state_ = State::Finished;
-    return cur_tok_;
+    return emit_token(cur_tok_);
 }
 
 }  // namespace nano

@@ -185,10 +185,17 @@ class Model {
     // GEMM instead of once per token — ~Px less weight traffic, the
     // prefill bottleneck on memory-bound hosts).  Writes the KV cache
     // exactly like P forward() calls (bit-identical: the per-row dot
-    // loops are the same code) but computes NO logits; callers forward
-    // the final prompt token normally.  Used by Session when no
-    // observation hook is installed.
-    void prefill(Runtime* rt, const int* tokens, int P) const;
+    // loops are the same code) but computes NO logits by default;
+    // callers forward the final prompt token normally.  Used by Session
+    // when no observation hook is installed.
+    //
+    // pos0 > 0 runs the P tokens at absolute positions [pos0, pos0+P)
+    // attending the full cache prefix — the speculative-decode verify
+    // primitive.  logits_out != nullptr additionally computes logits
+    // for every position (token-major (P, vocab); one classifier sweep
+    // streams the head weights once for all P rows).
+    void prefill(Runtime* rt, const int* tokens, int P, int pos0 = 0,
+                 float* logits_out = nullptr) const;
     // global-attention single-position pass (used by seq2seq)
     const float* forward_global(Runtime* rt, int token, int pos,
                                 int total) const;
@@ -287,6 +294,21 @@ class Session {
     int cur_tok_ = 0;
     State state_ = State::Prefilling;
     double t_first_ = 0.0, tps_ = 0.0;
+
+    // speculative greedy decode (NANO_CPP_SPEC=k): n-gram prompt-lookup
+    // drafts verified k+1 positions per weight sweep via prefill(pos0).
+    // Token-identical to plain decode (acceptance = exact argmax
+    // equality); active only for temperature<=0, repetition_penalty=1,
+    // no observer, int-dot/f32 modes.
+    int spec_k_ = 0;               // max draft length (NANO_CPP_SPEC)
+    int k_cur_ = 1;                // adaptive: x2 on full acceptance,
+                                   // back to the accepted run on a miss
+    std::vector<int> hist_;        // tokens fed at positions [0, pos_)
+    std::vector<int> pending_;     // verified tokens not yet emitted
+    size_t pending_i_ = 0;
+    bool spec_eligible() const;
+    void spec_round();
+    int emit_token(int tok);
 };
 
 }  // namespace nano

@@ -326,3 +326,74 @@ def test_cpp_qwen3_batched_prefill_matches_per_token(tmp_path):
         assert res.returncode == 0, res.stderr
         outs.append(res.stdout)
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
+def test_spec_decode_matches_plain(tmp_path, quant):
+    """NANO_CPP_SPEC=k must produce identical greedy output — verify
+    rounds reuse the prefill GEMM row-dot bodies at an offset, and
+    acceptance is exact argmax equality (cpp/nano.cpp spec_round)."""
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for spec in ("0", "7"):
+        env = dict(os.environ, NANO_CPP_SPEC=spec)
+        r = subprocess.run(
+            [cli, path, "-t", "0", "-r", "1.0", "-n", "24", "-c", "64",
+             "-T", "-q", "abcabcabcabc"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_spec_decode_with_lora_matches_plain(tmp_path):
+    """Speculative verify applies LoRA deltas per position (same GEMM
+    path as the LoRA batched prefill)."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    r, E = 4, cfg.n_embd
+    L, H, KV, D = (cfg.n_layer, cfg.n_head, cfg.n_kv_head, cfg.head_dim)
+    rng = np.random.RandomState(5)
+    lora = {
+        "wq_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wq_b": rng.randn(L, r, H * D).astype(np.float32) * 0.2,
+        "wk_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wk_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wv_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wv_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wo_a": rng.randn(L, H * D, r).astype(np.float32) * 0.2,
+        "wo_b": rng.randn(L, r, E).astype(np.float32) * 0.2,
+    }
+    lora_path = str(tmp_path / "ls.bin")
+    binfmt.write_lora(lora_path, lora, cfg, rank=r, alpha=8)
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for spec in ("0", "5"):
+        env = dict(os.environ, NANO_CPP_SPEC=spec)
+        res = subprocess.run(
+            [cli, path, "-l", lora_path, "-t", "0", "-r", "1.0", "-n",
+             "16", "-c", "64", "-T", "-q", "ababababab"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert res.returncode == 0, res.stderr
+        outs.append(res.stdout)
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_spec_decode_ignored_for_sampling(tmp_path):
+    """NANO_CPP_SPEC with temperature > 0 must not change stochastic
+    output (spec_eligible gates on greedy + no penalty)."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for spec in ("0", "7"):
+        env = dict(os.environ, NANO_CPP_SPEC=spec)
+        r = subprocess.run(
+            [cli, path, "-t", "0.8", "-p", "0.9", "-r", "1.1", "-s", "11",
+             "-n", "16", "-c", "64", "-T", "-q", "abcd"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]
