@@ -225,6 +225,44 @@ def spec_decode_tok_s(params, cfg, n_tokens=256, k=7, reps=3):
     return best, tpr
 
 
+def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
+                           kv_dtype=jnp.int8, start_pos=256):
+    """Aggregate throughput of the SPECULATIVE batched scan on cyclic
+    per-slot streams (serve/batching.py _batched_spec_scan).  Like
+    spec_decode_tok_s this measures the mechanism's ceiling — every
+    slot's stream is repetitive, so acceptance approaches 1 and each
+    scan step emits ~k+1 tokens per slot at ~1 step's cost."""
+    from nano_tpu.serve.batching import _batched_spec_scan
+    T = cfg.block_size
+    cache = gpt.KVCache.create(cfg, slots, T, kv_dtype)
+    pos = jnp.full((slots,), start_pos, jnp.int32)
+    tok = jnp.arange(slots, dtype=jnp.int32) % 997
+    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
+    temp = jnp.zeros((slots,), jnp.float32)
+    topp = jnp.full((slots,), 0.8, jnp.float32)
+    rp = jnp.ones((slots,), jnp.float32)
+    spec_ok = jnp.ones((slots,), jnp.bool_)
+    hist0 = np.tile(np.arange(T, dtype=np.int32) % 13, (slots, 1))
+
+    def run(hist):
+        return _batched_spec_scan(
+            params, None, 0.0, tok, pos, cache, seen,
+            jax.random.PRNGKey(1), hist, temp, topp, rp, spec_ok,
+            cfg, jnp.bfloat16, 0, k, n_steps, None)
+
+    out = run(jnp.asarray(hist0))
+    np.asarray(out[0])
+    best = 0.0
+    for it in range(reps):
+        hist0[0, 0] = 20 + it             # new value -> no memoized hit
+        t0 = time.time()
+        emits, n_outs, *_ = run(jnp.asarray(hist0))
+        n_em = int(np.asarray(n_outs).sum())
+        np.asarray(emits)
+        best = max(best, n_em / (time.time() - t0))
+    return best
+
+
 def main():
     rng = np.random.RandomState(0)
     cfg = ModelConfig(**QWEN3_06B)
@@ -250,6 +288,8 @@ def main():
     sp, tpr = spec_decode_tok_s(pq, cfg)
     extra["q80_spec_tok_s_cyclic"] = round(sp, 1)
     extra["spec_tokens_per_round"] = round(tpr, 2)
+    extra["q80_spec_batch8_agg_tok_s_cyclic"] = round(
+        batched_spec_aggregate(pq, cfg, 8), 1)
     del pq
 
     # --- Q4K in the loader's packed layout (binfmt._q4k_device_params) ---

@@ -80,6 +80,11 @@ def ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, k: int) -> jnp.ndarray:
     return lax.dynamic_slice(hist, (start,), (k,))
 
 
+# per-slot drafting for the continuous-batching engine: one lookup per
+# slot over its own history row (serve/batching.py)
+batched_ngram_draft = jax.vmap(ngram_draft, in_axes=(0, 0, None))
+
+
 def _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
                   cfg, dtype, k):
     """One speculation round: draft k, verify k+1 in one forward.

@@ -326,13 +326,24 @@ def attention(x: jnp.ndarray, layer: Params, cfg: ModelConfig,
         else:
             kq, vq = k.astype(ck.dtype), v.astype(cv.dtype)
         if getattr(start_pos, "ndim", 0) == 1:
-            # per-slot positions (continuous batching): S must be 1
-            bidx = jnp.arange(B)
-            ck = ck.at[bidx, start_pos].set(kq[:, 0])
-            cv = cv.at[bidx, start_pos].set(vq[:, 0])
-            if quant:
-                ks = ks.at[bidx, start_pos].set(k_sc[:, 0])
-                vs = vs.at[bidx, start_pos].set(v_sc[:, 0])
+            if S == 1:
+                # per-slot positions (continuous batching)
+                bidx = jnp.arange(B)
+                ck = ck.at[bidx, start_pos].set(kq[:, 0])
+                cv = cv.at[bidx, start_pos].set(vq[:, 0])
+                if quant:
+                    ks = ks.at[bidx, start_pos].set(k_sc[:, 0])
+                    vs = vs.at[bidx, start_pos].set(v_sc[:, 0])
+            else:
+                # per-slot positions, S new tokens per slot (batched
+                # speculative verify): rows [pos_b, pos_b + S) per slot
+                bidx = jnp.arange(B)[:, None]
+                posm = start_pos[:, None] + jnp.arange(S)[None, :]
+                ck = ck.at[bidx, posm].set(kq)
+                cv = cv.at[bidx, posm].set(vq)
+                if quant:
+                    ks = ks.at[bidx, posm].set(k_sc)
+                    vs = vs.at[bidx, posm].set(v_sc)
         else:
             ck = jax.lax.dynamic_update_slice(ck, kq, (0, start_pos, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, vq, (0, start_pos, 0, 0))
@@ -760,6 +771,60 @@ def forward_decode_batched(params: Params, tok: jnp.ndarray,
     logits = compute_logits(h, params, dtype)
     return logits[:, 0], KVCache(k=new_k, v=new_v, k_scale=new_ks,
                                  v_scale=new_vs)
+
+
+def forward_spec_batched(params: Params, toks: jnp.ndarray,
+                         cache: KVCache, pos: jnp.ndarray,
+                         cfg: ModelConfig, dtype=jnp.bfloat16,
+                         lora: Optional[Params] = None,
+                         lora_scale: float = 0.0,
+                         attn_len: Optional[int] = None,
+                         ) -> Tuple[jnp.ndarray, KVCache]:
+    """Batched multi-token forward with PER-SLOT positions — the
+    speculative-verify primitive for continuous batching
+    (serve/batching.py): slot b runs S tokens at absolute positions
+    [pos[b], pos[b] + S), attending its full cache prefix causally.
+
+    toks: (B, S); pos: (B,).  Returns logits (B, S, V) and the updated
+    cache.  S == 1 reduces to forward_decode_batched semantics; the
+    separate function keeps the measured single-token hot path
+    untouched.  The caller guarantees max(pos) + S <= attn_len.
+    """
+    B, S = toks.shape
+    T = cache.max_seq
+    Ta = attn_len if attn_len is not None else T
+    h = embed_tokens(params, toks, dtype)                 # (B, S, E)
+    posm = pos[:, None] + jnp.arange(S)[None, :]          # (B, S)
+
+    if cfg.use_rope:
+        cos_t, sin_t = precompute_rope(cfg.head_dim, T, cfg.rope_theta)
+        cos = cos_t[posm][:, :, None, :]                  # (B, S, 1, D/2)
+        sin = sin_t[posm][:, :, None, :]
+    else:
+        cos = sin = None
+        h = h + params["wpe"][posm].astype(dtype)
+
+    j = jnp.arange(Ta)[None, None, :]
+    m = jnp.where(j <= posm[:, :, None], 0.0, -jnp.inf).astype(jnp.float32)
+    mask = m[:, None, None, :, :]                         # (B,1,1,S,Ta)
+
+    def body(carry, xs):
+        layer, lora_layer, kvc, li = xs
+        out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
+                            lora_layer, lora_scale,
+                            kv_cache=kvc, start_pos=pos,
+                            layer_idx=li, attn_len=attn_len)
+        return out, new_kv
+
+    h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+        body, h, (params["blocks"], lora,
+                  (cache.k, cache.v, cache.k_scale, cache.v_scale),
+                  jnp.arange(cfg.n_layer)))
+
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    logits = compute_logits(h, params, dtype)
+    return logits, KVCache(k=new_k, v=new_v, k_scale=new_ks,
+                           v_scale=new_vs)
 
 
 # =====================================================================

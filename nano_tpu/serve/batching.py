@@ -99,6 +99,106 @@ def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
     return toks, tok, pos, cache, seen, key
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "k",
+                                   "attn_len"))
+def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
+                       key, hist, temperature, top_p, rep_penalty,
+                       spec_ok, cfg, dtype, top_k, k, attn_len=None):
+    """One speculative decode step for all B slots.
+
+    Eligible slots (spec_ok: greedy + repetition_penalty==1) draft k
+    tokens by per-slot n-gram prompt lookup and emit 1..k+1 verified
+    tokens; ineligible slots run the EXACT plain sampling machinery on
+    their row-0 logits and emit 1 (their draft rows compute garbage
+    that the next step's cache writes cover — infer/speculative.py's
+    overwrite invariant, per slot).  The key-split order matches
+    _batched_step, and an ineligible slot advances one position per
+    step exactly as there, so its token stream is bit-identical to the
+    plain engine's.
+
+    Returns (next_tok, pos', cache, seen, key', hist', emit (B, k+1),
+    n_out (B,)): the first n_out[b] entries of emit[b] are slot b's
+    emitted tokens this step.
+    """
+    from nano_tpu.infer import speculative
+
+    B = tok.shape[0]
+    drafts = speculative.batched_ngram_draft(hist, pos, k)   # (B, k)
+    ids = jnp.concatenate([tok[:, None], drafts], axis=1)    # (B, k+1)
+    logits_all, cache = gpt.forward_spec_batched(
+        params, ids, cache, pos, cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
+    logits_all = logits_all.astype(jnp.float32)
+    g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)    # (B, k+1)
+    match = drafts == g[:, :k]
+    n_acc = jnp.argmin(
+        jnp.concatenate([match, jnp.zeros((B, 1), jnp.bool_)], axis=1),
+        axis=1)
+
+    # plain per-slot sampling on row 0 (same ops/order as _batched_step)
+    logits = jnp.where(seen, logits_all[:, 0] / rep_penalty[:, None],
+                       logits_all[:, 0])
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
+    l = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    top_logits, top_idx = jax.lax.top_k(l, window)
+    probs = jax.nn.softmax(top_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) <= top_p[:, None]
+    use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)[:, None]
+    probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
+                      probs, 0.0)
+    key_out, sub, sub2 = jax.random.split(key, 3)
+    draw = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)),
+                                  axis=-1)
+    sampled = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
+    if not top_k:
+        full_draw = jax.random.categorical(sub2, l, axis=-1)
+        sampled = jnp.where(use_topp[:, 0], sampled, full_draw)
+    row0_tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
+                         ).astype(jnp.int32)
+
+    n_out = jnp.where(spec_ok, n_acc + 1, 1).astype(jnp.int32)
+    emit = jnp.where(spec_ok[:, None], g,
+                     jnp.concatenate([row0_tok[:, None], g[:, 1:]], axis=1))
+    next_tok = jnp.where(
+        spec_ok,
+        jnp.take_along_axis(g, n_acc[:, None], axis=1)[:, 0],
+        row0_tok).astype(jnp.int32)
+
+    # history rows: positions [pos+1, pos+k+1] get this round's inputs-
+    # to-be (entries past n_out are covered by the next round's write)
+    bidx = jnp.arange(B)[:, None]
+    posm = pos[:, None] + 1 + jnp.arange(k + 1)[None, :]
+    hist = hist.at[bidx, posm].set(emit)
+    # repetition-penalty bookkeeping only matters for ineligible slots
+    # (spec_ok requires rep_penalty == 1, where `seen` is a no-op)
+    seen_upd = seen.at[jnp.arange(B), row0_tok].set(True)
+    seen = jnp.where(spec_ok[:, None], seen, seen_upd)
+    return next_tok, pos + n_out, cache, seen, key_out, hist, emit, n_out
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "k", "n_steps",
+                                   "attn_len"))
+def _batched_spec_scan(params, lora, lora_scale, tok, pos, cache, seen,
+                       key, hist, temperature, top_p, rep_penalty,
+                       spec_ok, cfg, dtype, top_k, k, n_steps,
+                       attn_len=None):
+    """n_steps speculative batched steps in ONE dispatched program;
+    emits (n_steps, B, k+1) token slabs + (n_steps, B) valid counts."""
+    def body(carry, _):
+        tok, pos, cache, seen, key, hist = carry
+        tok, pos, cache, seen, key, hist, emit, n_out = _batched_spec_step(
+            params, lora, lora_scale, tok, pos, cache, seen, key, hist,
+            temperature, top_p, rep_penalty, spec_ok, cfg, dtype, top_k,
+            k, attn_len)
+        return (tok, pos, cache, seen, key, hist), (emit, n_out)
+
+    (tok, pos, cache, seen, key, hist), (emits, n_outs) = jax.lax.scan(
+        body, (tok, pos, cache, seen, key, hist), None, length=n_steps)
+    return emits, n_outs, tok, pos, cache, seen, key, hist
+
+
 @dataclass
 class Slot:
     """Slot lifecycle: FREE -> attached (claimed by add(), survives the
@@ -149,6 +249,12 @@ class BatchedEngine:
         self.rep_penalty = np.full(n_slots, 1.0, np.float32)
         self.slots: List[Slot] = [Slot() for _ in range(n_slots)]
         self.lock = threading.Lock()   # one device mutator at a time
+        # per-slot token history for speculative serving (ctx.spec_k > 0):
+        # drafts come from each slot's own stream.  History contents only
+        # affect acceptance (emitted tokens always come from the verify
+        # logits), so stale rows are a perf issue, never a correctness one.
+        self.hist = (jnp.zeros((n_slots, T), jnp.int32)
+                     if ctx.spec_k > 0 else None)
 
     # ------------------------------------------------------------
     def warmup(self, n_steps: int = 1) -> int:
@@ -186,6 +292,15 @@ class BatchedEngine:
                           f + 1.0, cfg, ctx.dtype, ctx.sampler.top_k,
                           n_steps, attn_len)
             n += 1
+            if self.hist is not None:
+                _batched_spec_scan(
+                    ctx.params, ctx.lora, ctx.lora_scale, zs, zs, cache,
+                    seen, jax.random.PRNGKey(0),
+                    jnp.zeros((self.n_slots, T), jnp.int32), f, f + 0.8,
+                    f + 1.0, jnp.zeros((self.n_slots,), jnp.bool_), cfg,
+                    ctx.dtype, ctx.sampler.top_k, ctx.spec_k, n_steps,
+                    attn_len)
+                n += 1
         return n
 
     # ------------------------------------------------------------
@@ -248,7 +363,8 @@ class BatchedEngine:
         try:
             return self._attach_prefilled(
                 st, slot, n, pad, tmp, seen_row, last, temperature, top_p,
-                repetition_penalty, max_new_tokens, sink)
+                repetition_penalty, max_new_tokens, sink,
+                prompt_ids=prompt_ids)
         except BaseException:
             with self.lock:
                 st.attached = False
@@ -257,7 +373,7 @@ class BatchedEngine:
 
     def _attach_prefilled(self, st, slot, n, pad, tmp, seen_row, last,
                           temperature, top_p, repetition_penalty,
-                          max_new_tokens, sink=None):
+                          max_new_tokens, sink=None, prompt_ids=None):
         ctx = self.ctx
         with self.lock:
             self.cache = gpt.KVCache(
@@ -282,6 +398,11 @@ class BatchedEngine:
             self.pos = self.pos.at[slot].set(n)
             self.tok = self.tok.at[slot].set(first)
             self.seen = self.seen.at[slot].set(seen_row)
+            if self.hist is not None and prompt_ids is not None:
+                row = np.zeros((ctx.max_seq_len,), np.int32)
+                row[:n] = prompt_ids
+                row[n] = first
+                self.hist = self.hist.at[slot].set(jnp.asarray(row))
             self.temperature[slot] = temperature
             self.top_p[slot] = top_p
             self.rep_penalty[slot] = repetition_penalty
@@ -312,16 +433,24 @@ class BatchedEngine:
 
     # ------------------------------------------------------------
     def _consume(self, toks_2d: np.ndarray, pos: np.ndarray) -> BurstResult:
-        """Host-side slot bookkeeping over an (n_steps, B) token burst.
+        """Host-side slot bookkeeping over an (n_steps, B) token burst."""
+        n_steps = toks_2d.shape[0]
+        return self._consume_lists(
+            {i: [int(toks_2d[k, i]) for k in range(n_steps)]
+             for i, st in enumerate(self.slots) if st.active})
+
+    def _consume_lists(self, slot_tokens: Dict[int, list]) -> BurstResult:
+        """Slot bookkeeping over per-slot candidate token lists.
 
         Returns a BurstResult {slot: [tokens...]} with per-slot `ended`
-        flags; tokens after a stop token within the burst are discarded.
-        The flags are the ONLY safe end-of-stream signal — by the time a
-        consumer looks at live slot state, the slot may already belong to
-        a new stream.
+        flags; tokens after a stop token (or past the length limits) are
+        discarded.  The flags are the ONLY safe end-of-stream signal — by
+        the time a consumer looks at live slot state, the slot may
+        already belong to a new stream.  The length cut uses
+        prompt_len + generated (== the live sequence position + 1, same
+        bound as Session's tail in infer/engine.py).
         """
         ctx = self.ctx
-        n_steps = toks_2d.shape[0]
         out: Dict[int, list] = {}
         ended: Dict[int, bool] = {}
         sinks: Dict[int, object] = {}
@@ -330,8 +459,7 @@ class BatchedEngine:
                 continue
             sinks[i] = st.sink
             got: list = []
-            for k in range(n_steps):
-                t = int(toks_2d[k, i])
+            for t in slot_tokens.get(i, []):
                 if t in ctx.stop_tokens:
                     st.active = False
                     st.finished_reason = "stop"
@@ -339,8 +467,7 @@ class BatchedEngine:
                 st.generated += 1
                 got.append(t)
                 if (st.generated >= st.max_new_tokens or
-                        int(pos[i]) - (n_steps - 1 - k) + 1
-                        >= ctx.max_seq_len):
+                        st.prompt_len + st.generated >= ctx.max_seq_len):
                     st.active = False
                     st.finished_reason = "length"
                     break
@@ -366,9 +493,41 @@ class BatchedEngine:
             # must not inflate the bucket.
             T = ctx.max_seq_len
             pos_np = np.asarray(self.pos)
-            need = 1 + n_steps + max(
-                (int(pos_np[i]) for i, s in enumerate(self.slots)
-                 if s.active), default=0)
+            max_pos = max((int(pos_np[i]) for i, s in enumerate(self.slots)
+                           if s.active), default=0)
+
+            if self.hist is not None:
+                # speculative burst: every step may advance a slot up to
+                # k+1 positions, so the room/bucket math uses the worst
+                # case; near the context end fall back to the plain scan
+                # (correct on a spec-touched cache — stale draft rows sit
+                # past each slot's position and are overwritten as it
+                # advances)
+                k = ctx.spec_k
+                need = max_pos + n_steps * (k + 1) + 2
+                if need <= T:
+                    attn_len = min(T, eng._bucket(need, minimum=128))
+                    if attn_len >= T:
+                        attn_len = None
+                    spec_ok = jnp.asarray(
+                        (self.temperature <= 0.0)
+                        & (self.rep_penalty == 1.0))
+                    (emits, n_outs, self.tok, self.pos, self.cache,
+                     self.seen, self.key, self.hist) = _batched_spec_scan(
+                        ctx.params, ctx.lora, ctx.lora_scale, self.tok,
+                        self.pos, self.cache, self.seen, self.key,
+                        self.hist, jnp.asarray(self.temperature),
+                        jnp.asarray(self.top_p),
+                        jnp.asarray(self.rep_penalty), spec_ok, ctx.cfg,
+                        ctx.dtype, ctx.sampler.top_k, k, n_steps, attn_len)
+                    emits = np.asarray(emits)
+                    n_outs = np.asarray(n_outs)
+                    return self._consume_lists(
+                        {i: [int(emits[t, i, j]) for t in range(n_steps)
+                             for j in range(int(n_outs[t, i]))]
+                         for i, s in enumerate(self.slots) if s.active})
+
+            need = 1 + n_steps + max_pos
             attn_len = min(T, eng._bucket(need, minimum=128))
             if attn_len >= T:
                 attn_len = None          # full cache — no slicing program

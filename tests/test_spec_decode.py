@@ -121,3 +121,124 @@ def test_ngram_draft_finds_latest_continuation():
     # (with 3-gram (3,5,9) also matching at p=5) -> draft starts at 6
     d = speculative.ngram_draft(hist, jnp.int32(9), 3)
     np.testing.assert_array_equal(np.asarray(d), [7, 2, 5])
+
+
+# ---------------------------------------------------------------------
+# speculative continuous batching (serve/batching.py)
+# ---------------------------------------------------------------------
+
+def _drain(be, slot, first, n_bursts=8, burst=4):
+    got = [] if first is None else [first]
+    for _ in range(n_bursts):
+        r = be.step_burst(burst)
+        got.extend(r.get(slot, []))
+        if r.ended.get(slot):
+            break
+    return got
+
+
+def test_batched_spec_matches_plain_greedy():
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx()
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    prompts = [REPETITIVE, RANDOMISH, [3, 3, 3, 3, 3, 3]]
+    outs = {}
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=4)
+        streams = []
+        for p in prompts:
+            slot, first = be.add(p, max_new_tokens=20, temperature=0.0,
+                                 repetition_penalty=1.0)
+            streams.append((slot, first))
+        outs[name] = [_drain(be, s, f) for s, f in streams]
+    assert outs["spec"] == outs["plain"]
+
+
+def test_batched_spec_mixed_sampling_slots():
+    """A stochastic slot inside a spec engine must reproduce the plain
+    engine bit-for-bit: the spec step mirrors _batched_step's key-split
+    order and an ineligible slot advances one position per step."""
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx()
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    outs = {}
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=4)
+        g_slot, g_first = be.add(REPETITIVE, max_new_tokens=16,
+                                 temperature=0.0, repetition_penalty=1.0)
+        s_slot, s_first = be.add(RANDOMISH, max_new_tokens=16,
+                                 temperature=0.9, top_p=0.85,
+                                 repetition_penalty=1.1)
+        got = {g_slot: [] if g_first is None else [g_first],
+               s_slot: [] if s_first is None else [s_first]}
+        for _ in range(12):
+            r = be.step_burst(4)
+            for s in got:
+                got[s].extend(r.get(s, []))
+            if not any(st.active for st in be.slots):
+                break
+        outs[name] = (got[g_slot], got[s_slot])
+    assert outs["spec"][0] == outs["plain"][0]      # greedy stream
+    assert outs["spec"][1] == outs["plain"][1]      # stochastic stream
+
+
+def test_batched_spec_near_context_end_falls_back():
+    """max_seq room guard: streams near the cache end still finish
+    correctly (plain-scan fallback on the spec-touched cache)."""
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx()                                  # max_seq_len=128
+    ctx_s = dataclasses.replace(ctx, spec_k=7)
+    outs = {}
+    long_prompt = (REPETITIVE * 8)[:100]
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=2)
+        slot, first = be.add(long_prompt, max_new_tokens=64,
+                             temperature=0.0, repetition_penalty=1.0)
+        outs[name] = _drain(be, slot, first, n_bursts=16, burst=4)
+    assert outs["spec"] == outs["plain"]
+    # the stream must have hit the length wall, not run away
+    assert len(outs["spec"]) <= 128 - 100
+
+
+def test_batched_spec_int8_kv_matches_plain():
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx(kv_cache_dtype=jnp.int8)
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    outs = {}
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=2)
+        slot, first = be.add(REPETITIVE, max_new_tokens=20,
+                             temperature=0.0, repetition_penalty=1.0)
+        outs[name] = _drain(be, slot, first)
+    assert outs["spec"] == outs["plain"]
+
+
+def test_batched_spec_join_mid_stream():
+    """A stream joining while another is mid-decode: both match plain."""
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx()
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    outs = {}
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=4)
+        s1, f1 = be.add(REPETITIVE, max_new_tokens=24, temperature=0.0,
+                        repetition_penalty=1.0)
+        got1 = [] if f1 is None else [f1]
+        r = be.step_burst(3)
+        got1.extend(r.get(s1, []))
+        s2, f2 = be.add(RANDOMISH, max_new_tokens=12, temperature=0.0,
+                        repetition_penalty=1.0)
+        got2 = [] if f2 is None else [f2]
+        for _ in range(8):
+            r = be.step_burst(3)
+            got1.extend(r.get(s1, []))
+            got2.extend(r.get(s2, []))
+            if r.ended.get(s1) and r.ended.get(s2):
+                break
+        outs[name] = (got1, got2)
+    assert outs["spec"] == outs["plain"]
