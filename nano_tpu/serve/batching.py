@@ -540,14 +540,12 @@ class BatchedEngine:
                     ctx.sampler.top_k, n_steps, attn_len)
             return self._consume(np.asarray(toks), np.asarray(self.pos))
 
-    def step(self) -> Dict[int, Optional[int]]:
-        """Advance every active slot one token.
+    def step(self) -> BurstResult:
+        """Advance every active slot one device step.
 
-        Returns {slot: token} for streams that produced a token, and
-        {slot: None} for streams that just finished (stop token / length).
-        """
-        burst = self.step_burst(1)
-        out: Dict[int, Optional[int]] = {}
-        for slot, toks in burst.items():
-            out[slot] = toks[0] if toks else None
-        return out
+        Returns the BurstResult {slot: [tokens...]}: exactly one token
+        per surviving stream in plain mode; under speculative serving
+        (ctx.spec_k > 0) an eligible slot may emit several verified
+        tokens from the single step.  `.ended[slot]` flags streams that
+        finished (stop token / length)."""
+        return self.step_burst(1)

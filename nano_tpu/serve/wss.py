@@ -338,6 +338,11 @@ def main():
     ap.add_argument("-t", "--temperature", type=float, default=1.0)
     ap.add_argument("-p", "--top_p", type=float, default=0.8)
     ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="speculative serving: draft K tokens per slot by "
+                         "n-gram prompt lookup; greedy no-penalty streams "
+                         "emit up to K+1 tokens per cache sweep with "
+                         "identical output (serve/batching.py)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -347,6 +352,7 @@ def main():
     ctx = engine.LLMContext.from_bin(
         args.model, max_seq_len=args.max_seq_len,
         kv_cache_dtype=jnp.int8 if args.kv_cache == "int8" else None,
+        spec_k=args.spec,
         sampler=sampling.SamplerConfig(
             temperature=args.temperature, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty))

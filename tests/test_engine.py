@@ -202,9 +202,7 @@ def test_int8_kv_cache_batched_engine(tmp_path):
                          temperature=0.0, repetition_penalty=1.0)
     toks = [first]
     while be.slots[slot].active:
-        t = be.step().get(slot)
-        if t is not None:
-            toks.append(t)
+        toks.extend(be.step().get(slot, []))
     assert len(toks) >= 2 and all(isinstance(t, int) for t in toks)
 
 

@@ -74,9 +74,7 @@ def test_tp_batched_engine(tmp_path):
                          temperature=0.0, repetition_penalty=1.0)
     toks = [first]
     while be.slots[slot].active:
-        t = be.step().get(slot)
-        if t is not None:
-            toks.append(t)
+        toks.extend(be.step().get(slot, []))
     assert toks == expect
 
 

@@ -46,10 +46,7 @@ def collect(be, ctx, prompt, n, **kw):
                          temperature=0.0, repetition_penalty=1.0, **kw)
     toks = [] if first is None else [first]
     while be.slots[slot].active:
-        out = be.step()
-        t = out.get(slot)
-        if t is not None:
-            toks.append(t)
+        toks.extend(be.step().get(slot, []))
     be.release(slot)
     return toks
 
@@ -71,9 +68,7 @@ def test_continuous_batching_join_midflight(tmp_path):
                     temperature=0.0, repetition_penalty=1.0)
     out1 = [f1]
     for _ in range(4):                       # advance stream 1 alone
-        t = be.step().get(s1)
-        if t is not None:
-            out1.append(t)
+        out1.extend(be.step().get(s1, []))
 
     s2, f2 = be.add(ctx.encode("qrs"), max_new_tokens=10,
                     temperature=0.0, repetition_penalty=1.0)
@@ -81,10 +76,8 @@ def test_continuous_batching_join_midflight(tmp_path):
     out2 = [f2]
     while be.slots[s1].active or be.slots[s2].active:
         out = be.step()
-        if out.get(s1) is not None:
-            out1.append(out[s1])
-        if out.get(s2) is not None:
-            out2.append(out[s2])
+        out1.extend(out.get(s1, []))
+        out2.extend(out.get(s2, []))
 
     assert out1 == solo_greedy(ctx, "abcdef", 10)
     assert out2 == solo_greedy(ctx, "qrs", 10)
@@ -597,3 +590,56 @@ def test_warmup_compiles_all_buckets(tmp_path):
     assert collect(be, ctx, long_prompt, 6) == solo_long
     assert b._batched_scan._cache_size() == scans
     assert e._prefill._cache_size() == prefills
+
+
+def test_wss_churn_soak_speculative(tmp_path):
+    """The churn soak with speculative serving enabled (ctx.spec_k>0):
+    mixed greedy/stochastic clients, an interrupt, slot reuse — every
+    request completes, no slot leaks, and the engine routes between the
+    spec and plain-fallback scans as room allows."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path, spec_k=4)
+
+    async def one(port, i):
+        import websockets as ws
+        async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+            for j in range(3):
+                await c.send(json.dumps({
+                    "prompt": "abcabc"[: 2 + (i + j) % 4],
+                    "max_new_tokens": 3 + (i + j) % 6,
+                    "temperature": 0.0 if (i + j) % 2 else 0.9,
+                    "repetition_penalty": 1.0, "template": False}))
+                n = 0
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        break
+                    n += 1
+                    if i == 0 and j == 1 and n == 1:
+                        await c.send(json.dumps({"stop": True}))
+            return True
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            res = await asyncio.gather(*[one(port, i) for i in range(3)])
+            assert server.engine.n_active == 0
+            assert all(not s.attached for s in server.engine.slots)
+            return all(res)
+
+    assert asyncio.run(run())
+
+
+def test_batched_spec_greedy_matches_solo_session(tmp_path):
+    """Spec-served greedy stream == the solo Session's stream (the
+    cross-path bar: batched + speculative + bucketing vs plain)."""
+    import dataclasses
+    ctx = make_ctx(tmp_path)
+    want = solo_greedy(ctx, "abcabc", 12)
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    be = BatchedEngine(ctx_s, n_slots=3)
+    got = collect(be, ctx_s, "abcabc", 12)
+    assert got == want
