@@ -1834,10 +1834,12 @@ Session::Session(const Model& model, Model::Runtime* rt, Sampler* sampler,
 }
 
 bool Session::spec_eligible() const {
-    // exact-parity scope: greedy, no repetition penalty, no observer,
-    // GEMM-capable weight mode (mirrors the batched-prefill gate)
+    // exact-parity scope: greedy (any repetition penalty — applied per
+    // verify row over seen + the draft prefix, bit-exact vs sequential),
+    // no observer, GEMM-capable weight mode (mirrors the batched-
+    // prefill gate)
     return spec_k_ > 0 && sampler_->temperature <= 0.0f &&
-           sampler_->repetition_penalty == 1.0f && !model_.observation &&
+           !model_.observation &&
            (model_.quant() == Quant::F32 || int_dot_enabled());
 }
 
@@ -1884,13 +1886,24 @@ void Session::spec_round() {
     std::vector<float> lg((size_t)(K + 1) * V);
     model_.prefill(rt_, ids.data(), K + 1, pos_, lg.data());
     std::vector<int> g(K + 1);
+    // penalized greedy per row: row i's penalty set is seen_ plus the
+    // draft prefix ids[1..i] — rows are only kept when their prefix was
+    // accepted (draft == emitted), so this matches the sequential
+    // Sampler::sample penalty bit-for-bit (same divide, same tie-break)
+    const float rp = sampler_->repetition_penalty;
+    std::vector<char> in_prefix(V, 0);
     for (int i = 0; i <= K; i++) {
+        if (i >= 1) in_prefix[ids[i]] = 1;
         const float* row = lg.data() + (size_t)i * V;
         int b = 0;
-        for (int j = 1; j < V; j++)
-            if (row[j] > row[b]) b = j;       // same tie-break as Sampler
+        float bv = (seen_[0] || in_prefix[0]) ? row[0] / rp : row[0];
+        for (int j = 1; j < V; j++) {
+            float x = (seen_[j] || in_prefix[j]) ? row[j] / rp : row[j];
+            if (x > bv) { bv = x; b = j; }
+        }
         g[i] = b;
     }
+    for (int i = 1; i <= K; i++) in_prefix[ids[i]] = 0;   // scratch reset
     int n_acc = 0;
     while (n_acc < K && ids[n_acc + 1] == g[n_acc]) n_acc++;
     k_cur_ = (n_acc == K) ? std::min(2 * K, spec_k_)

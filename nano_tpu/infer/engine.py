@@ -424,7 +424,6 @@ class Session:
         self._hist: Optional[jnp.ndarray] = None
         self._spec = (ctx.spec_k > 0
                       and ctx.sampler.temperature <= 0.0
-                      and ctx.sampler.repetition_penalty == 1.0
                       and ctx.observation is None)
 
         # TPS accounting (reference: infer/infer.h:247-250)
@@ -488,10 +487,14 @@ class Session:
             if self._spec and self.pos + ctx.spec_k + 2 <= ctx.max_seq_len:
                 # one verify round refills _pending with >= 1 tokens
                 from nano_tpu.infer import speculative
-                g, n_out, self._cache, self._hist = speculative.verify_step(
-                    ctx.params, ctx.lora, ctx.lora_scale,
-                    self._cur_tok[0], jnp.int32(self.pos), self._cache,
-                    self._hist, ctx.cfg, ctx.dtype, ctx.spec_k)
+                g, n_out, self._cache, self._hist, seen = \
+                    speculative.verify_step(
+                        ctx.params, ctx.lora, ctx.lora_scale,
+                        self._cur_tok[0], jnp.int32(self.pos), self._cache,
+                        self._hist, self._seen[0],
+                        jnp.float32(ctx.sampler.repetition_penalty),
+                        ctx.cfg, ctx.dtype, ctx.spec_k)
+                self._seen = seen[None]
                 n_out = int(n_out)
                 self._pending = np.asarray(g)[:n_out].tolist()
                 self._cur_tok = g[n_out - 1][None]
@@ -580,7 +583,6 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
                                last), axis=-1).astype(jnp.int32)
     s = ctx.sampler
     if (ctx.spec_k > 0 and s.temperature <= 0.0
-            and s.repetition_penalty == 1.0
             and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len):
         # speculative greedy decode: identical token stream, >= 1 tokens
         # per verify round (infer/speculative.py)
@@ -588,10 +590,14 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         hist = np.zeros((ctx.max_seq_len,), np.int32)
         hist[:n] = prompt_ids
         hist[n] = int(tok[0])
+        # NOTE: mirrors the plain _decode_scan below exactly — `seen`
+        # does not yet include the first sampled token on this path
+        # (_decode_step adds emitted tokens after sampling)
         out, n_em, rounds, _cache = speculative.spec_decode_loop(
             ctx.params, ctx.lora, ctx.lora_scale, tok[0], jnp.int32(n),
-            cache, jnp.asarray(hist), cfg, ctx.dtype, n_tokens - 1,
-            ctx.spec_k)
+            cache, jnp.asarray(hist), seen[0],
+            jnp.float32(s.repetition_penalty), cfg, ctx.dtype,
+            n_tokens - 1, ctx.spec_k)
         speculative.LAST_STATS = {"tokens": int(n_em),
                                   "rounds": int(rounds)}
         return np.concatenate([np.asarray(tok), np.asarray(out)])

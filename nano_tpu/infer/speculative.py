@@ -29,12 +29,15 @@ covers every stale row (the write happens before attend inside
 `gpt.attention`), and the causal mask hides rows > query position in
 the meantime.  The same invariant covers the history buffer.
 
-Scope: greedy (temperature == 0) with repetition_penalty == 1.0 —
-penalized sampling makes later verify positions depend on earlier
-in-round acceptance, which breaks the one-forward verification.  The
-engine falls back to plain decode outside this scope.  (The reference
-has no speculative path at all; its C engine decodes strictly one
-token per forward, infer/infer.c:1196-1308.)
+Scope: greedy (temperature == 0), ANY repetition penalty — the
+penalty's within-round dependence on earlier emissions is handled
+exactly by per-row masks over seen + the draft prefix (prefix_masks):
+a row is only kept when its prefix was accepted, where draft == the
+emitted tokens, so the masks match sequential penalized-greedy
+bit-for-bit.  Stochastic sampling cannot be verified in one forward;
+the engine falls back to plain decode there.  (The reference has no
+speculative path at all; its C engine decodes strictly one token per
+forward, infer/infer.c:1196-1308.)
 """
 
 from __future__ import annotations
@@ -85,45 +88,72 @@ def ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, k: int) -> jnp.ndarray:
 batched_ngram_draft = jax.vmap(ngram_draft, in_axes=(0, 0, None))
 
 
-def _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
-                  cfg, dtype, k):
+def prefix_masks(draft: jnp.ndarray, seen: jnp.ndarray) -> jnp.ndarray:
+    """Per-row repetition-penalty masks for a verify round.
+
+    Sequential penalized-greedy applies the penalty over
+    seen-so-far = prompt + all emitted tokens.  Inside a round, row i's
+    "emitted so far" is exactly the accepted draft prefix — and rows
+    are only KEPT when their prefix was accepted (draft[j] == g[j]), so
+    building the mask from the draft preserves bit-exact sequential
+    equivalence: mask_i = seen | {draft[j] : j < i}.
+
+    draft: (k,) int32; seen: (V,) bool -> (k+1, V) bool.
+    """
+    V = seen.shape[-1]
+    onehot = draft[:, None] == jnp.arange(V)[None, :]        # (k, V)
+    prefix = jnp.cumsum(onehot, axis=0) > 0                  # rows 1..k
+    return jnp.concatenate(
+        [jnp.zeros((1, V), jnp.bool_), prefix], axis=0) | seen[None, :]
+
+
+def _verify_round(params, lora, lora_scale, tok, pos, cache, hist, seen,
+                  rep_penalty, cfg, dtype, k):
     """One speculation round: draft k, verify k+1 in one forward.
 
     tok: () int32 current token (input at position pos).  Returns
-    (g, n_out, cache, hist): g[(k+1,)] are the greedy tokens at
-    positions pos..pos+k; the first n_out of them are the emitted
-    continuation (g[:n_out] extends the stream exactly as plain greedy
-    decode would), and the next round's input token is g[n_out-1] at
-    position pos + n_out.
+    (g, n_out, cache, hist, seen): g[(k+1,)] are the penalized-greedy
+    tokens at positions pos..pos+k; the first n_out of them are the
+    emitted continuation (g[:n_out] extends the stream exactly as plain
+    penalized-greedy decode would), the next round's input token is
+    g[n_out-1] at position pos + n_out, and seen gains the emitted
+    tokens.
     """
     draft = ngram_draft(hist, pos, k)
     ids = jnp.concatenate([tok[None], draft])[None, :]          # (1, k+1)
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, pos, cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale)
-    g = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
+    lf = logits[0].astype(jnp.float32)                          # (k+1, V)
+    masks = prefix_masks(draft, seen)
+    lf = jnp.where(masks, lf / rep_penalty, lf)   # same op as plain decode
+    g = jnp.argmax(lf, axis=-1).astype(jnp.int32)
     match = jnp.concatenate([draft == g[:k],
                              jnp.zeros((1,), jnp.bool_)])
     n_acc = jnp.argmin(match)            # leading-True run length
     n_out = (n_acc + 1).astype(jnp.int32)
     hist = lax.dynamic_update_slice(hist, g, (pos + 1,))
-    return g, n_out, cache, hist
+    V = seen.shape[-1]
+    valid = jnp.arange(k + 1) < n_out
+    emitted = jnp.any((g[:, None] == jnp.arange(V)[None, :])
+                      & valid[:, None], axis=0)
+    return g, n_out, cache, hist, seen | emitted
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "k"))
-def verify_step(params, lora, lora_scale, tok, pos, cache, hist,
-                cfg, dtype, k):
+def verify_step(params, lora, lora_scale, tok, pos, cache, hist, seen,
+                rep_penalty, cfg, dtype, k):
     """Jitted single round for the host-driven Session path."""
     return _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
-                         cfg, dtype, k)
+                         seen, rep_penalty, cfg, dtype, k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "n_tokens", "k"))
 def spec_decode_loop(params, lora, lora_scale, tok, pos, cache, hist,
-                     cfg, dtype, n_tokens, k
+                     seen, rep_penalty, cfg, dtype, n_tokens, k
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                 "gpt.KVCache"]:
-    """On-device speculative greedy decode of >= n_tokens tokens.
+    """On-device speculative (penalized-)greedy decode of >= n_tokens.
 
     One dispatched program; internally a while_loop of verify rounds.
     Returns (out[(n_tokens + k,)], n_emitted, n_rounds, cache) — the
@@ -136,19 +166,19 @@ def spec_decode_loop(params, lora, lora_scale, tok, pos, cache, hist,
     out0 = jnp.zeros((n_tokens + k + 1,), jnp.int32)
 
     def cond(c):
-        _tok, pos, _cache, _hist, _out, n_em, _r = c
+        _tok, pos, _cache, _hist, _seen, _out, n_em, _r = c
         return (n_em < n_tokens) & (pos + k + 2 <= T)
 
     def body(c):
-        tok, pos, cache, hist, out, n_em, r = c
-        g, n_out, cache, hist = _verify_round(
-            params, lora, lora_scale, tok, pos, cache, hist,
-            cfg, dtype, k)
+        tok, pos, cache, hist, seen, out, n_em, r = c
+        g, n_out, cache, hist, seen = _verify_round(
+            params, lora, lora_scale, tok, pos, cache, hist, seen,
+            rep_penalty, cfg, dtype, k)
         out = lax.dynamic_update_slice(out, g, (n_em,))
-        return (g[n_out - 1], pos + n_out, cache, hist, out,
+        return (g[n_out - 1], pos + n_out, cache, hist, seen, out,
                 n_em + n_out, r + 1)
 
-    (_tok, _pos, cache, _hist, out, n_em, rounds) = lax.while_loop(
+    (_tok, _pos, cache, _hist, _seen, out, n_em, rounds) = lax.while_loop(
         cond, body,
-        (tok, pos, cache, hist, out0, jnp.int32(0), jnp.int32(0)))
+        (tok, pos, cache, hist, seen, out0, jnp.int32(0), jnp.int32(0)))
     return out[:n_tokens], n_em, rounds, cache

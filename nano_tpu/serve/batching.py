@@ -106,15 +106,17 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
                        spec_ok, cfg, dtype, top_k, k, attn_len=None):
     """One speculative decode step for all B slots.
 
-    Eligible slots (spec_ok: greedy + repetition_penalty==1) draft k
-    tokens by per-slot n-gram prompt lookup and emit 1..k+1 verified
-    tokens; ineligible slots run the EXACT plain sampling machinery on
-    their row-0 logits and emit 1 (their draft rows compute garbage
-    that the next step's cache writes cover — infer/speculative.py's
-    overwrite invariant, per slot).  The key-split order matches
-    _batched_step, and an ineligible slot advances one position per
-    step exactly as there, so its token stream is bit-identical to the
-    plain engine's.
+    Eligible slots (spec_ok: greedy, any repetition penalty — the
+    penalty is applied per verify row over seen + the draft prefix,
+    bit-exact vs sequential penalized greedy, see
+    speculative.prefix_masks) draft k tokens by per-slot n-gram prompt
+    lookup and emit 1..k+1 verified tokens; ineligible (stochastic)
+    slots run the EXACT plain sampling machinery on their row-0 logits
+    and emit 1 (their draft rows compute garbage that the next step's
+    cache writes cover — infer/speculative.py's overwrite invariant,
+    per slot).  The key-split order matches _batched_step, and an
+    ineligible slot advances one position per step exactly as there, so
+    its token stream is bit-identical to the plain engine's.
 
     Returns (next_tok, pos', cache, seen, key', hist', emit (B, k+1),
     n_out (B,)): the first n_out[b] entries of emit[b] are slot b's
@@ -129,7 +131,11 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
         params, ids, cache, pos, cfg, dtype=dtype,
         lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     logits_all = logits_all.astype(jnp.float32)
-    g = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)    # (B, k+1)
+    # per-(slot, row) repetition-penalty masks: seen | draft prefix
+    masks = jax.vmap(speculative.prefix_masks)(drafts, seen)  # (B,k+1,V)
+    pen = jnp.where(masks, logits_all / rep_penalty[:, None, None],
+                    logits_all)
+    g = jnp.argmax(pen, axis=-1).astype(jnp.int32)           # (B, k+1)
     match = drafts == g[:, :k]
     n_acc = jnp.argmin(
         jnp.concatenate([match, jnp.zeros((B, 1), jnp.bool_)], axis=1),
@@ -171,10 +177,14 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
     bidx = jnp.arange(B)[:, None]
     posm = pos[:, None] + 1 + jnp.arange(k + 1)[None, :]
     hist = hist.at[bidx, posm].set(emit)
-    # repetition-penalty bookkeeping only matters for ineligible slots
-    # (spec_ok requires rep_penalty == 1, where `seen` is a no-op)
+    # seen gains the emitted tokens: the first n_out rows of g for spec
+    # slots, row0_tok for stochastic slots (same op order as plain)
+    V = seen.shape[-1]
+    valid = jnp.arange(k + 1)[None, :] < n_out[:, None]
+    acc = jnp.any((g[:, :, None] == jnp.arange(V)[None, None, :])
+                  & valid[:, :, None], axis=1)
     seen_upd = seen.at[jnp.arange(B), row0_tok].set(True)
-    seen = jnp.where(spec_ok[:, None], seen, seen_upd)
+    seen = jnp.where(spec_ok[:, None], seen | acc, seen_upd)
     return next_tok, pos + n_out, cache, seen, key_out, hist, emit, n_out
 
 
@@ -509,9 +519,7 @@ class BatchedEngine:
                     attn_len = min(T, eng._bucket(need, minimum=128))
                     if attn_len >= T:
                         attn_len = None
-                    spec_ok = jnp.asarray(
-                        (self.temperature <= 0.0)
-                        & (self.rep_penalty == 1.0))
+                    spec_ok = jnp.asarray(self.temperature <= 0.0)
                     (emits, n_outs, self.tok, self.pos, self.cache,
                      self.seen, self.key, self.hist) = _batched_spec_scan(
                         ctx.params, ctx.lora, ctx.lora_scale, self.tok,

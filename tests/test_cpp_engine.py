@@ -397,3 +397,23 @@ def test_spec_decode_ignored_for_sampling(tmp_path):
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout)
     assert outs[0] == outs[1]
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+@pytest.mark.parametrize("quant", ["f32", "q80"])
+def test_spec_decode_penalized_greedy_matches_plain(tmp_path, quant):
+    """NANO_CPP_SPEC with -r 1.05 (the reference CLI's default-style
+    penalized greedy): per-row penalty over seen + draft prefix must
+    reproduce sequential Sampler::sample bit-for-bit."""
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    cli = os.path.join(REPO_ROOT, "build", "nano_cpp")
+    outs = []
+    for spec in ("0", "7"):
+        env = dict(os.environ, NANO_CPP_SPEC=spec)
+        r = subprocess.run(
+            [cli, path, "-t", "0", "-r", "1.05", "-n", "24", "-c", "64",
+             "-T", "-q", "abcabcabcabc"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1] and len(outs[0]) > 0

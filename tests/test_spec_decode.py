@@ -242,3 +242,42 @@ def test_batched_spec_join_mid_stream():
                 break
         outs[name] = (got1, got2)
     assert outs["spec"] == outs["plain"]
+
+
+# ---------------------------------------------------------------------
+# penalized greedy (repetition_penalty != 1) speculative parity
+# ---------------------------------------------------------------------
+
+PEN = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.05)
+
+
+def test_spec_penalized_greedy_session_parity():
+    import dataclasses
+    ctx = dataclasses.replace(make_ctx(), sampler=PEN)
+    plain = engine.generate_sync(ctx, "abcabcabcabc", max_new_tokens=30)
+    spec = engine.generate_sync(dataclasses.replace(ctx, spec_k=7),
+                                "abcabcabcabc", max_new_tokens=30)
+    assert spec.output_ids == plain.output_ids
+
+
+def test_spec_penalized_greedy_on_device_parity():
+    import dataclasses
+    ctx = dataclasses.replace(make_ctx(), sampler=PEN)
+    plain = engine.generate_on_device(ctx, REPETITIVE, 40)
+    spec = engine.generate_on_device(dataclasses.replace(ctx, spec_k=7),
+                                     REPETITIVE, 40)
+    np.testing.assert_array_equal(spec, plain)
+
+
+def test_batched_spec_penalized_greedy_parity():
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx()
+    ctx_s = dataclasses.replace(ctx, spec_k=4)
+    outs = {}
+    for name, c in (("plain", ctx), ("spec", ctx_s)):
+        be = BatchedEngine(c, n_slots=3)
+        slot, first = be.add(REPETITIVE, max_new_tokens=24,
+                             temperature=0.0, repetition_penalty=1.05)
+        outs[name] = _drain(be, slot, first)
+    assert outs["spec"] == outs["plain"]
