@@ -104,3 +104,28 @@ def test_tp_greedy_grouped_int8_layout(tmp_path):
     leaf = tp.params["blocks"]["wqkv"].q
     assert not leaf.sharding.is_fully_replicated
     assert greedy(tp, "abcdef") == expect
+
+
+def test_tp_spec_batched_engine(tmp_path):
+    """Speculative continuous batching composes with TP sharding: the
+    multi-token verify forward (gpt.forward_spec_batched) partitions
+    under the same Megatron specs, and greedy output stays exact."""
+    import dataclasses
+    from nano_tpu.serve.batching import BatchedEngine
+    path = write_tiny(tmp_path, "f32")
+    base = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                      dtype=jnp.float32, sampler=SAMP)
+    expect = greedy(base, "ababab", 10)
+
+    mesh = meshlib.make_mesh(n_data=2, n_model=4)
+    tp = engine.LLMContext.from_bin(path, max_seq_len=64,
+                                    dtype=jnp.float32, sampler=SAMP,
+                                    spec_k=4)
+    tp.shard(mesh)
+    be = BatchedEngine(tp, n_slots=2)
+    slot, first = be.add(tp.encode("ababab"), max_new_tokens=10,
+                         temperature=0.0, repetition_penalty=1.0)
+    toks = [first]
+    while be.slots[slot].active:
+        toks.extend(be.step().get(slot, []))
+    assert toks == expect

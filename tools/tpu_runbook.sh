@@ -47,6 +47,38 @@ cat $R/ppl_q80.log
 timeout 3600 python eval.py -m /tmp/r3/m56_q4k.bin -i /tmp/r3/eval_text.txt --compare /tmp/r3/m56_f32.bin > $R/ppl_q4k.log 2>&1
 cat $R/ppl_q4k.log
 
+stage "5b real-text spec acceptance (trained 56M)"
+timeout 1800 python - > $R/spec_realtext.log 2>&1 <<'EOF'
+# speculative decode on REAL text continuation (trained model): the
+# honest acceptance number, vs bench.py's cyclic-stream ceiling
+import time, numpy as np, jax.numpy as jnp, dataclasses
+from nano_tpu.infer import engine, speculative
+from nano_tpu.ops import sampling
+ctx = engine.LLMContext.from_bin(
+    "/tmp/r3/m56_q80.bin",
+    sampler=sampling.SamplerConfig(temperature=0.0,
+                                   repetition_penalty=1.0))
+text = open("/tmp/r3/eval_text.txt", encoding="utf-8").read()[:400]
+ids = ctx.encode(text)[:128]
+for k in (0, 7):
+    c = dataclasses.replace(ctx, spec_k=k)
+    out = engine.generate_on_device(c, ids, 200)   # warm
+    t0 = time.time()
+    out2 = engine.generate_on_device(c, ids, 200)
+    np.asarray(out2)
+    dt = time.time() - t0
+    st = speculative.LAST_STATS if k else None
+    print(f"spec_k={k}: {200/dt:.1f} tok/s",
+          f"tokens_per_round={st['tokens']/max(st['rounds'],1):.2f}"
+          if st else "")
+    if k == 0:
+        base = out
+    else:
+        assert list(out2[:len(base)]) == list(base), "parity violation"
+        print("greedy parity on real text: OK")
+EOF
+cat $R/spec_realtext.log
+
 stage "6 bench panel"
 timeout 5400 python bench.py > $R/bench.log 2>&1
 tail -1 $R/bench.log
