@@ -581,6 +581,10 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     last = logits[:, n - 1].astype(jnp.float32)
     tok = jnp.argmax(jnp.where(seen, last / ctx.sampler.repetition_penalty,
                                last), axis=-1).astype(jnp.int32)
+    # the first sampled token joins the penalty scope immediately,
+    # matching Session._do_prefill and the C engine
+    # (infer/infer.c:1158-1160)
+    seen = seen.at[jnp.arange(1), tok].set(True)
     s = ctx.sampler
     if (ctx.spec_k > 0 and s.temperature <= 0.0
             and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len):
@@ -590,9 +594,6 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         hist = np.zeros((ctx.max_seq_len,), np.int32)
         hist[:n] = prompt_ids
         hist[n] = int(tok[0])
-        # NOTE: mirrors the plain _decode_scan below exactly — `seen`
-        # does not yet include the first sampled token on this path
-        # (_decode_step adds emitted tokens after sampling)
         out, n_em, rounds, _cache = speculative.spec_decode_loop(
             ctx.params, ctx.lora, ctx.lora_scale, tok[0], jnp.int32(n),
             cache, jnp.asarray(hist), seen[0],

@@ -281,3 +281,17 @@ def test_batched_spec_penalized_greedy_parity():
                              temperature=0.0, repetition_penalty=1.05)
         outs[name] = _drain(be, slot, first)
     assert outs["spec"] == outs["plain"]
+
+
+def test_on_device_penalized_matches_session():
+    """generate_on_device and Session agree under repetition penalty —
+    the first sampled token joins the penalty scope on both paths
+    (Session._do_prefill semantics; C engine infer.c:1158-1160)."""
+    import dataclasses
+    ctx = dataclasses.replace(make_ctx(), sampler=PEN)
+    sess = engine.generate_sync(ctx, "abcabcabc", max_new_tokens=24)
+    dev = engine.generate_on_device(ctx, ctx.encode("abcabcabc"), 24)
+    assert list(dev[:len(sess.output_ids)]) == sess.output_ids
+    spec = engine.generate_on_device(
+        dataclasses.replace(ctx, spec_k=7), ctx.encode("abcabcabc"), 24)
+    np.testing.assert_array_equal(spec, dev)
