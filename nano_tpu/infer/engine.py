@@ -221,7 +221,7 @@ class LLMContext:
     kv_cache_dtype: Optional[Any] = None   # jnp.int8 halves cache HBM
     device: Optional[Any] = None        # set via replicate_to()
     spec_k: int = 0                     # speculative decode draft length
-                                        # (greedy + rep_penalty=1.0 only;
+                                        # (greedy incl. rep-penalty;
                                         # infer/speculative.py; 7 = one
                                         # 8-row MXU sublane block)
 

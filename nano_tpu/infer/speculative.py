@@ -156,11 +156,12 @@ def spec_decode_loop(params, lora, lora_scale, tok, pos, cache, hist,
     """On-device speculative (penalized-)greedy decode of >= n_tokens.
 
     One dispatched program; internally a while_loop of verify rounds.
-    Returns (out[(n_tokens + k,)], n_emitted, n_rounds, cache) — the
-    caller keeps out[:n_tokens] (entries past n_emitted, when the
-    position guard stopped the loop early near the cache end, are
-    zeros; the engine sizes the cache so that cannot happen for the
-    requested length).
+    Returns (out[(n_tokens,)], n_emitted, n_rounds, cache).  Only
+    out[:n_emitted] are emitted tokens — entries past n_emitted hold
+    the final round's rejected-draft overwrite, NOT zeros, so callers
+    must trim by n_emitted if the position guard could have stopped the
+    loop early (the engine sizes cache + history so n_emitted >=
+    n_tokens for the requested length).
     """
     T = hist.shape[0]
     out0 = jnp.zeros((n_tokens + k + 1,), jnp.int32)

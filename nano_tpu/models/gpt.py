@@ -580,14 +580,16 @@ def loss_fn(params: Params, idx: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def _chunked_ce(h: jnp.ndarray, params: Params, targets: jnp.ndarray,
-                loss_mask: Optional[jnp.ndarray], dtype,
-                ce_chunk: int) -> jnp.ndarray:
-    """Scan the LM head + CE over token chunks of the flattened batch.
+def _chunked_ce_sums(h: jnp.ndarray, params: Params, targets: jnp.ndarray,
+                     loss_mask: Optional[jnp.ndarray], dtype,
+                     ce_chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan the LM head + CE over token chunks -> (nll_sum, mask_sum).
 
     Peak memory per chunk is (ce_chunk, V) instead of (B*S, V); the
     checkpointed body makes backward recompute each chunk's logits, so
-    only the (B*S, E) hidden states persist across the loss.
+    only the (B*S, E) hidden states persist across the loss.  The raw
+    sums let callers pick their own normalization (the pipeline loss
+    psums them across the mesh before dividing).
     """
     B, S, E = h.shape
     N = B * S
@@ -612,9 +614,17 @@ def _chunked_ce(h: jnp.ndarray, params: Params, targets: jnp.ndarray,
         return acc + jnp.sum(nll * m_c), ()
 
     total, _ = jax.lax.scan(body, jnp.float32(0.0), (hc, tc, mc))
+    return total, jnp.sum(m)
+
+
+def _chunked_ce(h: jnp.ndarray, params: Params, targets: jnp.ndarray,
+                loss_mask: Optional[jnp.ndarray], dtype,
+                ce_chunk: int) -> jnp.ndarray:
+    total, msum = _chunked_ce_sums(h, params, targets, loss_mask, dtype,
+                                   ce_chunk)
     if loss_mask is None:
-        return total / N
-    return total / jnp.maximum(jnp.sum(m), 1.0)
+        return total / (h.shape[0] * h.shape[1])
+    return total / jnp.maximum(msum, 1.0)
 
 
 # =====================================================================

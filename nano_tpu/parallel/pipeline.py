@@ -85,13 +85,16 @@ def default_n_micro(n_pipe: int, batch_local: int) -> int:
 
 
 def make_pp_loss(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
-                 n_micro: int = 0, remat: Any = False):
+                 n_micro: int = 0, remat: Any = False,
+                 ce_chunk: int = 0):
     """Build loss(params, x, y, m) -> scalar CE over a ("data","pipe") mesh.
 
     The returned function is jit-compatible and differentiable; wrap it
     in jax.value_and_grad exactly like gpt.loss_fn.  `x`/`y`/`m` are the
     global (B, S) batch sharded over "data"; params must be sharded with
-    shard_params_pp.  `remat` accepts the same values as gpt.loss_fn.
+    shard_params_pp.  `remat` and `ce_chunk` accept the same values as
+    gpt.loss_fn — with ce_chunk the last stage's head+CE runs in token
+    chunks (full logits never materialize; gpt._chunked_ce_sums).
     """
     assert PIPE_AXIS in mesh.axis_names, mesh.axis_names
     n_pipe = mesh.shape[PIPE_AXIS]
@@ -168,6 +171,10 @@ def make_pp_loss(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
         def head_ce():
             h = outputs.reshape(B_loc, S, E)
             h = gpt.rms_norm(h, params["norm"], cfg.norm_eps)
+            if ce_chunk and ce_chunk > 0:
+                total, msum = gpt._chunked_ce_sums(
+                    h, params, y, mw, dtype, ce_chunk)
+                return total, msum
             logits = gpt.compute_logits(h, params, dtype).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]

@@ -31,19 +31,14 @@ from nano_tpu.infer import engine as eng
 from nano_tpu.ops import sampling
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "attn_len"))
-def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
-                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                  attn_len=None):
-    """One decode step for all B slots (per-slot positions + samplers)."""
-    logits, cache = gpt.forward_decode_batched(
-        params, tok, cache, pos, cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
-    logits = logits.astype(jnp.float32)
-    logits = jnp.where(seen, logits / rep_penalty[:, None], logits)
+def _sample_rows(key, logits, temperature, top_p, top_k):
+    """Per-slot sampling over penalized (B, V) logits -> (key', tok).
 
+    Shared by _batched_step and _batched_spec_step so the key-split
+    order and op sequence stay identical — the spec engine's
+    bit-identical-stochastic-slots guarantee rests on this.
+    """
     greedy_tok = jnp.argmax(logits, axis=-1)
-
     window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
     l = logits / jnp.maximum(temperature, 1e-6)[:, None]
     top_logits, top_idx = jax.lax.top_k(l, window)
@@ -63,9 +58,24 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     if not top_k:
         full_draw = jax.random.categorical(sub2, l, axis=-1)
         sampled = jnp.where(use_topp[:, 0], sampled, full_draw)
+    tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
+                    ).astype(jnp.int32)
+    return key_out, tok
 
-    next_tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
-                         ).astype(jnp.int32)
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "attn_len"))
+def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
+                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
+                  attn_len=None):
+    """One decode step for all B slots (per-slot positions + samplers)."""
+    logits, cache = gpt.forward_decode_batched(
+        params, tok, cache, pos, cfg, dtype=dtype,
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
+    logits = logits.astype(jnp.float32)
+    logits = jnp.where(seen, logits / rep_penalty[:, None], logits)
+
+    key_out, next_tok = _sample_rows(key, logits, temperature, top_p,
+                                     top_k)
     seen = seen.at[jnp.arange(tok.shape[0]), next_tok].set(True)
     return next_tok, pos + 1, cache, seen, key_out
 
@@ -141,28 +151,12 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
         jnp.concatenate([match, jnp.zeros((B, 1), jnp.bool_)], axis=1),
         axis=1)
 
-    # plain per-slot sampling on row 0 (same ops/order as _batched_step)
+    # plain per-slot sampling on row 0 (shared helper => same ops/order
+    # and key-split sequence as _batched_step)
     logits = jnp.where(seen, logits_all[:, 0] / rep_penalty[:, None],
                        logits_all[:, 0])
-    greedy_tok = jnp.argmax(logits, axis=-1)
-    window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
-    l = logits / jnp.maximum(temperature, 1e-6)[:, None]
-    top_logits, top_idx = jax.lax.top_k(l, window)
-    probs = jax.nn.softmax(top_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) <= top_p[:, None]
-    use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)[:, None]
-    probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
-                      probs, 0.0)
-    key_out, sub, sub2 = jax.random.split(key, 3)
-    draw = jax.random.categorical(sub, jnp.log(jnp.maximum(probs, 1e-38)),
-                                  axis=-1)
-    sampled = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
-    if not top_k:
-        full_draw = jax.random.categorical(sub2, l, axis=-1)
-        sampled = jnp.where(use_topp[:, 0], sampled, full_draw)
-    row0_tok = jnp.where(temperature <= 0.0, greedy_tok, sampled
-                         ).astype(jnp.int32)
+    key_out, row0_tok = _sample_rows(key, logits, temperature, top_p,
+                                     top_k)
 
     n_out = jnp.where(spec_ok, n_acc + 1, 1).astype(jnp.int32)
     emit = jnp.where(spec_ok[:, None], g,
@@ -278,14 +272,18 @@ class BatchedEngine:
         cfg = ctx.cfg
         T = ctx.max_seq_len
         n = 0
-        pad = eng._bucket(1)                 # smallest prefill bucket
-        while pad <= T:                      # prefill buckets
+        pads = []                            # prefill buckets: pow2 < T,
+        pad = eng._bucket(1)                 # plus T itself (add() clamps
+        while pad < T:                       # _bucket(n) to max_seq_len,
+            pads.append(pad)                 # which may not be a pow2)
+            pad *= 2
+        pads.append(T)
+        for pad in pads:
             tmp = ctx.new_cache(1, seq_len=pad)
             eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
                          jnp.zeros((1, pad), jnp.int32), tmp, cfg,
                          ctx.dtype)
             n += 1
-            pad *= 2
         buckets = []
         b = 128
         while b < T:                         # decode cache-length buckets
@@ -346,6 +344,11 @@ class BatchedEngine:
             st.attached = True         # reserved; unclaimable until release
             st.active = False
         try:
+            if not prompt_ids:
+                # BOS-seed empty prompts, matching Session (engine.py);
+                # without this the first token would be sampled from a
+                # padding position's logits
+                prompt_ids = [getattr(ctx.tokenizer, "bos_id", 0)]
             n = len(prompt_ids)
             if n >= ctx.max_seq_len:
                 # keep the TAIL, matching Session (infer/engine.py)
@@ -442,7 +445,7 @@ class BatchedEngine:
             self.slots[slot].sink = None
 
     # ------------------------------------------------------------
-    def _consume(self, toks_2d: np.ndarray, pos: np.ndarray) -> BurstResult:
+    def _consume(self, toks_2d: np.ndarray) -> BurstResult:
         """Host-side slot bookkeeping over an (n_steps, B) token burst."""
         n_steps = toks_2d.shape[0]
         return self._consume_lists(
@@ -506,13 +509,18 @@ class BatchedEngine:
             max_pos = max((int(pos_np[i]) for i, s in enumerate(self.slots)
                            if s.active), default=0)
 
-            if self.hist is not None:
+            any_spec = self.hist is not None and any(
+                s.active and self.temperature[i] <= 0.0
+                for i, s in enumerate(self.slots))
+            if any_spec:
                 # speculative burst: every step may advance a slot up to
                 # k+1 positions, so the room/bucket math uses the worst
-                # case; near the context end fall back to the plain scan
-                # (correct on a spec-touched cache — stale draft rows sit
-                # past each slot's position and are overwritten as it
-                # advances)
+                # case; near the context end — or when no active slot is
+                # spec-eligible (pure-sampling traffic would pay the
+                # (k+1)-row verify for zero benefit) — fall back to the
+                # plain scan (correct on a spec-touched cache: stale
+                # draft rows sit past each slot's position and are
+                # overwritten as it advances)
                 k = ctx.spec_k
                 need = max_pos + n_steps * (k + 1) + 2
                 if need <= T:
@@ -546,7 +554,7 @@ class BatchedEngine:
                     jnp.asarray(self.temperature), jnp.asarray(self.top_p),
                     jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
                     ctx.sampler.top_k, n_steps, attn_len)
-            return self._consume(np.asarray(toks), np.asarray(self.pos))
+            return self._consume(np.asarray(toks))
 
     def step(self) -> BurstResult:
         """Advance every active slot one device step.

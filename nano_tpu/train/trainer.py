@@ -275,7 +275,8 @@ class Trainer:
             from nano_tpu.parallel import pipeline
             pp_loss = pipeline.make_pp_loss(
                 mc, self.mesh, dtype=dtype,
-                n_micro=tc.pp_microbatches, remat=remat)
+                n_micro=tc.pp_microbatches, remat=remat,
+                ce_chunk=ce_chunk)
 
             def compute_loss(trainable, frozen, x, y, m):
                 return pp_loss(trainable, x, y, m)

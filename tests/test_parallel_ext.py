@@ -165,3 +165,19 @@ def test_pp_trainer_two_steps_match_dp():
         losses[name] = ls
 
     np.testing.assert_allclose(losses["pp"], losses["dp"], rtol=3e-5)
+
+
+def test_pp_ce_chunk_matches():
+    """ce_chunk under pipeline parallelism: chunked head+CE on the last
+    stage matches the one-shot loss (values equal up to f32 summation
+    order)."""
+    params = gpt.init_params(jax.random.PRNGKey(9), CFG)
+    x, y, m = make_batch(np.random.default_rng(10))
+    ref = gpt.loss_fn(params, x, y, m, CFG, dtype=jnp.float32)
+
+    mesh = meshlib.make_mesh(n_data=2, n_pipe=4)
+    p_sh = pipeline.shard_params_pp(params, mesh)
+    loss_fn = pipeline.make_pp_loss(CFG, mesh, dtype=jnp.float32,
+                                    ce_chunk=16)
+    loss = jax.jit(lambda p: loss_fn(p, x, y, m))(p_sh)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=3e-5)

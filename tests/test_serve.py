@@ -643,3 +643,17 @@ def test_batched_spec_greedy_matches_solo_session(tmp_path):
     be = BatchedEngine(ctx_s, n_slots=3)
     got = collect(be, ctx_s, "abcabc", 12)
     assert got == want
+
+
+def test_add_empty_prompt_bos_seeded(tmp_path):
+    """An empty prompt is BOS-seeded like Session — the first token must
+    NOT be sampled from a padding position's logits."""
+    ctx = make_ctx(tmp_path)
+    want = solo_greedy(ctx, "", 6)
+    be = BatchedEngine(ctx, n_slots=2)
+    slot, first = be.add([], max_new_tokens=6, temperature=0.0,
+                         repetition_penalty=1.0)
+    toks = [] if first is None else [first]
+    while be.slots[slot].active:
+        toks.extend(be.step().get(slot, []))
+    assert toks == want
