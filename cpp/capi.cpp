@@ -63,10 +63,14 @@ void nano_detach_lora(void* hp) { ((NanoHandle*)hp)->model->detach_lora(); }
 
 // encode utf-8 text -> ids; returns count (caller buffer out_ids[cap])
 int nano_encode(void* hp, const char* text, int* out_ids, int cap) {
-    auto ids = ((NanoHandle*)hp)->model->encode(text);
-    int n = (int)ids.size();
-    for (int i = 0; i < n && i < cap; i++) out_ids[i] = ids[i];
-    return n;
+    try {
+        auto ids = ((NanoHandle*)hp)->model->encode(text);
+        int n = (int)ids.size();
+        for (int i = 0; i < n && i < cap; i++) out_ids[i] = ids[i];
+        return n;
+    } catch (...) {
+        return -1;
+    }
 }
 
 // decode ids -> utf-8.  Copies min(len, cap-1) bytes (NUL-terminated)
@@ -84,41 +88,57 @@ int nano_decode(void* hp, const int* ids, int n, char* out, int cap) {
     return len;
 }
 
-// full generation: prompt ids -> output ids; returns generated count
+// full generation: prompt ids -> output ids; returns generated count,
+// or -1 on error (invalid prompt ids, engine failure) — a C++ throw
+// must never unwind through the extern "C" boundary into ctypes
 int nano_generate(void* hp, const int* prompt, int n_prompt, int max_new,
                   int* out_ids, int cap) {
-    auto* h = (NanoHandle*)hp;
-    std::vector<int> ids(prompt, prompt + n_prompt);
-    nano::Session s2(*h->model, h->rt, &h->sampler, ids, h->max_seq,
-                     max_new);
-    int n = 0;
-    while (!s2.finished()) {
-        int tok = s2.step();
-        if (tok < 0) break;
-        if (!s2.is_prefilling()) {
-            if (n < cap) out_ids[n] = tok;
-            n++;
+    try {
+        auto* h = (NanoHandle*)hp;
+        std::vector<int> ids(prompt, prompt + n_prompt);
+        nano::Session s2(*h->model, h->rt, &h->sampler, ids, h->max_seq,
+                         max_new);
+        int n = 0;
+        while (!s2.finished()) {
+            int tok = s2.step();
+            if (tok < 0) break;
+            if (!s2.is_prefilling()) {
+                if (n < cap) out_ids[n] = tok;
+                n++;
+            }
         }
+        return n < cap ? n : cap;
+    } catch (...) {
+        return -1;
     }
-    return n < cap ? n : cap;
 }
 
-// single forward step: logits written to out (vocab_size floats)
+// single forward step: logits written to out (vocab_size floats);
+// -1 on error (position/token out of bounds)
 int nano_forward(void* hp, int token, int pos, float* out) {
-    auto* h = (NanoHandle*)hp;
-    const float* lg = h->model->forward(h->rt, token, pos);
-    std::memcpy(out, lg,
-                sizeof(float) * h->model->config().vocab_size);
-    return 0;
+    try {
+        auto* h = (NanoHandle*)hp;
+        const float* lg = h->model->forward(h->rt, token, pos);
+        std::memcpy(out, lg,
+                    sizeof(float) * h->model->config().vocab_size);
+        return 0;
+    } catch (...) {
+        return -1;
+    }
 }
 
-// seq2seq (non-causal) decode
+// seq2seq (non-causal) decode; -1 on error (too-long input, non-nano
+// arch, invalid ids)
 int nano_seq2seq(void* hp, const int* input, int n, int* out_ids) {
-    auto* h = (NanoHandle*)hp;
-    std::vector<int> in(input, input + n);
-    auto out = h->model->seq2seq(h->rt, in);
-    for (int i = 0; i < (int)out.size(); i++) out_ids[i] = out[i];
-    return (int)out.size();
+    try {
+        auto* h = (NanoHandle*)hp;
+        std::vector<int> in(input, input + n);
+        auto out = h->model->seq2seq(h->rt, in);
+        for (int i = 0; i < (int)out.size(); i++) out_ids[i] = out[i];
+        return (int)out.size();
+    } catch (...) {
+        return -1;
+    }
 }
 
 }  // extern "C"

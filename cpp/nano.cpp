@@ -50,13 +50,19 @@ static std::u32string utf8_to_u32(const std::string& s) {
         uint8_t c = (uint8_t)s[i];
         char32_t cp = 0xFFFD;
         size_t n = 1;
+        // continuation bytes must be 0b10xxxxxx; otherwise only the bad
+        // LEAD byte maps to U+FFFD and the following bytes re-decode
+        auto cont = [&](size_t off) {
+            return i + off < s.size() &&
+                   ((uint8_t)s[i + off] >> 6) == 0x2;
+        };
         if (c < 0x80) { cp = c; }
-        else if ((c >> 5) == 0x6 && i + 1 < s.size()) {
+        else if ((c >> 5) == 0x6 && cont(1)) {
             cp = ((c & 0x1F) << 6) | ((uint8_t)s[i + 1] & 0x3F); n = 2;
-        } else if ((c >> 4) == 0xE && i + 2 < s.size()) {
+        } else if ((c >> 4) == 0xE && cont(1) && cont(2)) {
             cp = ((c & 0x0F) << 12) | (((uint8_t)s[i + 1] & 0x3F) << 6)
                | ((uint8_t)s[i + 2] & 0x3F); n = 3;
-        } else if ((c >> 3) == 0x1E && i + 3 < s.size()) {
+        } else if ((c >> 3) == 0x1E && cont(1) && cont(2) && cont(3)) {
             cp = ((c & 0x07) << 18) | (((uint8_t)s[i + 1] & 0x3F) << 12)
                | (((uint8_t)s[i + 2] & 0x3F) << 6)
                | ((uint8_t)s[i + 3] & 0x3F); n = 4;
@@ -105,24 +111,33 @@ void TrieTokenizer::add_token(const std::u32string& t, int id) {
     nodes_[node].token_id = id;
 }
 
-void TrieTokenizer::parse_field(const uint8_t* data, size_t* offset) {
+void TrieTokenizer::parse_field(const uint8_t* data, size_t* offset,
+                                size_t limit) {
     // field: u32 total_bytes, u32 vocab_size, then per token
     // {u8 len, u8 is_special, u8 x2 reserved, u32 id, u32 codepoints[len]}
     // (reference: export.py:72-114)
     size_t pos = *offset;
+    if (pos + 8 > limit)
+        throw std::runtime_error("tokenizer field truncated");
     uint32_t total = read_le<uint32_t>(data + pos);
     uint32_t vocab = read_le<uint32_t>(data + pos + 4);
     size_t end = pos + total;
+    if (total < 8 || end > limit)
+        throw std::runtime_error("tokenizer field truncated");
     pos += 8;
     itos_.assign(vocab, std::u32string());
     nodes_.clear();
     nodes_.push_back(Node{});
     std::vector<uint8_t> special(vocab, 0);
     for (uint32_t t = 0; t < vocab; t++) {
+        if (pos + 8 > end)
+            throw std::runtime_error("tokenizer field truncated");
         uint8_t len = data[pos];
         uint8_t is_special = data[pos + 1];
         uint32_t id = read_le<uint32_t>(data + pos + 4);
         pos += 8;
+        if (pos + 4ull * len > end)
+            throw std::runtime_error("tokenizer field truncated");
         std::u32string tok;
         for (uint8_t k = 0; k < len; k++) {
             tok.push_back((char32_t)read_le<uint32_t>(data + pos));
@@ -132,7 +147,6 @@ void TrieTokenizer::parse_field(const uint8_t* data, size_t* offset) {
             itos_[id] = tok;
             special[id] = is_special;
             add_token(tok, (int)id);
-            if (tok.size() == 1 && !is_special) char_ids_[tok[0]] = (int)id;
         }
     }
     if (pos != end) throw std::runtime_error("tokenizer field length mismatch");
@@ -187,19 +201,27 @@ std::string TrieTokenizer::decode(const std::vector<int>& ids) const {
 // ===================================================================
 
 void BpeTokenizer::parse_field(const uint8_t* data, size_t* offset,
-                               int vocab_size) {
+                               int vocab_size, size_t limit) {
     // field: u32 total, u32 max_token_length, then per token
     // {f32 score, u32 len, bytes}
     size_t pos = *offset;
+    if (pos + 8 > limit)
+        throw std::runtime_error("BPE field truncated");
     uint32_t total = read_le<uint32_t>(data + pos);
     size_t end = pos + total;
+    if (total < 8 || end > limit)
+        throw std::runtime_error("BPE field truncated");
     pos += 8;
     vocab_.reserve(vocab_size);
     scores_.reserve(vocab_size);
     for (int i = 0; i < vocab_size; i++) {
+        if (pos + 8 > end)
+            throw std::runtime_error("BPE field truncated");
         float score = read_le<float>(data + pos);
         uint32_t len = read_le<uint32_t>(data + pos + 4);
         pos += 8;
+        if (pos + len > end)
+            throw std::runtime_error("BPE field truncated");
         vocab_.emplace_back((const char*)(data + pos), (size_t)len);
         pos += len;
         scores_.push_back(score);
@@ -232,9 +254,13 @@ std::vector<int> BpeTokenizer::encode(const std::string& utf8) const {
             for (size_t k = 0; k < n; k++) {
                 std::string bs(1, piece[k]);
                 auto bit = stoi_.find(bs);
-                toks.push_back(bit != stoi_.end()
-                               ? bit->second
-                               : (int)(uint8_t)piece[k] + 3);
+                int id = bit != stoi_.end()
+                             ? bit->second
+                             : (int)(uint8_t)piece[k] + 3;
+                // small/toy vocabs may lack byte tokens entirely: the
+                // llama2.c-style (byte+3) id can then exceed the vocab;
+                // drop the byte rather than index out of bounds below
+                if (id >= 0 && id < (int)vocab_.size()) toks.push_back(id);
             }
         }
         i += n;
@@ -803,9 +829,9 @@ void Model::parse_() {
 
     size_t pos = 256;
     if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
-        bpe_.parse_field(data_, &pos, cfg_.vocab_size);
+        bpe_.parse_field(data_, &pos, cfg_.vocab_size, size_);
     else
-        trie_.parse_field(data_, &pos);
+        trie_.parse_field(data_, &pos, size_);
     map_weights(data_ + pos, size_ - pos);
 }
 
@@ -875,7 +901,8 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
         uint32_t ndim = read_le<uint32_t>(p + 12);
         uint32_t nb = read_le<uint32_t>(p + 40);
         const uint8_t* blocks = p + 44;
-        if (total < 44 || total > (uint64_t)(limit - p))
+        if (total < 44 || total > (uint64_t)(limit - p) ||
+            44 + (uint64_t)nb * Q4K_BYTES > total)
             throw std::runtime_error("model file truncated");
         p += total;
         uint32_t bpr = (cols + Q4K_BLOCK - 1) / Q4K_BLOCK;
@@ -979,20 +1006,23 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
 }
 
 void Model::attach_lora(const std::string& path) {
+    // parse into LOCAL storage and commit only after every validation:
+    // a failed re-attach must leave an already-installed adapter fully
+    // intact (resizing lora_blob_ first would dangle its pointers)
     FILE* f = std::fopen(path.c_str(), "rb");
     if (!f) throw std::runtime_error("cannot open " + path);
     std::fseek(f, 0, SEEK_END);
     long sz = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
-    lora_blob_.resize(sz);
-    if (std::fread(lora_blob_.data(), 1, sz, f) != (size_t)sz) {
+    std::vector<uint8_t> blob(sz);
+    if (std::fread(blob.data(), 1, sz, f) != (size_t)sz) {
         std::fclose(f);
         throw std::runtime_error("short read on " + path);
     }
     std::fclose(f);
-    if (lora_blob_.size() < 256)
+    if (blob.size() < 256)
         throw std::runtime_error("LoRA file truncated");
-    const uint8_t* d = lora_blob_.data();
+    const uint8_t* d = blob.data();
     if (read_le<uint32_t>(d) != MAGIC_0 ||
         (Arch)read_le<uint32_t>(d + 16) != Arch::Lora)
         throw std::runtime_error("not a LoRA .bin file");
@@ -1009,7 +1039,7 @@ void Model::attach_lora(const std::string& path) {
     int64_t D = cfg_.head_dim, H = cfg_.n_head, KV = cfg_.n_kv_head;
     uint64_t expect = 256 + 4ull * L * r *
         (E + H * D + E + KV * D + E + KV * D + H * D + E);
-    if (lora_blob_.size() < expect)
+    if (blob.size() < expect)
         throw std::runtime_error("LoRA file truncated");
     const float* p = (const float*)(d + 256);
     lora->layers.resize(L);
@@ -1029,6 +1059,9 @@ void Model::attach_lora(const std::string& path) {
     stack(KV * D, r, &LoraLayer::vb);
     stack(r, H * D, &LoraLayer::oa);
     stack(E, r, &LoraLayer::ob);
+    // commit: moving the vector keeps its heap buffer (and therefore
+    // every pointer stacked above) valid
+    lora_blob_ = std::move(blob);
     lora_ = std::move(lora);
 }
 
@@ -1222,6 +1255,13 @@ void Model::prefill(Runtime* rt, const int* tokens, int P, int pos0,
     int gs = (int)group_size_;
     const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
     if (P <= 0) return;
+    if (pos0 < 0 || pos0 + P > rt->max_seq || pos0 + P > c.block_size)
+        throw std::runtime_error(
+            "prefill range [" + std::to_string(pos0) + ", " +
+            std::to_string(pos0 + P) + ") outside runtime/model bounds");
+    for (int p = 0; p < P; p++)
+        if (tokens[p] < 0 || tokens[p] >= c.vocab_size)
+            throw std::runtime_error("token id outside vocab in prefill");
 
     std::vector<float> X((size_t)P * E), XB((size_t)P * std::max(E, qdim));
     std::vector<float> QKV((size_t)P * qdim);
@@ -1427,6 +1467,14 @@ void Model::embed_row(float* x, int token) const {
 
 const float* Model::forward(Runtime* rt, int token, int pos) const {
     const Config& c = cfg_;
+    if (pos < 0 || pos >= rt->max_seq || pos >= c.block_size)
+        throw std::runtime_error(
+            "position " + std::to_string(pos) + " outside runtime/model "
+            "bounds (max_seq=" + std::to_string(rt->max_seq) +
+            ", block_size=" + std::to_string(c.block_size) + ")");
+    if (token < 0 || token >= c.vocab_size)
+        throw std::runtime_error("token id " + std::to_string(token) +
+                                 " outside vocab");
     int E = c.n_embd, D = c.head_dim, H = c.n_head, KV = c.n_kv_head;
     int qdim = H * D, kvdim = KV * D;
     int rep = H / KV;
@@ -1577,7 +1625,20 @@ std::vector<int> Model::seq2seq(Runtime* rt, const std::vector<int>& input
     // converged), then a final sweep for per-position argmax
     // (reference: infer/infer.c:1365-1402 uses the same L-sweep scheme).
     const Config& c = cfg_;
+    if (arch_ != Arch::Nano)
+        throw std::runtime_error(
+            "seq2seq requires a nano-arch model (forward_global has no "
+            "qwen bias/qk-norm/half-rope path)");
+    if (lora_)
+        throw std::runtime_error(
+            "seq2seq with an attached LoRA is unsupported in the C++ "
+            "engine (forward_global applies no deltas)");
     int S = (int)input.size();
+    if (S > rt->max_seq || S > c.block_size)
+        throw std::runtime_error("seq2seq input longer than max_seq");
+    for (int t = 0; t < S; t++)
+        if (input[t] < 0 || input[t] >= c.vocab_size)
+            throw std::runtime_error("token id outside vocab in seq2seq");
     std::vector<int> out(S);
     for (int sweep = 0; sweep < c.n_layer; sweep++)
         for (int t = 0; t < S; t++) forward_global(rt, input[t], t, S);
@@ -1883,18 +1944,20 @@ void Session::spec_round() {
         ids[j] = (src >= 0 && src < len) ? h[src] : ids[j - 1];
     }
 
-    std::vector<float> lg((size_t)(K + 1) * V);
-    model_.prefill(rt_, ids.data(), K + 1, pos_, lg.data());
+    spec_lg_.resize((size_t)(K + 1) * V);     // Session scratch: no
+    spec_prefix_.assign(V, 0);                // per-round heap churn at
+    float* lg = spec_lg_.data();              // 151k-vocab sizes
+    model_.prefill(rt_, ids.data(), K + 1, pos_, lg);
     std::vector<int> g(K + 1);
     // penalized greedy per row: row i's penalty set is seen_ plus the
     // draft prefix ids[1..i] — rows are only kept when their prefix was
     // accepted (draft == emitted), so this matches the sequential
     // Sampler::sample penalty bit-for-bit (same divide, same tie-break)
     const float rp = sampler_->repetition_penalty;
-    std::vector<char> in_prefix(V, 0);
+    char* in_prefix = spec_prefix_.data();
     for (int i = 0; i <= K; i++) {
         if (i >= 1) in_prefix[ids[i]] = 1;
-        const float* row = lg.data() + (size_t)i * V;
+        const float* row = lg + (size_t)i * V;
         int b = 0;
         float bv = (seen_[0] || in_prefix[0]) ? row[0] / rp : row[0];
         for (int j = 1; j < V; j++) {
@@ -1903,7 +1966,6 @@ void Session::spec_round() {
         }
         g[i] = b;
     }
-    for (int i = 1; i <= K; i++) in_prefix[ids[i]] = 0;   // scratch reset
     int n_acc = 0;
     while (n_acc < K && ids[n_acc + 1] == g[n_acc]) n_acc++;
     k_cur_ = (n_acc == K) ? std::min(2 * K, spec_k_)
@@ -1948,11 +2010,7 @@ int Session::step() {
         pos_++;
         state_ = State::Decoding;
         t_first_ = now_s();
-        if (model_.is_stop_token(cur_tok_)) { state_ = State::Finished;
-                                              return -1; }
-        seen_[cur_tok_] = true;
-        output_ids_.push_back(cur_tok_);
-        return cur_tok_;
+        return emit_token(cur_tok_);
     }
     if (pending_i_ < pending_.size())
         return emit_token(pending_[pending_i_++]);

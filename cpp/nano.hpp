@@ -87,7 +87,7 @@ struct Weight {
 // ------------------------------------------------------------------
 class TrieTokenizer {
   public:
-    void parse_field(const uint8_t* data, size_t* offset);
+    void parse_field(const uint8_t* data, size_t* offset, size_t limit);
     std::vector<int> encode(const std::string& utf8) const;
     std::string decode(const std::vector<int>& ids) const;
     std::string decode_one(int id) const;
@@ -100,13 +100,13 @@ class TrieTokenizer {
     };
     std::vector<Node> nodes_;
     std::vector<std::u32string> itos_;
-    std::unordered_map<char32_t, int> char_ids_;
     void add_token(const std::u32string& t, int id);
 };
 
 class BpeTokenizer {
   public:
-    void parse_field(const uint8_t* data, size_t* offset, int vocab_size);
+    void parse_field(const uint8_t* data, size_t* offset, int vocab_size,
+                     size_t limit);
     int vocab_size() const { return (int)vocab_.size(); }
     std::vector<int> encode(const std::string& utf8) const;
     std::string decode(const std::vector<int>& ids) const;
@@ -227,7 +227,6 @@ class Model {
     const float *attn_norm_ = nullptr, *ffn_norm_ = nullptr,
                 *final_norm_ = nullptr;
     Weight tok_emb_;
-    std::vector<float> tok_emb_f32_;      // dequantized shadow for lookup
     std::vector<Weight> wq_, wk_, wv_, wo_, w1_, w2_, w3_;
     Weight classifier_;
     const float *bq_ = nullptr, *bk_ = nullptr, *bv_ = nullptr;  // qwen2
@@ -305,6 +304,8 @@ class Session {
                                    // back to the accepted run on a miss
     std::vector<int> hist_;        // tokens fed at positions [0, pos_)
     std::vector<int> pending_;     // verified tokens not yet emitted
+    std::vector<float> spec_lg_;   // verify-round logits scratch
+    std::vector<char> spec_prefix_;  // per-round penalty-prefix scratch
     size_t pending_i_ = 0;
     bool spec_eligible() const;
     void spec_round();

@@ -121,6 +121,8 @@ class CppEngine:
         cap = max(16, len(text) * 4 + 16)
         buf = (ctypes.c_int * cap)()
         n = self._lib.nano_encode(self._h, text.encode(), buf, cap)
+        if n < 0:
+            raise RuntimeError("nano_encode failed")
         return list(buf[:min(n, cap)])
 
     def decode(self, ids: List[int]) -> str:
@@ -139,18 +141,27 @@ class CppEngine:
         out = (ctypes.c_int * max_new_tokens)()
         n = self._lib.nano_generate(self._h, arr, len(prompt_ids),
                                     max_new_tokens, out, max_new_tokens)
+        if n < 0:
+            raise RuntimeError(
+                "nano_generate failed (invalid prompt ids?)")
         return list(out[:n])
 
     def forward(self, token: int, pos: int) -> "list[float]":
         import numpy as np
         out = np.zeros(self.vocab_size, np.float32)
-        self._lib.nano_forward(
+        rc = self._lib.nano_forward(
             self._h, token, pos,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc < 0:
+            raise RuntimeError(
+                f"nano_forward failed (token={token}, pos={pos})")
         return out
 
     def seq2seq(self, input_ids: List[int]) -> List[int]:
         arr = (ctypes.c_int * len(input_ids))(*input_ids)
         out = (ctypes.c_int * len(input_ids))()
         n = self._lib.nano_seq2seq(self._h, arr, len(input_ids), out)
+        if n < 0:
+            raise RuntimeError(
+                "nano_seq2seq failed (too-long input or non-nano arch?)")
         return list(out[:n])

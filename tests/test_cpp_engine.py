@@ -417,3 +417,67 @@ def test_spec_decode_penalized_greedy_matches_plain(tmp_path, quant):
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout)
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_rejects_truncated_tokenizer_field(tmp_path):
+    """A .bin truncated inside the tokenizer field must load-fail
+    cleanly (bounds-checked parse), not crash."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    blob = open(path, "rb").read()
+    cut = str(tmp_path / "cut.bin")
+    open(cut, "wb").write(blob[:300])      # header + partial tokenizer
+    from nano_tpu import cpp_engine
+    with pytest.raises(Exception):
+        with cpp_engine.CppEngine(cut, max_seq_len=64) as eng:
+            eng.generate([1], 2)
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_forward_rejects_out_of_bounds(tmp_path):
+    """Out-of-range pos/token through the C API returns an error (the
+    throw never unwinds into ctypes; previously heap corruption)."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    from nano_tpu import cpp_engine
+    with cpp_engine.CppEngine(path, max_seq_len=32) as eng:
+        with pytest.raises(RuntimeError):
+            eng.forward(1, 999)            # pos past max_seq/block_size
+        with pytest.raises(RuntimeError):
+            eng.forward(10 ** 6, 0)        # token past vocab
+        with pytest.raises(RuntimeError):
+            eng.seq2seq(list(range(64)) * 2)   # input longer than ctx
+        # engine still healthy afterwards
+        assert len(eng.generate(eng.encode("ab"), 4)) >= 0
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_failed_reattach_keeps_old_lora(tmp_path):
+    """attach_lora(bad) after attach_lora(good) must keep the good
+    adapter fully intact (no dangling blob pointers)."""
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    r, E = 4, cfg.n_embd
+    L, H, KV, D = (cfg.n_layer, cfg.n_head, cfg.n_kv_head, cfg.head_dim)
+    rng = np.random.RandomState(9)
+    lora = {k: rng.randn(*shape).astype(np.float32) * 0.2
+            for k, shape in [
+                ("wq_a", (L, E, r)), ("wq_b", (L, r, H * D)),
+                ("wk_a", (L, E, r)), ("wk_b", (L, r, KV * D)),
+                ("wv_a", (L, E, r)), ("wv_b", (L, r, KV * D)),
+                ("wo_a", (L, H * D, r)), ("wo_b", (L, r, E))]}
+    good = str(tmp_path / "good.bin")
+    binfmt.write_lora(good, lora, cfg, rank=r, alpha=8)
+    bad = str(tmp_path / "bad.bin")
+    open(bad, "wb").write(open(good, "rb").read()[:300])  # truncated
+
+    from nano_tpu import cpp_engine
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        ids = eng.encode("abcd")
+        eng.attach_lora(good)
+        with_lora = eng.generate(ids, 8)
+        try:
+            eng.attach_lora(bad)
+        except Exception:
+            pass
+        # the good adapter still drives generation, bit-for-bit
+        assert eng.generate(ids, 8) == with_lora
