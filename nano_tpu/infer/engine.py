@@ -105,29 +105,11 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
 
     logits = jnp.where(seen_mask, logits / rep_penalty, logits)
 
-    if greedy:
-        next_tok = jnp.argmax(logits, axis=-1)
-        key_out = key
-    elif exact:
-        key_out, sub = jax.random.split(key)
-        next_tok = jax.random.categorical(
-            sub, logits / jnp.maximum(temperature, 1e-6), axis=-1)
-    else:
-        window = min(top_k if top_k else NUCLEUS_WINDOW, logits.shape[-1])
-        l = logits / jnp.maximum(temperature, 1e-6)
-        top_logits, top_idx = jax.lax.top_k(l, window)   # sorted desc
-        probs = jax.nn.softmax(top_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        keep = (cum - probs) <= top_p                     # C-engine truncation
-        use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)
-        probs = jnp.where(jnp.logical_or(keep, jnp.logical_not(use_topp)),
-                          probs, 0.0)
-        key_out, sub = jax.random.split(key)
-        draw = jax.random.categorical(
-            sub, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1)
-        next_tok = jnp.take_along_axis(top_idx, draw[:, None], axis=-1)[:, 0]
-
-    next_tok = next_tok.astype(jnp.int32)
+    # single sampling implementation for every token — the first token
+    # after prefill (Session) and all decode-scan tokens share this exact
+    # window/softmax/truncate math by construction
+    key_out, next_tok = _sample_windowed(key, logits, temperature, top_p,
+                                         top_k, greedy, exact)
     observe.tap(observe.Phase.SAMPLE, -1, next_tok)
     seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
     return next_tok, cache, seen_mask, key_out, logits, observe.end_capture()
@@ -293,10 +275,18 @@ class LLMContext:
         """Load a .bin model.  quantized=None keeps Q80 files quantized on
         device (int8 weights + fused dequant matmul); quantized=False
         dequantizes everything to `dtype` at load."""
-        bm = binfmt.read_model(path)
+        with open(path, "rb") as f:
+            hdr = binfmt.parse_header(f.read(binfmt.HEADER_BYTES))
         if quantized is None:
-            quantized = bm.header.quant_type in (binfmt.QUANT_Q80,
-                                                 binfmt.QUANT_Q4K)
+            quantized = hdr.quant_type in (binfmt.QUANT_Q80,
+                                           binfmt.QUANT_Q4K)
+        # quantized int8-MXU loads consume only qparams — skip the f32
+        # dequantized copies entirely (~2.4 GB of transient host memory
+        # + dequant time at 0.6B).  The xla/pallas oracle modes still
+        # need the dense head table (binfmt._attach_clf_dequant).
+        from nano_tpu.ops import qmatmul as _qm
+        dense = not (quantized and _qm._IMPL == "int8")
+        bm = binfmt.read_model(path, dense=dense)
         if quantized:
             params = binfmt.quantized_device_params(bm)
         else:
@@ -566,10 +556,19 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     """Throughput path: prefill + n_tokens decode entirely on device.
 
     Returns the generated ids (n_tokens,).  No early stop — intended for
-    benchmarking and batch workloads.
+    benchmarking and batch workloads.  Over-long prompts keep their tail
+    and n_tokens is capped to the cache room, both matching Session
+    (silent cache-index clamping otherwise corrupts output).
     """
     cfg = ctx.cfg
+    if not prompt_ids:
+        prompt_ids = [getattr(ctx.tokenizer, "bos_id", 0)]
+    if len(prompt_ids) >= ctx.max_seq_len:
+        prompt_ids = prompt_ids[-(ctx.max_seq_len - 1):]
     n = len(prompt_ids)
+    n_tokens = min(n_tokens, ctx.max_seq_len - n)
+    if n_tokens <= 0:
+        return np.zeros((0,), np.int32)
     pad_len = min(_bucket(n), ctx.max_seq_len)
     ids = np.zeros((1, pad_len), np.int32)
     ids[0, :n] = prompt_ids
@@ -578,14 +577,21 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
                                 jnp.asarray(ids), cache, cfg, ctx.dtype)
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
                                        cfg.vocab_size)
+    s = ctx.sampler
     last = logits[:, n - 1].astype(jnp.float32)
-    tok = jnp.argmax(jnp.where(seen, last / ctx.sampler.repetition_penalty,
-                               last), axis=-1).astype(jnp.int32)
+    last = jnp.where(seen, last / s.repetition_penalty, last)
+    # first token through the SAME sampler as Session._do_prefill (was:
+    # unconditional argmax, which silently made token 1 greedy even for
+    # temperature > 0)
+    key, tok = _sample_windowed(
+        jax.random.PRNGKey(ctx.random_seed), last,
+        jnp.float32(s.temperature), jnp.float32(s.top_p), s.top_k,
+        s.temperature <= 0.0, exact=_exact_multinomial(s))
+    tok = tok.astype(jnp.int32)
     # the first sampled token joins the penalty scope immediately,
     # matching Session._do_prefill and the C engine
     # (infer/infer.c:1158-1160)
     seen = seen.at[jnp.arange(1), tok].set(True)
-    s = ctx.sampler
     if (ctx.spec_k > 0 and s.temperature <= 0.0
             and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len):
         # speculative greedy decode: identical token stream, >= 1 tokens
@@ -604,7 +610,7 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         return np.concatenate([np.asarray(tok), np.asarray(out)])
     toks, *_ = _decode_scan(
         ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
-        jax.random.PRNGKey(ctx.random_seed), jnp.float32(s.temperature),
+        key, jnp.float32(s.temperature),
         jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
         cfg, ctx.dtype, s.top_k, n_tokens - 1, s.temperature <= 0.0,
         _exact_multinomial(s))
@@ -644,14 +650,18 @@ def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
     """
     cfg = ctx.cfg
     block = cfg.block_size
-    prompt_len = len(prompt_ids)
     all_tokens = list(prompt_ids)
+    # conditioning context keeps the prompt TAIL and always leaves at
+    # least one position to unmask (a full-block prompt previously gave
+    # block_len = 0 -> infinite loop; a longer one, a broadcast error)
+    prompt_len = min(len(prompt_ids), block - 1)
 
     # params passed as an argument, never a closure (CLAUDE.md: closures
     # bake weights into the program as constants)
     @partial(jax.jit, static_argnames=("cfg_", "dtype_"))
-    def round_step(params, x, masked, key, cfg_, dtype_):
-        logits = gpt.forward(params, x, cfg_, dtype=dtype_)
+    def round_step(params, lora, x, masked, key, cfg_, dtype_):
+        logits = gpt.forward(params, x, cfg_, dtype=dtype_,
+                             lora=lora, lora_scale=ctx.lora_scale)
         probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
         tk_probs, tk_idx = jax.lax.top_k(probs, top_k)
         conf = jnp.sum(tk_probs, axis=-1)
@@ -672,18 +682,19 @@ def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
         return x, masked, key
 
     key = jax.random.PRNGKey(ctx.random_seed)
-    # generate max_new_tokens NEW tokens beyond the prompt
-    target = prompt_len + max_new_tokens
+    # generate max_new_tokens NEW tokens beyond the (full) prompt
+    target = len(all_tokens) + max_new_tokens
     while len(all_tokens) < target:
         block_len = min(block - prompt_len, target - len(all_tokens))
         x = np.full((1, block), mask_token_id, np.int32)
-        x[0, :prompt_len] = all_tokens[-prompt_len:]
+        if prompt_len:
+            x[0, :prompt_len] = all_tokens[-prompt_len:]
         x = jnp.asarray(x)
         masked = jnp.zeros((1, block), jnp.bool_).at[
             0, prompt_len:prompt_len + block_len].set(True)
         while bool(jnp.any(masked)):
-            x, masked, key = round_step(ctx.params, x, masked, key,
-                                        cfg, ctx.dtype)
+            x, masked, key = round_step(ctx.params, ctx.lora, x, masked,
+                                        key, cfg, ctx.dtype)
             if callback:
                 callback(np.asarray(x))
         all_tokens.extend(int(t) for t in

@@ -456,7 +456,7 @@ class BinModel:
 
 
 def _read_tensor(r: _Reader, shape: Tuple[int, ...], quant_type: int,
-                 group_size: int):
+                 group_size: int, dense: bool = True):
     numel = int(np.prod(shape))
     if quant_type == QUANT_F32:
         return r.f32(numel).reshape(shape), None
@@ -464,15 +464,23 @@ def _read_tensor(r: _Reader, shape: Tuple[int, ...], quant_type: int,
         q = r.i8(numel).reshape(shape)
         s = r.f32(numel // group_size)
         qt = QuantTensor(q=q, scale=s, group_size=group_size)
+        if not dense:
+            return None, qt
         return qt.dequantize().astype(np.float32), qt
     raise ValueError(f"unsupported quant_type 0x{quant_type:x}")
 
 
-def read_model(path: str) -> BinModel:
+def read_model(path: str, dense: bool = True) -> BinModel:
     """Parse a Nano .bin (F32 or Q80) into our stacked-params layout.
 
     Weight order must match the C engine's pointer walk
     (reference: infer/infer.c:100-217).
+
+    dense=False skips the f32 dequantized copies of quantized matmul
+    weights (params then carries only norms/extras/rope): the default
+    quantized-load path consumes only qparams, and the discarded dense
+    copies cost ~4 B/weight of transient host memory (~2.4 GB at 0.6B)
+    plus dequant time at every load.  F32 files ignore the flag.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -499,18 +507,21 @@ def read_model(path: str) -> BinModel:
 
     if hdr.quant_type == QUANT_Q4K:
         return _read_model_q4k(data, hdr, cfg, tok_cfg, r,
-                               attn_norm, ffn_norm, final_norm)
+                               attn_norm, ffn_norm, final_norm, dense)
+
+    if hdr.quant_type == QUANT_F32:
+        dense = True                       # no quantized form exists
 
     def read_stack(shape_out_in):
         """L matrices stored (out, in); return stacked (L, in, out) + quants."""
         fs, qs = [], []
         for _ in range(L):
-            w, qt = _read_tensor(r, shape_out_in, hdr.quant_type, gs)
-            fs.append(np.ascontiguousarray(w.T))
+            w, qt = _read_tensor(r, shape_out_in, hdr.quant_type, gs, dense)
+            fs.append(np.ascontiguousarray(w.T) if dense else None)
             qs.append(qt)
-        return np.stack(fs), qs
+        return (np.stack(fs) if dense else None), qs
 
-    tok_emb, tok_emb_q = _read_tensor(r, (V, E), hdr.quant_type, gs)
+    tok_emb, tok_emb_q = _read_tensor(r, (V, E), hdr.quant_type, gs, dense)
     wq, wq_q = read_stack((H * D, E))
     wk, wk_q = read_stack((KV * D, E))
     wv, wv_q = read_stack((KV * D, E))
@@ -533,15 +544,14 @@ def read_model(path: str) -> BinModel:
     rope_sin = r.f32(cfg.block_size * (D // 2)).reshape(cfg.block_size, -1)
 
     params: Dict[str, Any] = {
-        "tok_embeddings": tok_emb,
         "norm": final_norm,
-        "blocks": {
-            "attn_norm": attn_norm, "ffn_norm": ffn_norm,
-            "wq": wq, "wk": wk, "wv": wv, "wo": wo,
-            "w1": w1, "w2": w2, "w3": w3,
-            **extras,
-        },
+        "blocks": {"attn_norm": attn_norm, "ffn_norm": ffn_norm,
+                   **extras},
     }
+    if dense:
+        params["tok_embeddings"] = tok_emb
+        params["blocks"].update(wq=wq, wk=wk, wv=wv, wo=wo,
+                                w1=w1, w2=w2, w3=w3)
     qparams = None
     if hdr.quant_type == QUANT_Q80:
         qparams = {
@@ -551,8 +561,9 @@ def read_model(path: str) -> BinModel:
         }
 
     if not hdr.shared_classifier:
-        clf, clf_q = _read_tensor(r, (V, E), hdr.quant_type, gs)
-        params["output"] = np.ascontiguousarray(clf.T)
+        clf, clf_q = _read_tensor(r, (V, E), hdr.quant_type, gs, dense)
+        if dense:
+            params["output"] = np.ascontiguousarray(clf.T)
         if qparams is not None:
             qparams["output"] = clf_q
 
@@ -563,7 +574,8 @@ def read_model(path: str) -> BinModel:
 
 def _read_model_q4k(data: bytes, hdr: BinHeader, cfg: ModelConfig,
                     tok_cfg: dict, r: _Reader,
-                    attn_norm, ffn_norm, final_norm) -> "BinModel":
+                    attn_norm, ffn_norm, final_norm,
+                    dense: bool = True) -> "BinModel":
     """Q4K tail: 8 stacked tensor frames, extras, RoPE for Nano/Qwen2
     (reference: infer/infer.c:140-216, infer/tools/export_q4k.c)."""
     from nano_tpu.ops.q4k import parse_tensor_frame
@@ -600,15 +612,16 @@ def _read_model_q4k(data: bytes, hdr: BinHeader, cfg: ModelConfig,
             frames[name].dequantize().transpose(0, 2, 1))
 
     params: Dict[str, Any] = {
-        "tok_embeddings": frames["tok_embeddings"].dequantize(),
         "norm": final_norm,
-        "blocks": {
-            "attn_norm": attn_norm, "ffn_norm": ffn_norm,
-            "wq": deq_T("wq"), "wk": deq_T("wk"), "wv": deq_T("wv"),
-            "wo": deq_T("wo"), "w1": deq_T("w1"), "w2": deq_T("w2"),
-            "w3": deq_T("w3"), **extras,
-        },
+        "blocks": {"attn_norm": attn_norm, "ffn_norm": ffn_norm,
+                   **extras},
     }
+    if dense:
+        params["tok_embeddings"] = frames["tok_embeddings"].dequantize()
+        params["blocks"].update(
+            wq=deq_T("wq"), wk=deq_T("wk"), wv=deq_T("wv"),
+            wo=deq_T("wo"), w1=deq_T("w1"), w2=deq_T("w2"),
+            w3=deq_T("w3"))
     qparams = {"tok_embeddings": frames["tok_embeddings"],
                "blocks": {n: frames[n] for n in
                           ("wq", "wk", "wv", "wo", "w1", "w2", "w3")}}
@@ -661,8 +674,9 @@ def _q4k_device_params(bm: "BinModel", fuse: bool,
     from nano_tpu.ops import qmatmul as _qm
     if (_qm._IMPL == "int8"
             and _os.environ.get("NANO_TPU_CLF_Q4K", "") != "packed"):
-        params["output_q"] = q4k_head_requant(
-            bm.qparams["tok_embeddings"].blocks, V, E)
+        head = q4k_head_requant(bm.qparams["tok_embeddings"].blocks, V, E)
+        if head is not None:       # None: E not 32-aligned, keep packed
+            params["output_q"] = head
     if not _maybe_int8_layout(params):
         _attach_clf_dequant(params, bm, clf_dequant)
     return params
@@ -814,7 +828,10 @@ def q4k_head_requant(blocks: np.ndarray, out_dim: int,
     below the Q4K error itself (measured +0.008 PPL)."""
     from nano_tpu.ops.q4k import dequantize_lines_np
     dense = dequantize_lines_np(blocks, out_dim, in_dim)
-    gs = max(g for g in (256, 128, 64, 32) if in_dim % g == 0)
+    divisors = [g for g in (256, 128, 64, 32) if in_dim % g == 0]
+    if not divisors:
+        return None        # in_dim not 32-aligned: keep the packed head
+    gs = max(divisors)
     q, scales, _err = quantize_q80(dense, gs)
     from nano_tpu.ops.qmatmul import Q80Tensor, MIN_GROUPED_GS
     t8 = Q80Tensor.from_numpy(q.reshape(out_dim, in_dim), scales, gs)

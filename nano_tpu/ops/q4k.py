@@ -399,6 +399,10 @@ class Q4KTensor:
     def dequantize_rows(self, ids: jnp.ndarray, dtype=jnp.float32
                         ) -> jnp.ndarray:
         """Gather + dequantize rows (embedding lookup on a Q4K table)."""
+        # packed layout only: a grouped tensor's leading axis is the
+        # quantization GROUP, not the vocab row — gathering it by token
+        # id would silently return garbage embeddings
+        assert self.layout == "packed", self.layout
         sub = Q4KTensor(packed=jnp.take(self.packed, ids, axis=0),
                         scales=jnp.take(self.scales, ids, axis=0),
                         biases=jnp.take(self.biases, ids, axis=0),
@@ -634,11 +638,8 @@ def _q4k_kernel(x_ref, p_ref, s_ref, b_ref, o_ref):
                        precision=jax.lax.Precision.HIGHEST)
 
 
-def _pick_tile(out_dim: int) -> int:
-    for t in (512, 256, 128):
-        if out_dim % t == 0:
-            return t
-    return 0
+from nano_tpu.ops.qmatmul import _pick_tile, _on_tpu  # shared Pallas
+# tiling/backend helpers — one tile ladder for both kernel families
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -678,10 +679,6 @@ def _permute_act(xq: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     ng = n_pad // GROUP_LEN
     x4 = xq.reshape(B, ng, 2, GROUP_LEN // 2)
     return jnp.transpose(x4, (0, 2, 1, 3)).reshape(B, n_pad)
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
 
 
 def q4k_matmul_int8(x2d: jnp.ndarray, w: Q4KTensor,
