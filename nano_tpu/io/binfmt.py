@@ -768,6 +768,16 @@ def _maybe_int8_layout(params: Dict[str, Any]) -> bool:
     from nano_tpu.ops import qmatmul
     from nano_tpu.ops.qmatmul import Q80Tensor
     from nano_tpu.ops.q4k import Q4KTensor
+    env_impl = _os.environ.get("NANO_TPU_QMATMUL", qmatmul._IMPL)
+    if env_impl != qmatmul._IMPL:
+        # the env var is read ONCE at qmatmul import; surface a late
+        # change instead of silently running the wrong numerics mode
+        import logging
+        logging.getLogger(__name__).warning(
+            "NANO_TPU_QMATMUL=%s was set after nano_tpu.ops.qmatmul was "
+            "imported; this load still uses impl=%s (set the env var "
+            "before importing nano_tpu, or patch qmatmul._IMPL)",
+            env_impl, qmatmul._IMPL)
     if qmatmul._IMPL != "int8":
         return False
 

@@ -109,13 +109,21 @@ class DataLoader:
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids, mask = self._take(batch_size)
         if denoise:
-            x = ids[:, :block_size].copy()
+            x = ids[:, :block_size]
+            m = mask[:, :block_size]
+            if x.shape[1] < block_size:
+                # normalize to block_size: widths vary across shards and
+                # a ragged width would recompile (or crash np.stack in)
+                # the accum scan; padded positions carry mask 0
+                pad = block_size - x.shape[1]
+                x = np.pad(x, ((0, 0), (0, pad)))
+                m = np.pad(m, ((0, 0), (0, pad)))
+            x = x.copy()
             y = x.copy()
             p = self._rng.rand(batch_size, 1)
-            noise = self._rng.rand(batch_size, x.shape[1]) < p
+            noise = self._rng.rand(batch_size, block_size) < p
             x[noise] = MASK_TOKEN_ID
-            m = np.ones_like(x)
-            return x, y, m
+            return x, y, m.astype(np.int32)
         if is_causal:
             x = ids[:, 0:block_size]
             y = ids[:, 1:block_size + 1]
@@ -130,8 +138,17 @@ class DataLoader:
         x = ids[:, 0:block_size]
         y = ids[:, block_size:block_size * 2]
         m = mask[:, 0:block_size]
-        if y.shape[1] < block_size:
-            y = np.pad(y, ((0, 0), (0, block_size - y.shape[1])))
+        if x.shape[1] < block_size:
+            pad = block_size - x.shape[1]
+            x = np.pad(x, ((0, 0), (0, pad)))
+            m = np.pad(m, ((0, 0), (0, pad)))
+        y_valid = y.shape[1]
+        if y_valid < block_size:
+            # short output half: padded TARGET positions must weigh 0
+            # or the loss trains against fake token-0 targets
+            y = np.pad(y, ((0, 0), (0, block_size - y_valid)))
+            m = m.copy()
+            m[:, y_valid:] = 0
         return x, y, m
 
     def state(self) -> tuple:
@@ -151,9 +168,25 @@ class DataLoader:
                 self._orders = [o.copy() for o in st[4]]
 
     def skip_batches(self, n: int, batch_size: int) -> None:
-        """Fast-forward the stream (resume replay, reference: train.py:374-377)."""
-        for _ in range(n):
-            self._take(batch_size)
+        """Fast-forward the stream by index arithmetic (resume replay,
+        reference: train.py:374-377).
+
+        Walks the exact (course, pos, epoch) trajectory of n _take calls
+        — including the per-epoch reshuffles — but gathers no data: a
+        resume at step 100k previously re-read the entire dataset
+        through fancy-indexing just to discard it.
+        """
+        remaining = n * batch_size
+        while remaining > 0:
+            shard = self.shards[self.course]
+            if self.pos >= shard.n:
+                self._advance_course()
+                continue
+            take = min(remaining, shard.n - self.pos)
+            self.pos += take
+            remaining -= take
+            if self.pos >= shard.n:
+                self._advance_course()
 
     @property
     def total_samples(self) -> int:

@@ -188,6 +188,11 @@ class Trainer:
             n_data = shape.get("data")
             if n_data is None:
                 n_data = len(jax.devices()) // n_other
+            if n_data < 1:
+                raise ValueError(
+                    f"mesh_shape {shape} needs {n_other} devices per "
+                    f"data-parallel replica but only "
+                    f"{len(jax.devices())} exist")
             # the global batch is sharded over "data": shrink the axis to
             # the largest divisor of batch_size rather than erroring
             while tc.batch_size % n_data != 0:
@@ -209,7 +214,10 @@ class Trainer:
             ck = ckpt_io.Checkpoint(resume)
             self.model_config = mc = ModelConfig.from_dict(ck.model_config)
             self.tokenizer = TrieTokenizer.from_config_dict(ck.tokenizer_config)
-            like = gpt.init_params(key, mc)
+            # structure/dtype template only — eval_shape materializes
+            # nothing (a real init_params would allocate and randomize
+            # the full model just to be overwritten)
+            like = jax.eval_shape(lambda k: gpt.init_params(k, mc), key)
             self.params = ck.load_params(like)
             if tc.use_lora:
                 # LoRA fine-tune on a pretrained base: fresh LoRA, step 0
@@ -246,9 +254,8 @@ class Trainer:
         self._tx = make_optimizer(tc, trainable)
         self.opt_state = self._tx.init(trainable)
         if resume and not tc.use_lora:
-            ck2 = ckpt_io.Checkpoint(resume)
-            if ck2.has("opt"):
-                self.opt_state = ck2.load_opt_state(self.opt_state)
+            if ck.has("opt"):                  # same Checkpoint as params
+                self.opt_state = ck.load_opt_state(self.opt_state)
 
         n_params = gpt.count_params(self.params, mc)
         n_train = sum(int(x.size) for x in jax.tree.leaves(trainable))
@@ -406,21 +413,25 @@ class Trainer:
         self.log(f"training: batch={tc.batch_size} accum="
                  f"{tc.gradient_accumulation_steps} tokens/step={tokens_per_step}")
 
+        start_step = self.step_count
         while self.step_count < self.max_steps:
-            step_t0 = time.time()
-
-            # eval + checkpoint policy (reference: train.py:391-430)
-            if self.step_count % tc.eval_interval == 0:
+            # eval + checkpoint policy (reference: train.py:391-430,
+            # incl. its `iter > start_step` gate: no untrained-model
+            # checkpoint at step 0, no redundant eval+save on resume)
+            if (self.step_count % tc.eval_interval == 0
+                    and self.step_count > start_step):
                 tr_loss, val_loss = self.estimate_loss(trainable, frozen)
                 self.log(f"Step {self.step_count} | Eval | TrainLoss: "
                          f"{tr_loss:.4f} | ValLoss: {val_loss:.4f}")
                 improved = val_loss < self.best_val_loss
                 if improved:
                     self.best_val_loss = val_loss
-                if improved or (self.step_count % self.forced_save_every == 0
-                                and self.step_count > 0):
+                if improved or self.step_count % self.forced_save_every == 0:
                     self.save_checkpoint()
 
+            # timed region starts AFTER eval/checkpoint so the logged
+            # ms/step + GFLOP/s never fold eval time in
+            step_t0 = time.time()
             # NOTE: batch prep overlaps device compute for free — the
             # previous _train_step call dispatched asynchronously, so
             # this host-side work runs while the chip is still busy (the

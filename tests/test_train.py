@@ -383,3 +383,56 @@ def test_sft_end_to_end_learns_answers(tmp_path):
             hits += 1
     assert hits >= 2, [(q, engine.generate_sync(
         ctx, q, max_new_tokens=4, template=True).text) for q, _ in pairs]
+
+
+def test_dataloader_seq2seq_short_output_masked(tmp_path):
+    """Non-causal rows narrower than 2*block: padded TARGET positions
+    must weigh 0 (previously trained against fake token-0 targets)."""
+    ids = (np.arange(3 * 12, dtype=np.uint16) % 50 + 1).reshape(3, 12)
+    p = str(tmp_path / "s2s.npz")
+    preprocess.save_shard(p, ids)
+    dl = DataLoader([p])
+    x, y, m = dl.get_batch(3, 8, is_causal=False)
+    assert x.shape == y.shape == m.shape == (3, 8)
+    np.testing.assert_array_equal(x, ids[:, :8])
+    np.testing.assert_array_equal(y[:, :4], ids[:, 8:12])
+    assert (y[:, 4:] == 0).all()
+    assert (m[:, 4:] == 0).all()          # padded targets masked
+    assert m[:, :4].all()
+
+
+def test_dataloader_denoise_pads_to_block(tmp_path):
+    """Denoise batches are always (B, block_size) with pad mask 0 —
+    ragged widths previously crashed np.stack across microbatches."""
+    ids = (np.arange(4 * 10, dtype=np.uint16) % 50 + 1).reshape(4, 10)
+    p = str(tmp_path / "dn.npz")
+    preprocess.save_shard(p, ids)
+    dl = DataLoader([p])
+    x, y, m = dl.get_batch(4, 16, denoise=True)
+    assert x.shape == y.shape == m.shape == (4, 16)
+    assert (m[:, 10:] == 0).all()
+    assert m[:, :10].all()
+    assert (y[:, :10] == ids[:, :10].astype(np.int32)).all()
+
+
+def test_skip_batches_arithmetic_matches_take(tmp_path):
+    """Index-arithmetic fast-forward lands on the exact same stream
+    state (incl. epoch reshuffles) as materializing every batch."""
+    ids1 = (np.arange(5 * 9, dtype=np.uint16) % 50).reshape(5, 9)
+    ids2 = (np.arange(3 * 9, dtype=np.uint16) % 50 + 7).reshape(3, 9)
+    p1, p2 = str(tmp_path / "f1.npz"), str(tmp_path / "f2.npz")
+    preprocess.save_shard(p1, ids1)
+    preprocess.save_shard(p2, ids2)
+
+    slow = DataLoader([p1, p2], seed=5, shuffle=True)
+    for _ in range(7):
+        slow._take(4)                      # the old implementation
+    fast = DataLoader([p1, p2], seed=5, shuffle=True)
+    fast.skip_batches(7, 4)
+
+    assert (fast.course, fast.pos, fast.epoch) == \
+        (slow.course, slow.pos, slow.epoch)
+    x1, y1, m1 = slow.get_batch(4, 8)
+    x2, y2, m2 = fast.get_batch(4, 8)
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
