@@ -70,7 +70,12 @@ def cpp_model_ppl(path: str, text: str, block_size: int = 512,
     import numpy as np
     from nano_tpu.cpp_engine import CppEngine
 
-    S = block_size or 512
+    # default to the MODEL's block size, matching model_ppl — a fixed 512
+    # here silently compared different window sizes across engines
+    from nano_tpu.io import binfmt as _bf
+    with open(path, "rb") as f:
+        _hdr = _bf.parse_header(f.read(_bf.HEADER_BYTES))
+    S = block_size or _hdr.to_model_config().block_size
     stride = stride or S
     with CppEngine(path, max_seq_len=S) as eng:
         ids = np.asarray(eng.encode(text), np.int32)

@@ -50,6 +50,7 @@ def main():
     from nano_tpu.models import gpt
 
     src = args.checkpoint or args.quant or args.q4k or args.lora
+    quant = "f32" if args.checkpoint else ("q80" if args.quant else "q4k")
     if src.endswith((".pt", ".pth")):
         # reference PyTorch checkpoint (train.py:402-427 schema)
         from nano_tpu.io import pt_import
@@ -57,8 +58,6 @@ def main():
             raise SystemExit("LoRA .pt export needs the base config: "
                              "convert with pt_import.import_lora() + "
                              "binfmt.write_lora() instead")
-        quant = "f32" if args.checkpoint else ("q80" if args.quant
-                                               else "q4k")
         cfg = pt_import.pt_to_bin(src, args.output, quant=quant,
                                   group_size=args.group_size)
         print(f"exported {quant} from reference .pt -> {args.output} "
@@ -77,7 +76,6 @@ def main():
         print(f"exported LoRA (rank={rank}, alpha={alpha}) -> {args.output}")
         return
 
-    quant = "f32" if args.checkpoint else ("q80" if args.quant else "q4k")
     like = gpt.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(np.asarray, ck.load_params(like))
     binfmt.write_model(args.output, params, cfg, ck.tokenizer_config,

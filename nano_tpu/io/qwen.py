@@ -52,6 +52,12 @@ def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
     with open(os.path.join(hf_dir, "config.json"), "r") as f:
         hc = json.load(f)
     arch = hc.get("model_type", "qwen3")
+    if not arch.startswith("qwen"):
+        raise ValueError(
+            f"unsupported HF model_type {arch!r}: the .bin format maps "
+            "Qwen2/Qwen3 dense checkpoints only (a non-qwen model would "
+            "fail later with a bare missing-weight KeyError, or worse, "
+            "export a structurally wrong file)")
     model_type = (binfmt.MODEL_TYPE_QWEN3 if arch.startswith("qwen3")
                   else binfmt.MODEL_TYPE_QWEN2)
 

@@ -35,28 +35,47 @@ class _Gateway:
     """Shared WebSocket protocol; subclasses provide _generate_stream
     returning (iterator-of-text-pieces, error-list)."""
 
+    MAX_NEW_TOKENS = 65536     # cap unvalidated client requests
+
     async def handle(self, websocket):
         async for message in websocket:
             try:
+                if isinstance(message, bytes):     # binary frames carry
+                    message = message.decode(      # the same protocols
+                        "utf-8", errors="replace")
                 req = json.loads(message) if message.lstrip().startswith("{") \
                     else {"prompt": message[5:5 + int(message[:5])]}
                 async with self.lock:
-                    streamer, err = self._generate_stream(
+                    streamer, err, stop = self._generate_stream(
                         req.get("prompt", ""), bool(req.get("template", True)),
-                        int(req.get("max_new_tokens", 256)),
+                        min(int(req.get("max_new_tokens", 256)),
+                            self.MAX_NEW_TOKENS),
                         float(req.get("temperature", 1.0)),
                         float(req.get("top_p", 0.8)),
                         float(req.get("repetition_penalty", 1.05)))
                     loop = asyncio.get_running_loop()
                     it = iter(streamer)
-                    while True:
-                        piece = await loop.run_in_executor(
-                            None, lambda: next(it, None))
-                        if piece is None:
-                            break
-                        if piece:
-                            await websocket.send(json.dumps(
-                                {"text": piece}, ensure_ascii=False))
+                    ended = False
+                    try:
+                        while True:
+                            piece = await loop.run_in_executor(
+                                None, lambda: next(it, None))
+                            if piece is None:
+                                ended = True
+                                break
+                            if piece:
+                                await websocket.send(json.dumps(
+                                    {"text": piece}, ensure_ascii=False))
+                    finally:
+                        if not ended:
+                            # client went away mid-stream: the generation
+                            # must not keep running after the lock frees
+                            # (the next request would generate
+                            # concurrently) — signal stop and drain the
+                            # remaining pieces until the backend ends
+                            stop()
+                            await loop.run_in_executor(
+                                None, lambda: all(False for _ in it))
                     if err:
                         raise err[0]
                     await websocket.send(json.dumps({"done": True,
@@ -113,6 +132,18 @@ class HFGateway(_Gateway):
         else:
             kwargs.update(do_sample=False)
         err: list = []
+        stop_event = threading.Event()
+        try:
+            from transformers import StoppingCriteria, StoppingCriteriaList
+
+            class _ClientGone(StoppingCriteria):
+                def __call__(self, input_ids, scores, **kw):
+                    return stop_event.is_set()
+
+            kwargs["stopping_criteria"] = StoppingCriteriaList(
+                [_ClientGone()])
+        except ImportError:            # stubbed transformers in tests
+            pass
 
         def run():
             try:
@@ -122,7 +153,7 @@ class HFGateway(_Gateway):
                 streamer.end()
         thread = threading.Thread(target=run, daemon=True)
         thread.start()
-        return streamer, err
+        return streamer, err, stop_event.set
 
 
 class GGUFGateway(_Gateway):
@@ -165,7 +196,10 @@ class GGUFGateway(_Gateway):
                     if text:
                         yield text
 
-        return pieces(), []
+        gen = pieces()
+        # llama.cpp's streaming generator is lazily driven — closing it
+        # is the whole stop story (no background thread)
+        return gen, [], gen.close
 
 
 def make_gateway(model_path: str, backend: str = "auto", **kw):

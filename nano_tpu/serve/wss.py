@@ -77,8 +77,25 @@ class WSServer:
                 wake.clear()
                 await wake.wait()
             # the jax call blocks — run it off the event loop
-            out = await loop.run_in_executor(
-                None, engine.step_burst, self.burst)
+            try:
+                out = await loop.run_in_executor(
+                    None, engine.step_burst, self.burst)
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                # a transient device/tunnel error must not kill the
+                # stepper silently (clients would hang on q.get()
+                # forever): terminate every active stream cleanly and
+                # keep stepping
+                logger.exception("step_burst failed; ending active streams")
+                with engine.lock:
+                    for slot, st in enumerate(engine.slots):
+                        if st.active:
+                            st.active = False
+                            st.finished_reason = "error"
+                            if st.sink is not None:
+                                st.sink.put_nowait(None)
+                continue
             for slot, toks in out.items():
                 # deliver to the sink captured with the tokens under the
                 # engine lock — never a lookup keyed by slot (stale
@@ -174,7 +191,12 @@ class WSServer:
             n = int(message[:5])
             prompt = message[5:5 + n]
 
-        ids = self.ctx.build_prompt_ids(prompt, bool(params["template"]))
+        # BPE-encoding a long prompt is pure Python — off the loop, or
+        # every other stream's sends stall behind it
+        loop0 = asyncio.get_running_loop()
+        ids = await loop0.run_in_executor(
+            None, self.ctx.build_prompt_ids, prompt,
+            bool(params["template"]))
 
         # wait for a free slot on the least-loaded replica (continuous
         # batching: joins mid-flight); waiters park on an event that
@@ -286,7 +308,11 @@ class WSServer:
                     pending_msg.append(recv_task.result())
                 except Exception:
                     pass
-            engine.release(slot)
+            # release() takes the engine lock, which step_burst holds
+            # across a full device dispatch (and any cold-bucket XLA
+            # compile) — run it off the event loop like add()
+            await asyncio.get_running_loop().run_in_executor(
+                None, engine.release, slot)
             self._slot_freed.set()   # wake any parked joiners
         return pending_msg
 

@@ -111,21 +111,56 @@ class BpeTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        """Greedy best-pair merge (reference: infer/tokenizer.c:174-211),
+        as a heap over a doubly-linked token list — O(n log n) instead of
+        the rescan-per-merge O(n^2) (a 1 MB corpus previously took hours
+        in pure Python; eval.py and the WSS server encode whole
+        prompts/files through here).
+
+        Merge ORDER is identical to the rescan algorithm: each round the
+        reference takes the leftmost pair of strictly-highest score;
+        the heap orders by (-score, left original index) and original
+        indices are stable under merges (a merged node keeps its left
+        constituent's index), so ties resolve to the same pair.  Stale
+        heap entries are skipped by revalidating the pair's token ids.
+        """
         tokens = self._initial_tokens(text)
-        # greedy best-pair merge (reference: infer/tokenizer.c:174-211)
-        while len(tokens) > 1:
-            best_score = -1e10
-            best_idx = -1
-            best_id = -1
-            for i in range(len(tokens) - 1):
-                m = self._pair_merge.get((tokens[i], tokens[i + 1]))
-                if m is not None and m[0] > best_score:
-                    best_score, best_id = m
-                    best_idx = i
-            if best_idx < 0:
-                break
-            tokens[best_idx:best_idx + 2] = [best_id]
-        return tokens
+        n = len(tokens)
+        if n < 2:
+            return tokens
+        import heapq
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        heap: List[Tuple[float, int, int, int, int]] = []
+
+        def push(i: int) -> None:
+            j = nxt[i]
+            if j < 0:
+                return
+            m = self._pair_merge.get((tokens[i], tokens[j]))
+            if m is not None:
+                heapq.heappush(heap,
+                               (-m[0], i, tokens[i], tokens[j], m[1]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _negs, i, li, ri, mid = heapq.heappop(heap)
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            if j < 0 or tokens[i] != li or tokens[j] != ri:
+                continue                       # stale entry
+            tokens[i] = mid                    # merge into the left node
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prv[nxt[j]] = i
+            if prv[i] >= 0:
+                push(prv[i])
+            push(i)
+        return [tokens[i] for i in range(n) if alive[i]]
 
     def decode(self, ids: List[int]) -> str:
         return b"".join(self.vocab[i] for i in ids).decode("utf-8",
@@ -138,6 +173,14 @@ class BpeTokenizer:
         """<|im_start|>user\\n PROMPT <|im_end|>\\n<|im_start|>assistant\\n
         [+ empty <think> block when thinking disabled]
         (reference: infer/tokenizer.c:214-262)."""
+        # the control-token ids are the canonical Qwen vocabulary's; a
+        # smaller (test/toy) vocab cannot contain them — fall back to the
+        # raw encoding instead of emitting out-of-range ids (same
+        # condition as cpp/nano.cpp chat_template; the reference engine
+        # reads out of bounds here)
+        if (QWEN_IM_START >= self.vocab_size
+                or QWEN_THINK_CLOSE >= self.vocab_size):
+            return self.encode(user_prompt)
         ids = [QWEN_IM_START, QWEN_USER, QWEN_NEWLINE]
         ids += self.encode(user_prompt)
         ids += [QWEN_IM_END, QWEN_NEWLINE, QWEN_IM_START, QWEN_ASSISTANT,

@@ -51,7 +51,12 @@ def test_bpe_field_roundtrip():
 
 
 def test_chat_template_ids():
-    tok = make_toy_bpe()
+    # full-size vocab: template ids emitted verbatim
+    small = make_toy_bpe()
+    pad = [b"<x%d>" % i for i in range(bpe.QWEN_THINK_CLOSE + 1
+                                       - len(small.vocab))]
+    tok = bpe.BpeTokenizer(small.vocab + pad,
+                           small.scores + [0.0] * len(pad))
     ids = tok.apply_chat_template("hi", enable_thinking=True)
     assert ids[0] == bpe.QWEN_IM_START
     assert ids[1] == bpe.QWEN_USER
@@ -60,6 +65,16 @@ def test_chat_template_ids():
     # empty think block appended (reference: infer/tokenizer.c:243-253)
     assert bpe.QWEN_THINK_OPEN in ids2 and bpe.QWEN_THINK_CLOSE in ids2
     assert len(ids2) == len(ids) + 6
+
+
+def test_chat_template_small_vocab_falls_back():
+    """Toy/test vocabs cannot contain the canonical control ids — the
+    template falls back to raw encode instead of emitting out-of-range
+    ids (mirrors cpp/nano.cpp; the reference engine reads OOB here)."""
+    tok = make_toy_bpe()
+    ids = tok.apply_chat_template("hello", enable_thinking=False)
+    assert ids == tok.encode("hello")
+    assert all(0 <= i < tok.vocab_size for i in ids)
 
 
 def _write_toy_hf_tokenizer_json(path, vocab_size):

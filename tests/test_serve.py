@@ -457,6 +457,13 @@ def test_wss_churn_soak(tmp_path):
         async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
             port = list(srv.sockets)[0].getsockname()[1]
             res = await asyncio.gather(*[one(port, i) for i in range(3)])
+            # release() runs off the event loop — give the handlers a
+            # moment to finish it before asserting no slots leaked
+            for _ in range(50):
+                if (server.engine.n_active == 0 and
+                        all(not s.attached for s in server.engine.slots)):
+                    break
+                await asyncio.sleep(0.1)
             assert server.engine.n_active == 0      # no leaked slots
             assert all(not s.attached for s in server.engine.slots)
             return all(res)
@@ -626,6 +633,11 @@ def test_wss_churn_soak_speculative(tmp_path):
         async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
             port = list(srv.sockets)[0].getsockname()[1]
             res = await asyncio.gather(*[one(port, i) for i in range(3)])
+            for _ in range(50):
+                if (server.engine.n_active == 0 and
+                        all(not s.attached for s in server.engine.slots)):
+                    break
+                await asyncio.sleep(0.1)
             assert server.engine.n_active == 0
             assert all(not s.attached for s in server.engine.slots)
             return all(res)
