@@ -68,6 +68,20 @@ def _encode_chunk(text: str) -> List[int]:
     return _worker_tok.encode(text)
 
 
+
+def _drain_blocks(leftover: List[int], block_size: int, dtype, emit
+                  ) -> List[int]:
+    """Slice complete (block_size+1)-token rows off `leftover` into
+    emit(row); returns the remaining tail.  The ONE packing
+    implementation shared by the worker/non-worker/parts paths (short
+    tails are dropped, reference: data.py:112-119)."""
+    w = block_size + 1
+    n = len(leftover) // w
+    for i in range(n):
+        emit(np.asarray(leftover[i * w:(i + 1) * w], dtype))
+    return leftover[n * w:]
+
+
 def generate_pretrain_dataset(
         text_paths: Sequence[str], tokenizer: TrieTokenizer, block_size: int,
         output_prefix: str, val_ratio: float = 0.05,
@@ -97,22 +111,13 @@ def generate_pretrain_dataset(
             encoded = pool.imap(_encode_chunk, chunks(), chunksize=1)
             for ids in encoded:
                 leftover.extend(ids)
-                n = len(leftover) // (block_size + 1)
-                for i in range(n):
-                    blocks.append(np.asarray(
-                        leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
-                        dtype))
-                leftover = leftover[n * (block_size + 1):]
+                leftover = _drain_blocks(leftover, block_size, dtype,
+                                         blocks.append)
     else:
         for c in chunks():
             leftover.extend(tokenizer.encode(c))
-            n = len(leftover) // (block_size + 1)
-            for i in range(n):
-                blocks.append(np.asarray(
-                    leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
-                    dtype))
-            leftover = leftover[n * (block_size + 1):]
-    # short tail dropped (reference: data.py:112-119)
+            leftover = _drain_blocks(leftover, block_size, dtype,
+                                     blocks.append)
 
     if not blocks:
         raise ValueError("corpus too small for one block")
@@ -186,16 +191,14 @@ def generate_pretrain_dataset_parts(
         train_tmp.append(tp)
         val_tmp.append(vp)
 
+    def _emit(row):
+        part.append(row)
+        if len(part) >= part_blocks:
+            flush_part()
+
     for tok_ids in encoded_chunks():
         leftover.extend(tok_ids)
-        n = len(leftover) // (block_size + 1)
-        for i in range(n):
-            part.append(np.asarray(
-                leftover[i * (block_size + 1):(i + 1) * (block_size + 1)],
-                dtype))
-            if len(part) >= part_blocks:
-                flush_part()
-        leftover = leftover[n * (block_size + 1):]
+        leftover = _drain_blocks(leftover, block_size, dtype, _emit)
     flush_part()
     if not train_tmp:
         raise ValueError("corpus too small for one block")
@@ -269,7 +272,13 @@ def generate_sft_dataset(jsonl_paths: Sequence[str], tokenizer: TrieTokenizer,
     train_path = output_prefix + "_train.npz"
     val_path = output_prefix + "_val.npz"
     save_shard(train_path, ids[:len(ids) - n_val], masks[:len(ids) - n_val])
-    save_shard(val_path, ids[len(ids) - n_val:], masks[len(ids) - n_val:])
+    if n_val:
+        save_shard(val_path, ids[len(ids) - n_val:],
+                   masks[len(ids) - n_val:])
+    else:
+        # single-sample corpus: reuse it for val like the pretrain path —
+        # an EMPTY val shard makes DataLoader._take spin forever
+        save_shard(val_path, ids[-1:], masks[-1:])
     return train_path, val_path
 
 
@@ -279,7 +288,35 @@ def generate_sft_dataset(jsonl_paths: Sequence[str], tokenizer: TrieTokenizer,
 # =====================================================================
 
 def read_base64_dataset(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read a reference-format file: one base64(pickle([ids, mask])) per line."""
+    """Read a reference-format file: one base64(pickle([ids, mask])) per line.
+
+    Lines are unpickled through a restricted unpickler admitting only the
+    containers/ints/arrays the format legitimately needs — a dataset file
+    from elsewhere must not be able to execute arbitrary pickle payloads
+    (same bar as io/pt_import.py's checkpoint shim).
+    """
+    import io as _io
+
+    class _DatasetUnpickler(pickle.Unpickler):
+        _OK = {("builtins", x) for x in
+               ("list", "tuple", "int", "bytes", "bytearray", "NoneType")}
+        _OK |= {("numpy", "ndarray"), ("numpy", "dtype"),
+                ("numpy.core.multiarray", "_reconstruct"),
+                ("numpy._core.multiarray", "_reconstruct"),
+                ("numpy.core.multiarray", "scalar"),
+                ("numpy._core.multiarray", "scalar"),
+                ("array", "array"), ("array", "_array_reconstructor")}
+
+        def find_class(self, module, name):
+            if (module, name) in self._OK:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"dataset line references forbidden global "
+                f"{module}.{name}")
+
+    def _loads(b):
+        return _DatasetUnpickler(_io.BytesIO(b)).load()
+
     ids_list, mask_list = [], []
     has_mask = False
     with open(path, "r", encoding="utf-8") as f:
@@ -287,7 +324,7 @@ def read_base64_dataset(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
             line = line.strip()
             if not line:
                 continue
-            ids, mask = pickle.loads(base64.b64decode(line))
+            ids, mask = _loads(base64.b64decode(line))
             ids_list.append(np.asarray(ids, np.uint32))
             if mask is not None:
                 has_mask = True

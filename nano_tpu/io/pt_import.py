@@ -53,8 +53,18 @@ class _ShimPickleModule:
     resolve to the shim; everything else resolves normally."""
 
     Unpickler = None        # set below
-    load = staticmethod(pickle.load)
-    loads = staticmethod(pickle.loads)
+
+    # torch's LEGACY (pre-1.6, non-zip) format calls pickle_module.load /
+    # loads directly — those must go through the restricted unpickler too
+    # or the allowlist is bypassed entirely for legacy files
+    @staticmethod
+    def load(f, **kw):
+        return _ShimUnpickler(f, **kw).load()
+
+    @staticmethod
+    def loads(b, **kw):
+        import io as _io
+        return _ShimUnpickler(_io.BytesIO(b), **kw).load()
 
 
 #: (module, name) pairs allowed through the unpickler beyond the

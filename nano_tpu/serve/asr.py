@@ -58,8 +58,10 @@ def read_wav(path_or_bytes) -> Audio:
     """Minimal WAV reader (PCM16/PCM-float mono or stereo)."""
     import io
     import wave
-    f = (io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes)
-         else open(path_or_bytes, "rb"))
+    if not isinstance(path_or_bytes, bytes):
+        with open(path_or_bytes, "rb") as fh:   # wave.open would not
+            path_or_bytes = fh.read()           # close a caller's file
+    f = io.BytesIO(path_or_bytes)
     with wave.open(f, "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()
@@ -129,8 +131,10 @@ class FifoPcmCapture(PcmCapture):
                     data = os.read(fd, 65536)
                 except OSError:
                     break
-                if data:
-                    self._feed(data)
+                if self._stop_evt.is_set():
+                    break                  # close()'s wake byte is not
+                if data:                   # audio — feeding it would
+                    self._feed(data)       # leave an odd-length buffer
                 else:
                     time.sleep(0.005)
         finally:
@@ -444,11 +448,16 @@ class AsrFifoServer:
                 if not data:
                     time.sleep(0.01)
                     continue
-                if data[0] == 1:
+                if self._stop.is_set():    # stop() wrote a wake byte
+                    break
+                if data[0] != 0:
+                    # any nonzero byte = PTT pressed (the reference Pod
+                    # writes 66, ui_app.c set_ptt_status; asr_client.py
+                    # treats >0 as pressed — previously only ==1 worked)
                     self.listening = True
                     if self.capture is not None:
                         self.capture.start()
-                elif data[0] == 0 and self.listening:
+                elif self.listening:       # 0 = released
                     self.listening = False
                     try:
                         text = self._recognize()
@@ -458,8 +467,6 @@ class AsrFifoServer:
                             self.on_text(f"[asr error: {e}]")
                     if text:
                         self._emit(text)
-                elif data[0] == 0xFF:      # test/shutdown poke
-                    break
         finally:
             os.close(fd)
 
@@ -470,10 +477,11 @@ class AsrFifoServer:
 
     def stop(self) -> None:
         self._stop.set()
-        # unblock the fifo read
+        # unblock the fifo read (value irrelevant: the loop checks the
+        # stop flag before interpreting the byte)
         try:
             fd = os.open(self.ptt_fifo, os.O_WRONLY | os.O_NONBLOCK)
-            os.write(fd, b"\xff")
+            os.write(fd, b"\x00")
             os.close(fd)
         except OSError:
             pass

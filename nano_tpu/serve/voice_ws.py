@@ -73,14 +73,28 @@ class VoiceWSServer:
         self.recognizer = recognizer
         self.synthesizer = synthesizer or make_morse_synthesizer()
 
+    MAX_CAPTURE_BYTES = 64 * 1024 * 1024   # ~35 min of 16 kHz s16le —
+    # a network-facing server must bound the capture buffer (a client
+    # whose stop message never arrives would otherwise OOM the process)
+
     async def handle(self, websocket):
         chunks: list = []
+        captured = 0
         capturing = False
         rate = 16000
         loop = asyncio.get_running_loop()
         async for message in websocket:
             if isinstance(message, (bytes, bytearray)):
                 if capturing:
+                    captured += len(message)
+                    if captured > self.MAX_CAPTURE_BYTES:
+                        capturing = False
+                        chunks = []
+                        captured = 0
+                        await websocket.send(json.dumps(
+                            {"type": "error",
+                             "error": "capture too long"}))
+                        continue
                     chunks.append(bytes(message))
                 continue
             try:
@@ -89,6 +103,7 @@ class VoiceWSServer:
                 if typ == "start":
                     capturing = True
                     chunks = []
+                    captured = 0
                     rate = int(req.get("rate", 16000))
                 elif typ == "stop":
                     capturing = False
