@@ -263,7 +263,37 @@ def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
     return best
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """One tiny dispatched program with a full readback, bounded by a
+    watchdog thread: if the TPU tunnel is wedged (observed outage:
+    trivial matmuls hang forever), the bench must still emit its JSON
+    line rather than hang until the driver kills it."""
+    import threading
+    ok = []
+
+    def run():
+        x = jnp.ones((128, 128), jnp.float32)
+        if float(np.asarray(x @ x)[0, 0]) == 128.0:
+            ok.append(True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "qwen3_0.6b_q80_decode_tok_s_batch1",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": "device unreachable: the dispatch probe "
+                               "did not complete within 180 s (tunnel "
+                               "outage); see PERF.md round-3 status"},
+        }))
+        return
     rng = np.random.RandomState(0)
     cfg = ModelConfig(**QWEN3_06B)
     extra = {}

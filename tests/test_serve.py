@@ -669,3 +669,55 @@ def test_add_empty_prompt_bos_seeded(tmp_path):
     while be.slots[slot].active:
         toks.extend(be.step().get(slot, []))
     assert toks == want
+
+
+def test_wss_stepper_survives_step_burst_failure(tmp_path):
+    """A transient device error inside step_burst must end active
+    streams cleanly (done frame) and keep the stepper alive for the
+    next request — previously the task died silently and every client
+    hung forever on q.get()."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        real = server.engine.step_burst
+        calls = {"n": 0}
+
+        def flaky(n_steps=1):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("synthetic device error")
+            return real(n_steps)
+
+        server.engine.step_burst = flaky
+        import websockets as ws
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with ws.connect(f"ws://127.0.0.1:{port}") as c:
+                # first request hits the synthetic failure -> clean end
+                await c.send(json.dumps({"prompt": "ab", "template": False,
+                                         "max_new_tokens": 6,
+                                         "temperature": 0.0,
+                                         "repetition_penalty": 1.0}))
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done") or m.get("error"):
+                        break
+                # second request must stream normally (stepper alive)
+                await c.send(json.dumps({"prompt": "ab", "template": False,
+                                         "max_new_tokens": 4,
+                                         "temperature": 0.0,
+                                         "repetition_penalty": 1.0}))
+                toks = 0
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done"):
+                        break
+                    assert not m.get("error"), m
+                    toks += 1
+                return toks
+
+    assert asyncio.run(run()) >= 1
