@@ -22,6 +22,7 @@ scan long enough to amortize the dispatch cost.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -205,10 +206,14 @@ def spec_decode_tok_s(params, cfg, n_tokens=256, k=7, reps=3):
     hist0[:32] = prompt
     hist0[32] = int(tok)
 
+    # plain greedy: empty seen-mask + rep_penalty 1.0 (the no-op values;
+    # signature gained seen/rep_penalty with penalized-greedy support)
+    seen = jnp.zeros((cfg.vocab_size,), jnp.bool_)
+
     def run(hist):
         return speculative.spec_decode_loop(
             params, None, 0.0, tok, jnp.int32(32), cache, hist,
-            cfg, jnp.bfloat16, n_tokens, k)
+            seen, jnp.float32(1.0), cfg, jnp.bfloat16, n_tokens, k)
 
     out, n_em, rounds, _ = run(jnp.asarray(hist0))
     np.asarray(out)                       # compile + warm
@@ -282,82 +287,133 @@ def _probe_device(timeout_s: float = 180.0) -> bool:
     return bool(ok)
 
 
-def main():
-    if not _probe_device():
-        print(json.dumps({
-            "metric": "qwen3_0.6b_q80_decode_tok_s_batch1",
-            "value": 0.0,
-            "unit": "tok/s",
-            "vs_baseline": 0.0,
-            "extra": {"error": "device unreachable: the dispatch probe "
-                               "did not complete within 180 s (tunnel "
-                               "outage); see PERF.md round-3 status"},
-        }))
-        return
+def _panel(extra: dict, primary: dict) -> None:
+    """Fill `extra`/`primary` in place, one guarded stage at a time, so a
+    single stage failure (OOM, compile error) costs that stage's keys,
+    not the whole panel."""
     rng = np.random.RandomState(0)
     cfg = ModelConfig(**QWEN3_06B)
-    extra = {}
+
+    def stage(name, fn):
+        try:
+            fn()
+        except Exception as e:                        # noqa: BLE001
+            extra[name + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # --- Qwen3-0.6B shape: bf16 / Q80-int8 / Q4K-int8 single-stream ---
-    pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
-                         param_dtype=jnp.bfloat16)
-    extra["qwen3_0.6b_bf16_tok_s"] = round(decode_tok_s(pb, cfg), 1)
-    extra["ttft_p50_ms_bf16_p64"] = round(ttft_p50_ms(pb, cfg), 1)
-    del pb
+    def s_bf16():
+        pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
+                             param_dtype=jnp.bfloat16)
+        extra["qwen3_0.6b_bf16_tok_s"] = round(decode_tok_s(pb, cfg), 1)
+        extra["ttft_p50_ms_bf16_p64"] = round(ttft_p50_ms(pb, cfg), 1)
+    stage("bf16", s_bf16)
 
-    pq = q80_params(cfg, rng)
-    q80 = decode_tok_s(pq, cfg)
-    extra["qwen3_0.6b_q80_tok_s"] = round(q80, 1)
-    extra["qwen3_0.6b_q80_kv8_tok_s"] = round(
-        decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1)
-    extra["ttft_p50_ms_q80_p64"] = round(ttft_p50_ms(pq, cfg), 1)
-    extra["q80_batch8_agg_tok_s"] = round(
-        batched_aggregate(pq, cfg, 8), 1)
-    extra["q80_batch32_agg_tok_s"] = round(
-        batched_aggregate(pq, cfg, 32), 1)
-    sp, tpr = spec_decode_tok_s(pq, cfg)
-    extra["q80_spec_tok_s_cyclic"] = round(sp, 1)
-    extra["spec_tokens_per_round"] = round(tpr, 2)
-    extra["q80_spec_batch8_agg_tok_s_cyclic"] = round(
-        batched_spec_aggregate(pq, cfg, 8), 1)
-    del pq
+    pq_box = []
 
-    # --- Q4K in the loader's packed layout (binfmt._q4k_device_params) ---
-    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
-    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-    blocks = dict(_norms(cfg, rng))
-    blocks["wqkv"] = _q4t_packed(rng, HD + 2 * KVD, E, stack=L)
-    blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
-    blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
-    blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
-    tok = _q4t_packed(rng, V, E)
-    # the loader requantizes a Q4K head to grouped Q80-256 at load
-    # (binfmt._maybe_int8_layout) — mirror that here
-    head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)
-    head_s = rng.rand(V, E // 256).astype(np.float32) * 0.02 + 1e-3
-    head = Q80Tensor(q=jnp.asarray(head_q), scales=jnp.asarray(head_s),
-                     group_size=256).to_grouped()
-    p4 = {"tok_embeddings": tok, "output_q": head,
-          "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
-    extra["qwen3_0.6b_q4k_tok_s"] = round(decode_tok_s(p4, cfg), 1)
-    del p4
+    def s_q80_params():
+        pq_box.append(q80_params(cfg, rng))
+    stage("q80_params", s_q80_params)
+    pq = pq_box[0] if pq_box else None
 
-    # --- round-1 continuity: Nano-168M bf16 ---
-    ncfg = ModelConfig(**NANO_168M)
-    pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
-                         param_dtype=jnp.bfloat16)
-    nano = decode_tok_s(pn, ncfg, n_steps=512)
-    extra["nano168m_bf16_tok_s"] = round(nano, 1)
-    extra["nano168m_vs_n150_q80"] = round(nano / BASELINE_N150_TOK_S, 2)
-    del pn
+    def s_q80():
+        if pq is None:
+            raise RuntimeError("q80 params unavailable")
+        q80 = decode_tok_s(pq, cfg)
+        extra["qwen3_0.6b_q80_tok_s"] = round(q80, 1)
+        primary["value"] = round(q80, 2)
+        primary["vs_baseline"] = round(q80 / BASELINE_RPI5_TOK_S, 2)
+        extra["qwen3_0.6b_q80_kv8_tok_s"] = round(
+            decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1)
+        extra["ttft_p50_ms_q80_p64"] = round(ttft_p50_ms(pq, cfg), 1)
+    stage("q80", s_q80)
 
-    print(json.dumps({
+    def s_batched():
+        if pq is None:
+            raise RuntimeError("q80 params unavailable")
+        extra["q80_batch8_agg_tok_s"] = round(
+            batched_aggregate(pq, cfg, 8), 1)
+        extra["q80_batch32_agg_tok_s"] = round(
+            batched_aggregate(pq, cfg, 32), 1)
+    stage("batched", s_batched)
+
+    def s_spec():
+        if pq is None:
+            raise RuntimeError("q80 params unavailable")
+        sp, tpr = spec_decode_tok_s(pq, cfg)
+        extra["q80_spec_tok_s_cyclic"] = round(sp, 1)
+        extra["spec_tokens_per_round"] = round(tpr, 2)
+        extra["q80_spec_batch8_agg_tok_s_cyclic"] = round(
+            batched_spec_aggregate(pq, cfg, 8), 1)
+    stage("spec", s_spec)
+
+    def s_q4k():
+        # Q4K in the loader's packed layout (binfmt._q4k_device_params)
+        L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
+        HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+        blocks = dict(_norms(cfg, rng))
+        blocks["wqkv"] = _q4t_packed(rng, HD + 2 * KVD, E, stack=L)
+        blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
+        blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
+        blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
+        tok = _q4t_packed(rng, V, E)
+        # the loader requantizes a Q4K head to grouped Q80-256 at load
+        # (binfmt._maybe_int8_layout) — mirror that here
+        head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)
+        head_s = rng.rand(V, E // 256).astype(np.float32) * 0.02 + 1e-3
+        head = Q80Tensor(q=jnp.asarray(head_q), scales=jnp.asarray(head_s),
+                         group_size=256).to_grouped()
+        p4 = {"tok_embeddings": tok, "output_q": head,
+              "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
+        extra["qwen3_0.6b_q4k_tok_s"] = round(decode_tok_s(p4, cfg), 1)
+    stage("q4k", s_q4k)
+
+    def s_nano():
+        # round-1 continuity: Nano-168M bf16
+        ncfg = ModelConfig(**NANO_168M)
+        pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
+                             param_dtype=jnp.bfloat16)
+        nano = decode_tok_s(pn, ncfg, n_steps=512)
+        extra["nano168m_bf16_tok_s"] = round(nano, 1)
+        extra["nano168m_vs_n150_q80"] = round(nano / BASELINE_N150_TOK_S, 2)
+    stage("nano168m", s_nano)
+
+
+def main():
+    primary = {
         "metric": "qwen3_0.6b_q80_decode_tok_s_batch1",
-        "value": round(q80, 2),
+        "value": 0.0,
         "unit": "tok/s",
-        "vs_baseline": round(q80 / BASELINE_RPI5_TOK_S, 2),
-        "extra": extra,
-    }))
+        "vs_baseline": 0.0,
+    }
+    extra: dict = {}
+    if not _probe_device():
+        extra["error"] = ("device unreachable: the dispatch probe did not "
+                          "complete within 180 s (tunnel outage); see "
+                          "PERF.md round-3 status")
+        print(json.dumps({**primary, "extra": extra}))
+        return
+
+    # The panel runs in a worker thread under a global deadline: if the
+    # tunnel wedges MID-panel (probe passed, later dispatch hangs), print
+    # whatever stages completed instead of dying output-less under the
+    # driver's own timeout.
+    import threading
+    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "4500"))
+
+    def guarded():
+        try:
+            _panel(extra, primary)
+        except BaseException as e:                    # noqa: BLE001
+            extra["panel_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    t = threading.Thread(target=guarded, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if t.is_alive():
+        extra["error"] = (f"panel incomplete: deadline {deadline_s:.0f}s "
+                          "hit (device likely wedged mid-run); partial "
+                          "results above are valid")
+    print(json.dumps({**primary, "extra": extra}))
 
 
 if __name__ == "__main__":
