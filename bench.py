@@ -377,6 +377,47 @@ def _panel(extra: dict, primary: dict) -> None:
         extra["nano168m_vs_n150_q80"] = round(nano / BASELINE_N150_TOK_S, 2)
     stage("nano168m", s_nano)
 
+    def s_ppl():
+        # north-star PPL Δ vs FP32 at 56M — only when the round's trained
+        # exports exist (tools/tpu_runbook.sh stage 4); silently absent
+        # otherwise (random-weight PPL is meaningless)
+        f32 = "/tmp/r3/m56_f32.bin"
+        txt = "/tmp/r3/eval_text.txt"
+        if not (os.path.exists(f32) and os.path.exists(txt)):
+            return
+        import eval as evalmod
+        text = open(txt, encoding="utf-8").read()
+        base = evalmod.model_ppl(f32, text)
+        extra["ppl_f32_56m"] = round(base, 4)
+        for q in ("q80", "q4k"):
+            p = f"/tmp/r3/m56_{q}.bin"
+            if os.path.exists(p):
+                extra[f"ppl_delta_{q}_56m"] = round(
+                    evalmod.model_ppl(p, text) - base, 4)
+    stage("ppl", s_ppl)
+
+    def s_train():
+        # training throughput at Nano-168M batch 64 (BASELINE.md:12-13).
+        # Subprocess: training HBM (weights+Adam+activations ~14 GB)
+        # must not fragment the inference stages' pool, and a fresh
+        # process releases it deterministically.
+        import subprocess
+        import sys as _sys
+        combo = os.environ.get("NANO_BENCH_TRAIN_COMBO", "full:0")
+        r = subprocess.run(
+            [_sys.executable, "tools/bench_train.py", "--one", combo],
+            capture_output=True, text=True, timeout=900, cwd=".")
+        rows = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        rec = json.loads(rows[-1]) if rows else {}
+        if "tok_s" in rec:
+            extra["nano168m_train_tok_s"] = rec["tok_s"]
+            extra["nano168m_train_ms_step"] = rec["ms_step"]
+            extra["train_remat_policy"] = combo
+        else:
+            raise RuntimeError(rec.get("error") or
+                               (r.stderr or r.stdout)[-200:])
+    stage("train", s_train)
+
 
 def main():
     primary = {

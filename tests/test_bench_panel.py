@@ -40,6 +40,21 @@ def test_panel_all_stages_flow(monkeypatch, capsys):
     # the CPU backend trivially passes the device probe
     monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
 
+    # train stage: tiny model + 2 steps via the env knobs its subprocess
+    # reads (it inherits JAX_PLATFORMS=cpu from this process)
+    import json as _json
+    import os
+    import tempfile
+    mdir = tempfile.mkdtemp()
+    mpath = os.path.join(mdir, "m.json")
+    with open(mpath, "w") as f:
+        _json.dump(dict(block_size=64, vocab_size=512, n_layer=2,
+                        n_embd=64, n_head=4, n_kv_head=2, n_hidden=128),
+                   f)
+    monkeypatch.setenv("BENCH_TRAIN_MODEL", mpath)
+    monkeypatch.setenv("BENCH_TRAIN_BATCH", "2")
+    monkeypatch.setenv("BENCH_TRAIN_STEPS", "2")
+
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
@@ -51,5 +66,7 @@ def test_panel_all_stages_flow(monkeypatch, capsys):
                 "qwen3_0.6b_q80_kv8_tok_s", "q80_batch8_agg_tok_s",
                 "q80_batch32_agg_tok_s", "q80_spec_tok_s_cyclic",
                 "q80_spec_batch8_agg_tok_s_cyclic", "qwen3_0.6b_q4k_tok_s",
-                "nano168m_bf16_tok_s"):
+                "nano168m_bf16_tok_s", "nano168m_train_tok_s"):
         assert key in rec["extra"], key
+    # ppl stage skips silently without the round's trained exports
+    assert "ppl_error" not in rec["extra"]
