@@ -39,6 +39,10 @@ def main():
                          "n-gram prompt lookup, verify in one forward "
                          "(greedy + repetition_penalty=1.0 only; "
                          "identical output, fewer dispatches)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the whole run "
+                         "into DIR (TensorBoard/Perfetto); the XLA-level "
+                         "complement of the per-phase --observe tap")
     ap.add_argument("-o", "--observe", action="store_true",
                     help="visualize per-layer activity and top-6 next-token "
                          "candidates per step (the reference Pod renders "
@@ -137,7 +141,13 @@ def main():
                   file=sys.stderr)
 
     if args.prompt is not None:
-        run(args.prompt)
+        if args.trace:
+            from nano_tpu import observe as obs_mod
+            with obs_mod.profile_trace(args.trace, annotate="infer"):
+                run(args.prompt)
+            print(f"[trace written to {args.trace}]", file=sys.stderr)
+        else:
+            run(args.prompt)
         return
     print("REPL — empty line or EOF quits", file=sys.stderr)
     while True:

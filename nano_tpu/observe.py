@@ -223,3 +223,37 @@ def top_candidates(logits: np.ndarray, k: int = 6):
     z = logits - logits.max()
     p = np.exp(z) / np.exp(z).sum()
     return ids, p[ids]
+
+
+# ---------------------------------------------------------------------
+# XLA-level profiling (the other half of SURVEY §5.1's TPU equivalent:
+# per-phase taps above for parity, compiler/runtime traces below for
+# actual performance work — the reference's wall timers can't see inside
+# a fused program, jax.profiler can)
+# ---------------------------------------------------------------------
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def profile_trace(logdir: str = "/tmp/nano_tpu_trace",
+                  annotate: str = ""):
+    """Capture a jax.profiler trace of everything dispatched inside the
+    block.  View with TensorBoard (`tensorboard --logdir …`) or upload
+    the .trace.json.gz to Perfetto.  `annotate` wraps the block in a
+    named TraceAnnotation so it is findable in the timeline.
+
+        with observe.profile_trace("/tmp/tr"):
+            engine.generate_sync(ctx, prompt, 32)
+
+    CLI: `python infer.py … --trace /tmp/tr`.
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        if annotate:
+            with jax.profiler.TraceAnnotation(annotate):
+                yield logdir
+        else:
+            yield logdir
+    finally:
+        jax.profiler.stop_trace()

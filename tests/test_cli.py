@@ -71,6 +71,19 @@ def test_infer_cli_one_shot(pipeline):
     # be empty)
 
 
+def test_infer_cli_trace(pipeline, tmp_path):
+    """--trace wraps the run in a jax.profiler capture and leaves a
+    TensorBoard/Perfetto trace on disk (SURVEY §5.1 TPU equivalent)."""
+    d = pipeline
+    tr = tmp_path / "tr"
+    r = run_cli(["infer.py", "-m", str(d / "m.bin"), "-q", "the cat ",
+                 "-t", "0", "-n", "4", "--trace", str(tr)])
+    assert r.returncode == 0, r.stderr
+    assert "trace written" in r.stderr
+    traces = list(tr.rglob("*.trace.json.gz")) + list(tr.rglob("*.pb"))
+    assert traces, f"no trace files under {tr}"
+
+
 def test_infer_cli_from_checkpoint(pipeline):
     d = pipeline
     r = run_cli(["infer.py", "-m", str(d / "checkpoint.npz"),
