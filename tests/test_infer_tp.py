@@ -129,3 +129,93 @@ def test_tp_spec_batched_engine(tmp_path):
     while be.slots[slot].active:
         toks.extend(be.step().get(slot, []))
     assert toks == expect
+
+
+# ---------------------------------------------------------------------
+# North-star shape certification: Qwen3-4B Q4K tensor-sharded serving
+# (BASELINE.json target config) — assert the REAL 4B layouts divide the
+# model axis at TP=2/4/8 with no replication fallback, using abstract
+# leaves only (no 4B materialization).
+# ---------------------------------------------------------------------
+
+QWEN3_4B = dict(n_layer=36, n_embd=2560, n_head=32, n_kv_head=8,
+                head_dim=128, n_hidden=9728, vocab_size=151936)
+
+
+def _abstract_q4k(out, inn, L, layout):
+    from nano_tpu.ops.q4k import Q4KTensor
+    n_pad = -(-inn // 256) * 256
+    G = n_pad // 32
+    S = jax.ShapeDtypeStruct
+    if layout == "packed":
+        return Q4KTensor(packed=S((L, out, n_pad // 2), jnp.uint8),
+                         scales=S((L, out, G), jnp.float32),
+                         biases=S((L, out, G), jnp.float32),
+                         in_dim=inn, layout="packed")
+    return Q4KTensor(packed=S((L, G, out, 32), jnp.int8),
+                     scales=S((L, out, G), jnp.float32),
+                     biases=S((L, out, G), jnp.float32),
+                     in_dim=inn, layout="grouped",
+                     qsum=S((L, out, G), jnp.float32))
+
+
+def _tp_mesh(k):
+    devs = np.array(jax.devices()[:k]).reshape(1, k)
+    return jax.sharding.Mesh(devs, (meshlib.DATA_AXIS, meshlib.MODEL_AXIS))
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+@pytest.mark.parametrize("layout", ["packed", "grouped"])
+def test_qwen3_4b_q4k_fully_tensor_shardable(tp, layout):
+    """Every Q4K projection leaf of the Qwen3-4B shape must accept its
+    TP sharding (no _divisible fallback to replication) in both device
+    layouts, and the KV cache must shard its 8 KV heads."""
+    c = QWEN3_4B
+    L, E, F = c["n_layer"], c["n_embd"], c["n_hidden"]
+    HD = c["n_head"] * c["head_dim"]
+    KVD = c["n_kv_head"] * c["head_dim"]
+    blocks = {
+        "wqkv": _abstract_q4k(HD + 2 * KVD, E, L, layout),
+        "wo": _abstract_q4k(E, HD, L, layout),
+        "w13": _abstract_q4k(2 * F, E, L, layout),
+        "w2": _abstract_q4k(E, F, L, layout),
+    }
+    params = {"blocks": blocks}
+    specs = meshlib.infer_param_specs(params)
+    mesh = _tp_mesh(tp)
+    P = jax.sharding.PartitionSpec
+    for (pth, x), (_, s) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda v: isinstance(v, P))[0]):
+        if not any(ax for ax in s):          # intentionally replicated
+            continue
+        assert meshlib._divisible(x.shape, s, mesh), (pth, x.shape, s, tp)
+    # at least the four projections must actually be sharded
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda v: isinstance(v, P))
+    assert sum(1 for s in flat_specs if any(ax for ax in s)) >= 8
+
+    kv_shape = (L, 1, 1024, c["n_kv_head"], c["head_dim"])
+    assert meshlib._divisible(kv_shape, meshlib.kv_cache_spec(), mesh)
+
+
+def test_qwen3_4b_q80_w2_group_count_documented():
+    """Q80-gs256 at the 4B FFN width has 9728/256 = 38 groups, which no
+    TP degree divides — shard_inference_params falls back to replicating
+    that leaf (correct, memory-suboptimal).  Pin the behavior so a future
+    exporter change (per-tensor group size) knows the constraint; the
+    north-star 4B serving quant is Q4K, which shards cleanly above."""
+    from nano_tpu.ops.qmatmul import Q80Tensor
+    c = QWEN3_4B
+    L, E, F = c["n_layer"], c["n_embd"], c["n_hidden"]
+    G = F // 256
+    assert G == 38
+    S = jax.ShapeDtypeStruct
+    w2 = Q80Tensor(q=S((L, G, E, 256), jnp.int8),
+                   scales=S((L, E, G), jnp.float32),
+                   group_size=256, layout="grouped")
+    specs = meshlib.infer_param_specs({"blocks": {"w2": w2}})
+    mesh = _tp_mesh(8)
+    s = specs["blocks"]["w2"]
+    assert not meshlib._divisible(w2.q.shape, s.q, mesh)
