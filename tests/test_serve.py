@@ -721,3 +721,53 @@ def test_wss_stepper_survives_step_burst_failure(tmp_path):
                 return toks
 
     assert asyncio.run(run()) >= 1
+
+
+def test_wss_slot_recovery_after_transport_abort(tmp_path):
+    """A client whose TCP transport dies mid-stream (no close frame)
+    must release its slot; later clients get served normally."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def killer(port):
+        c = await websockets.connect(f"ws://127.0.0.1:{port}")
+        await c.send(json.dumps({"prompt": "abc", "max_new_tokens": 40,
+                                 "temperature": 0.0,
+                                 "repetition_penalty": 1.0,
+                                 "template": False}))
+        await asyncio.wait_for(c.recv(), 120)
+        c.transport.abort()                    # hard kill, no handshake
+
+    async def normal(port):
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+            await c.send(json.dumps({"prompt": "ab", "max_new_tokens": 4,
+                                     "temperature": 0.0,
+                                     "repetition_penalty": 1.0,
+                                     "template": False}))
+            n = 0
+            while True:
+                m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                if m.get("done"):
+                    return n
+                n += 1
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            for _ in range(2):
+                await asyncio.gather(killer(port), return_exceptions=True)
+            ns = await asyncio.gather(*[normal(port) for _ in range(3)])
+            assert all(n >= 1 for n in ns), ns
+            for _ in range(150):
+                if (server.engine.n_active == 0 and
+                        all(not s.attached for s in server.engine.slots)):
+                    break
+                await asyncio.sleep(0.1)
+            assert server.engine.n_active == 0
+            assert all(not s.attached for s in server.engine.slots)
+            return True
+
+    assert asyncio.run(run())
