@@ -8,6 +8,8 @@ can point at either this gateway or the TPU server interchangeably.
 
     python -m nano_tpu.serve.gateway --model /path/to/hf_model --port 8081
     python -m nano_tpu.serve.gateway --model model.gguf        # llama.cpp
+    python -m nano_tpu.serve.gateway --model a=/m1 --model b=/m2.gguf
+                                     # named registry w/ runtime hot-swap
 
 The backend is picked by file extension (`.gguf` -> llama.cpp, anything
 else -> transformers) or forced with --backend.  The GGUF path needs
@@ -24,8 +26,10 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import gc
 import json
 import logging
+import os
 import threading
 
 logger = logging.getLogger("nano_tpu.gateway")
@@ -45,6 +49,12 @@ class _Gateway:
                         "utf-8", errors="replace")
                 req = json.loads(message) if message.lstrip().startswith("{") \
                     else {"prompt": message[5:5 + int(message[:5])]}
+                if isinstance(req, dict):
+                    ctrl = await self._control(req)
+                    if ctrl is not None:
+                        await websocket.send(
+                            json.dumps(ctrl, ensure_ascii=False))
+                        continue
                 async with self.lock:
                     streamer, err, stop = self._generate_stream(
                         req.get("prompt", ""), bool(req.get("template", True)),
@@ -86,6 +96,12 @@ class _Gateway:
                     await websocket.send(json.dumps({"error": str(e)}))
                 except Exception:
                     break
+
+    async def _control(self, req: dict):
+        """Non-generation requests (model registry queries etc.).
+        Return a response dict to short-circuit, or None to treat the
+        message as a generation request."""
+        return None
 
 
 class HFGateway(_Gateway):
@@ -202,6 +218,96 @@ class GGUFGateway(_Gateway):
         return gen, [], gen.close
 
 
+class SwitchableGateway(_Gateway):
+    """Named-model registry with runtime hot-swap over the same socket.
+
+    Reference parity: the Mio server's `get_current_llm_key`/`change_llm`
+    events (reference: infer/web/server.py:224-256) — switching is
+    refused while a generation is in flight, and the old backend is
+    disposed BEFORE the new one loads (so a host that can hold one big
+    model can still swap between two).  Protocol additions:
+
+        {"list_models": true}        -> {"models": [...], "current": name}
+        {"switch_model": "name"}     -> {"ok": bool, "current": name,
+                                         "switched": bool [, "error"]}
+    """
+
+    def __init__(self, models: dict, current: str | None = None, **default_kw):
+        if not models:
+            raise ValueError("empty model registry")
+        self.models = {name: (spec if isinstance(spec, dict)
+                              else {"model_path": spec})
+                       for name, spec in models.items()}
+        self.default_kw = dict(default_kw)
+        self.lock = asyncio.Lock()
+        self.backend = None
+        self.current = None
+        self._load(current or next(iter(self.models)))
+
+    def _load(self, name: str) -> None:
+        spec = {**self.default_kw, **self.models[name]}
+        path = spec.pop("model_path")
+        # dispose first (reference: server.py `load_model` del + llm_gc)
+        # so peak memory is one model, not two
+        self.backend = None
+        self.current = None
+        gc.collect()
+        self.backend = make_gateway(path, **spec)
+        self.current = name
+
+    def _generate_stream(self, *args, **kw):
+        if self.backend is None:
+            raise RuntimeError("no model loaded (the last switch_model "
+                               "failed); switch_model to a valid entry")
+        return self.backend._generate_stream(*args, **kw)
+
+    async def _control(self, req: dict):
+        if req.get("list_models") or req.get("get_current_model"):
+            return {"models": sorted(self.models), "current": self.current}
+        if "switch_model" in req:
+            name = req["switch_model"]
+            if name not in self.models:
+                return {"ok": False, "current": self.current,
+                        "error": f"unknown model: {name!r}"}
+            if name == self.current:
+                return {"ok": True, "current": name, "switched": False}
+            if self.lock.locked():
+                # mirror the reference's refusal while generating
+                # (server.py:233-235) instead of queueing a swap
+                return {"ok": False, "current": self.current,
+                        "error": "busy: a generation is in progress"}
+            async with self.lock:
+                loop = asyncio.get_running_loop()
+                try:
+                    await loop.run_in_executor(None, self._load, name)
+                except Exception as e:
+                    logger.exception("switch_model %r failed", name)
+                    return {"ok": False, "current": self.current,
+                            "error": str(e)}
+            logger.info("switched model to %r", name)
+            return {"ok": True, "current": name, "switched": True}
+        return None
+
+
+def parse_model_registry(entries):
+    """CLI `--model` values -> ordered {name: {"model_path": path}}.
+    `name=path` sets the name explicitly; a bare path is named by its
+    basename (the whole string if the basename is empty)."""
+    reg = {}
+    for e in entries:
+        if "=" in e:
+            name, path = e.split("=", 1)
+        else:
+            path = e
+            name = os.path.basename(e.rstrip("/")) or e
+        if not name or not path:
+            raise ValueError(f"bad --model entry: {e!r}")
+        if name in reg:
+            raise ValueError(f"duplicate model name: {name!r}")
+        reg[name] = {"model_path": path}
+    return reg
+
+
 def make_gateway(model_path: str, backend: str = "auto", **kw):
     """Pick the backend: explicit --backend wins, else .gguf extension."""
     if backend == "auto":
@@ -217,9 +323,17 @@ def make_gateway(model_path: str, backend: str = "auto", **kw):
     raise ValueError(f"unknown gateway backend: {backend!r}")
 
 
-async def serve(model_path: str, host: str, port: int, **kw):
+async def serve(model_path, host: str, port: int, **kw):
+    """model_path: a single path/name, or a list of CLI --model entries
+    (more than one -> a SwitchableGateway registry)."""
     import websockets
-    gw = make_gateway(model_path, **kw)
+    if isinstance(model_path, (list, tuple)):
+        if len(model_path) > 1:
+            gw = SwitchableGateway(parse_model_registry(model_path), **kw)
+        else:
+            model_path = model_path[0].split("=", 1)[-1]
+    if not isinstance(model_path, (list, tuple)):
+        gw = make_gateway(model_path, **kw)
     async with websockets.serve(gw.handle, host, port, max_size=2 ** 22):
         logger.info("%s gateway on ws://%s:%d (%s)",
                     type(gw).__name__, host, port, model_path)
@@ -229,8 +343,10 @@ async def serve(model_path: str, host: str, port: int, **kw):
 def main():
     ap = argparse.ArgumentParser(description="Model WebSocket gateway "
                                              "(transformers or llama.cpp)")
-    ap.add_argument("--model", required=True,
-                    help="HF model path/name or .gguf file")
+    ap.add_argument("--model", required=True, action="append",
+                    help="HF model path/name or .gguf file; repeat "
+                         "(optionally as name=path) for a hot-swappable "
+                         "registry")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "hf", "gguf"])
     ap.add_argument("--host", default="0.0.0.0")

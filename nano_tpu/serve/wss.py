@@ -23,6 +23,7 @@ import argparse
 import asyncio
 import json
 import logging
+import os
 import time
 from typing import Optional
 
@@ -44,8 +45,10 @@ class WSServer:
     """
 
     def __init__(self, ctx, n_slots: int = 8, template: bool = True,
-                 burst: int = 1, replicas: int = 1):
+                 burst: int = 1, replicas: int = 1,
+                 model_name: str = "default"):
         self.ctx = ctx
+        self.model_name = model_name   # registry-verb identity (one model)
         if replicas > 1:
             import jax
             devices = jax.devices()
@@ -179,6 +182,23 @@ class WSServer:
             message = message.decode("utf-8", errors="replace")
         if message.lstrip().startswith("{"):
             req = json.loads(message)
+            # registry verbs, protocol-uniform with the gateway's
+            # hot-swap (serve/gateway.py SwitchableGateway) so the same
+            # browser UI can probe either server; this one serves a
+            # single fixed model
+            if req.get("list_models") or req.get("get_current_model"):
+                await websocket.send(json.dumps(
+                    {"models": [self.model_name],
+                     "current": self.model_name}))
+                return []
+            if "switch_model" in req:
+                ok = req["switch_model"] == self.model_name
+                resp = {"ok": ok, "current": self.model_name,
+                        "switched": False}
+                if not ok:
+                    resp["error"] = "single-model server"
+                await websocket.send(json.dumps(resp))
+                return []
             prompt = req.get("prompt", "")
             for k in ("max_new_tokens", "temperature", "top_p",
                       "repetition_penalty", "template"):
@@ -319,10 +339,11 @@ class WSServer:
 
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
                 n_slots: int = 8, template: bool = True, burst: int = 1,
-                replicas: int = 1, warmup: bool = False):
+                replicas: int = 1, warmup: bool = False,
+                model_name: str = "default"):
     import websockets
     server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst,
-                      replicas=replicas)
+                      replicas=replicas, model_name=model_name)
     if warmup:
         for i, be in enumerate(server.engines):
             t0 = time.time()
@@ -386,7 +407,8 @@ def main():
         ctx.load_lora(args.lora)
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
                       template=not args.no_template, burst=args.burst,
-                      replicas=args.replicas, warmup=args.warmup))
+                      replicas=args.replicas, warmup=args.warmup,
+                      model_name=os.path.basename(args.model)))
 
 
 if __name__ == "__main__":

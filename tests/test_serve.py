@@ -305,6 +305,80 @@ def test_gguf_gateway_backend(tmp_path, monkeypatch):
     assert asyncio.run(run(False)) == "he..."
 
 
+def test_gateway_model_hot_swap(monkeypatch):
+    """SwitchableGateway matches the reference Mio's change_llm semantics
+    (reference: infer/web/server.py:224-256): list/query the registry,
+    swap the backend at runtime, refuse while generating, refuse unknown
+    names, no-op on switching to the current model."""
+    websockets = pytest.importorskip("websockets")
+    import sys
+    import types
+    from nano_tpu.serve import gateway
+
+    class FakeLlama:
+        def __init__(self, model_path, **kw):
+            self.tag = model_path.rsplit("/", 1)[-1].removesuffix(".gguf")
+
+        def create_completion(self, prompt, **kw):
+            yield {"choices": [{"text": f"{self.tag}:{prompt}"}]}
+
+    fake = types.ModuleType("llama_cpp")
+    fake.Llama = FakeLlama
+    monkeypatch.setitem(sys.modules, "llama_cpp", fake)
+
+    reg = gateway.parse_model_registry(["alpha=/m/alpha.gguf",
+                                        "/m/beta.gguf"])
+    assert list(reg) == ["alpha", "beta.gguf"]
+    gw = gateway.SwitchableGateway(reg)
+    assert gw.current == "alpha"
+
+    async def rpc(c, req):
+        await c.send(json.dumps(req))
+        return json.loads(await asyncio.wait_for(c.recv(), 60))
+
+    async def gen(c, prompt):
+        await c.send(json.dumps({"prompt": prompt, "template": False,
+                                 "max_new_tokens": 4}))
+        chunks = []
+        while True:
+            m = json.loads(await asyncio.wait_for(c.recv(), 60))
+            if m.get("error"):
+                raise AssertionError(m["error"])
+            if m.get("done"):
+                return "".join(chunks)
+            chunks.append(m["text"])
+
+    async def run():
+        async with websockets.serve(gw.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                m = await rpc(c, {"list_models": True})
+                assert m == {"models": ["alpha", "beta.gguf"],
+                             "current": "alpha"}
+                assert await gen(c, "hi") == "alpha:hi"
+                # no-op switch to the current model
+                m = await rpc(c, {"switch_model": "alpha"})
+                assert m == {"ok": True, "current": "alpha",
+                             "switched": False}
+                # unknown name refused, current backend untouched
+                m = await rpc(c, {"switch_model": "nope"})
+                assert not m["ok"] and m["current"] == "alpha"
+                # real swap changes the serving backend
+                m = await rpc(c, {"switch_model": "beta.gguf"})
+                assert m == {"ok": True, "current": "beta.gguf",
+                             "switched": True}
+                assert await gen(c, "hi") == "beta:hi"
+                # busy refusal: with the generation lock held (as it is
+                # for the whole streaming of a reply) a swap is refused,
+                # mirroring the reference's IS_LLM_GENERATING gate
+                async with gw.lock:
+                    m = await rpc(c, {"switch_model": "alpha"})
+                assert not m["ok"] and "busy" in m["error"]
+                assert gw.current == "beta.gguf"
+
+    asyncio.run(run())
+
+
 def test_wss_interrupt_midstream(tmp_path):
     """{"stop": true} mid-generation ends the reply with
     reason=interrupted and frees the slot for the next request."""
