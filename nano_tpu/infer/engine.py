@@ -367,6 +367,30 @@ class LLMContext:
                 prompt, enable_thinking=self.enable_thinking)
         return self.encode(apply_instruct_template(prompt))
 
+    def build_chat_ids(self, messages) -> List[int]:
+        """OpenAI-style role/content messages -> prompt ids.  Multi-turn
+        extension of build_prompt_ids (the reference templates are
+        single-turn): Qwen arches render canonical im_start blocks; Nano
+        renders one instruct/response pair per exchange, the training
+        format (reference: data.py:170-178), with any system message
+        folded into the next user question."""
+        if self.arch in ("qwen2", "qwen3"):
+            return self.tokenizer.apply_chat_template_messages(
+                messages, enable_thinking=self.enable_thinking)
+        text, system = "", ""
+        for m in messages:
+            role = m.get("role", "user")
+            content = str(m.get("content", ""))
+            if role == "system":
+                system = content
+            elif role == "assistant":
+                text += f"{content}<|eos|>"
+            else:
+                q = f"{system}\n{content}" if system else content
+                system = ""
+                text += apply_instruct_template(q)
+        return self.encode(text)
+
 
 # =====================================================================
 # Session — one token per step() call

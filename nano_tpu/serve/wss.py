@@ -133,6 +133,45 @@ class WSServer:
         return best
 
     # ------------------------------------------------------------
+    async def acquire_stream(self, ids, max_new_tokens: int,
+                             temperature: float, top_p: float,
+                             repetition_penalty: float):
+        """Join the least-loaded replica (waiting for a free slot if
+        none) and return (engine, slot, first_token, token_queue).  The
+        queue is registered inside add() under the engine lock, so no
+        burst can slip between slot activation and queue attachment; it
+        yields ints then a None terminator.  Callers MUST pair with
+        release_stream().  Transport-agnostic: used by the WebSocket
+        handler below and the OpenAI HTTP frontend (serve/openai_http)."""
+        self._ensure_stepper()
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        while True:
+            ei = self._pick_engine()
+            if ei is not None:
+                engine = self.engines[ei]
+                res = await loop.run_in_executor(
+                    None, lambda e=engine: e.add(
+                        ids, int(max_new_tokens), float(temperature),
+                        float(top_p), float(repetition_penalty), sink=q))
+                if res is not None:
+                    self._wakes[ei].set()
+                    slot, first = res
+                    return engine, slot, first, q
+            self._slot_freed.clear()
+            if self._pick_engine() is not None:
+                continue       # a release slipped in before the clear
+            await self._slot_freed.wait()
+
+    async def release_stream(self, engine, slot: int) -> None:
+        """release() takes the engine lock, which step_burst holds
+        across a full device dispatch (and any cold-bucket XLA compile)
+        — run it off the event loop like add()."""
+        await asyncio.get_running_loop().run_in_executor(
+            None, engine.release, slot)
+        self._slot_freed.set()   # wake any parked joiners
+
+    # ------------------------------------------------------------
     @staticmethod
     def _is_stop(message) -> bool:
         """Mid-stream interrupt (reference Mio gateway supports the same,
@@ -221,29 +260,10 @@ class WSServer:
         # wait for a free slot on the least-loaded replica (continuous
         # batching: joins mid-flight); waiters park on an event that
         # release() sets — no polling
-        loop = asyncio.get_running_loop()
-        q: asyncio.Queue = asyncio.Queue()
-        while True:
-            ei = self._pick_engine()
-            if ei is not None:
-                engine = self.engines[ei]
-                # the queue is registered INSIDE add() under the engine
-                # lock (sink=), so no burst can slip between slot
-                # activation and queue attachment
-                res = await loop.run_in_executor(
-                    None, lambda e=engine: e.add(
-                        ids, int(params["max_new_tokens"]),
-                        float(params["temperature"]),
-                        float(params["top_p"]),
-                        float(params["repetition_penalty"]), sink=q))
-                if res is not None:
-                    break
-            self._slot_freed.clear()
-            if self._pick_engine() is not None:
-                continue       # a release slipped in before the clear
-            await self._slot_freed.wait()
-        slot, first = res
-        self._wakes[ei].set()
+        engine, slot, first, q = await self.acquire_stream(
+            ids, int(params["max_new_tokens"]),
+            float(params["temperature"]), float(params["top_p"]),
+            float(params["repetition_penalty"]))
 
         closed = False
 
@@ -328,12 +348,7 @@ class WSServer:
                     pending_msg.append(recv_task.result())
                 except Exception:
                     pass
-            # release() takes the engine lock, which step_burst holds
-            # across a full device dispatch (and any cold-bucket XLA
-            # compile) — run it off the event loop like add()
-            await asyncio.get_running_loop().run_in_executor(
-                None, engine.release, slot)
-            self._slot_freed.set()   # wake any parked joiners
+            await self.release_stream(engine, slot)
         return pending_msg
 
 

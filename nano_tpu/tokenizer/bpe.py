@@ -190,6 +190,35 @@ class BpeTokenizer:
                     QWEN_THINK_CLOSE, QWEN_NEWLINE, QWEN_NEWLINE]
         return ids
 
+    def apply_chat_template_messages(self, messages,
+                                     enable_thinking: bool = False
+                                     ) -> List[int]:
+        """Multi-turn extension of the single-turn reference template:
+        one ``<|im_start|>{role}\\n{content}<|im_end|>\\n`` block per
+        message (OpenAI-style role/content dicts), then the generation
+        prompt ``<|im_start|>assistant\\n``.  The reference engine only
+        renders one user turn (infer/tokenizer.c:214-262); the block
+        structure here is the canonical Qwen chat format the model was
+        trained on."""
+        if (QWEN_IM_START >= self.vocab_size
+                or QWEN_THINK_CLOSE >= self.vocab_size):
+            # toy/test vocab without the control tokens: raw fallback,
+            # same condition as apply_chat_template above
+            return self.encode("\n".join(m.get("content", "")
+                                         for m in messages))
+        ids: List[int] = []
+        for m in messages:
+            ids += [QWEN_IM_START]
+            ids += self.encode(str(m.get("role", "user")))
+            ids += [QWEN_NEWLINE]
+            ids += self.encode(str(m.get("content", "")))
+            ids += [QWEN_IM_END, QWEN_NEWLINE]
+        ids += [QWEN_IM_START, QWEN_ASSISTANT, QWEN_NEWLINE]
+        if not enable_thinking:
+            ids += [QWEN_THINK_OPEN, QWEN_NEWLINE, QWEN_NEWLINE,
+                    QWEN_THINK_CLOSE, QWEN_NEWLINE, QWEN_NEWLINE]
+        return ids
+
     # ---------------- .bin field (de)serialization ----------------
 
     def serialize_field(self) -> bytes:
