@@ -102,7 +102,12 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.handle_models)
         app.router.add_post("/v1/chat/completions", self.handle_chat)
         app.router.add_post("/v1/completions", self.handle_completions)
+        app.router.add_get("/stats", self.handle_stats)
         return app
+
+    async def handle_stats(self, request):
+        from aiohttp import web
+        return web.json_response(self.pool.stats())
 
     @staticmethod
     def _error(status: int, message: str):

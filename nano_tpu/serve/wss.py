@@ -25,6 +25,7 @@ import json
 import logging
 import os
 import time
+from collections import deque
 from typing import Optional
 
 from nano_tpu.serve.batching import BatchedEngine
@@ -68,6 +69,11 @@ class WSServer:
         self._wakes = [asyncio.Event() for _ in self.engines]
         self._slot_freed = asyncio.Event()   # waiter queue for joins
         self._steppers = [None] * len(self.engines)
+        # serving metrics (stats() — SURVEY §5.5 observability)
+        self._t_start = time.time()
+        self._tok_total = 0
+        self._req_total = 0
+        self._tok_window: deque = deque()    # (t, n) bursts, 60 s window
 
     # ------------------------------------------------------------
     async def _step_loop(self, ei: int):
@@ -99,6 +105,7 @@ class WSServer:
                             if st.sink is not None:
                                 st.sink.put_nowait(None)
                 continue
+            n_burst = 0
             for slot, toks in out.items():
                 # deliver to the sink captured with the tokens under the
                 # engine lock — never a lookup keyed by slot (stale
@@ -109,11 +116,15 @@ class WSServer:
                     continue
                 for tok in toks:
                     q.put_nowait(tok)
+                n_burst += len(toks)
                 # end-of-stream comes from the flags captured under the
                 # engine lock, never from live slot state (a new stream
                 # could have re-claimed the slot since)
                 if out.ended.get(slot):
                     q.put_nowait(None)   # stream ended: terminator
+            if n_burst:
+                self._tok_total += n_burst
+                self._tok_window.append((time.time(), n_burst))
 
     def _ensure_stepper(self):
         for ei in range(len(self.engines)):
@@ -156,7 +167,11 @@ class WSServer:
                         float(top_p), float(repetition_penalty), sink=q))
                 if res is not None:
                     self._wakes[ei].set()
+                    self._req_total += 1
                     slot, first = res
+                    if first is not None:    # prefill's token counts too
+                        self._tok_total += 1
+                        self._tok_window.append((time.time(), 1))
                     return engine, slot, first, q
             self._slot_freed.clear()
             if self._pick_engine() is not None:
@@ -170,6 +185,28 @@ class WSServer:
         await asyncio.get_running_loop().run_in_executor(
             None, engine.release, slot)
         self._slot_freed.set()   # wake any parked joiners
+
+    # ------------------------------------------------------------
+    def stats(self) -> dict:
+        """Live serving metrics (SURVEY §5.5): answered over both
+        frontends — WS {"stats": true} and HTTP GET /stats."""
+        now = time.time()
+        cutoff = now - 60.0
+        while self._tok_window and self._tok_window[0][0] < cutoff:
+            self._tok_window.popleft()
+        span = min(60.0, max(now - self._t_start, 1e-9))
+        return {
+            "model": self.model_name,
+            "uptime_s": round(now - self._t_start, 1),
+            "replicas": len(self.engines),
+            "burst": self.burst,
+            "slots_total": sum(len(e.slots) for e in self.engines),
+            "slots_active": sum(e.n_active for e in self.engines),
+            "requests_total": self._req_total,
+            "tokens_total": self._tok_total,
+            "tok_s_60s": round(sum(n for _, n in self._tok_window) / span,
+                               1),
+        }
 
     # ------------------------------------------------------------
     @staticmethod
@@ -225,6 +262,9 @@ class WSServer:
             # hot-swap (serve/gateway.py SwitchableGateway) so the same
             # browser UI can probe either server; this one serves a
             # single fixed model
+            if req.get("stats"):
+                await websocket.send(json.dumps(self.stats()))
+                return []
             if req.get("list_models") or req.get("get_current_model"):
                 await websocket.send(json.dumps(
                     {"models": [self.model_name],

@@ -178,8 +178,49 @@ def test_validation_and_concurrency(tmp_path):
             outs = await asyncio.gather(*[one(p) for p in
                                           ("ab", "cd", "ef", "gh", "ij")])
             assert all(isinstance(o, str) and o for o in outs)
+
+            # serving metrics reflect the completed work
+            r = await client.get("/stats")
+            st = await r.json()
+            assert st["model"] == "toy.bin"
+            assert st["requests_total"] >= 5
+            assert st["tokens_total"] >= 5
+            assert st["slots_active"] == 0
+            assert st["tok_s_60s"] > 0
         finally:
             await client.close()
+
+    asyncio.run(run())
+
+
+def test_wss_stats_verb(tmp_path):
+    """{"stats": true} over the WebSocket returns the same metrics."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False,
+                          model_name="toy.bin")
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            import websockets as wslib
+            async with wslib.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({"prompt": "abc", "template": False,
+                                         "max_new_tokens": 5,
+                                         "temperature": 0.0,
+                                         "repetition_penalty": 1.0}))
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 120))
+                    if m.get("done"):
+                        break
+                await c.send(json.dumps({"stats": True}))
+                st = json.loads(await asyncio.wait_for(c.recv(), 60))
+                assert st["model"] == "toy.bin"
+                assert st["requests_total"] == 1
+                assert st["tokens_total"] >= 1
+                assert st["slots_total"] == 2
 
     asyncio.run(run())
 
