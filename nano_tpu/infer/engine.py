@@ -23,6 +23,7 @@ TPU-native design:
 
 from __future__ import annotations
 
+import codecs
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -367,6 +368,9 @@ class LLMContext:
                 prompt, enable_thinking=self.enable_thinking)
         return self.encode(apply_instruct_template(prompt))
 
+    def stream_decoder(self) -> "StreamDecoder":
+        return StreamDecoder(self.tokenizer)
+
     def build_chat_ids(self, messages) -> List[int]:
         """OpenAI-style role/content messages -> prompt ids.  Multi-turn
         extension of build_prompt_ids (the reference templates are
@@ -390,6 +394,43 @@ class LLMContext:
                 system = ""
                 text += apply_instruct_template(q)
         return self.encode(text)
+
+
+class StreamDecoder:
+    """Per-token streaming decode that never splits a multi-byte UTF-8
+    character across emissions.
+
+    Byte-level BPE tokens (Qwen) can end mid-character; a naive
+    per-token ``decode([tok])`` emits U+FFFD for each half.  The
+    reference C engine sidesteps this by writing raw bytes to the
+    terminal (infer/main_cli.c) — a JSON/SSE stream can't, so this
+    buffers the incomplete tail bytes until the character completes.
+    Character-native tokenizers (the Nano trie) pass straight through.
+    """
+
+    def __init__(self, tokenizer):
+        self._tok = tokenizer
+        vocab = getattr(tokenizer, "vocab", None)
+        self._byte_vocab = (isinstance(vocab, list) and len(vocab) > 0
+                            and isinstance(vocab[0], bytes))
+        if self._byte_vocab:
+            self._dec = codecs.getincrementaldecoder("utf-8")("replace")
+
+    def feed(self, tok_id: int) -> str:
+        if not self._byte_vocab:
+            return self._tok.decode([int(tok_id)])
+        vocab = self._tok.vocab
+        tid = int(tok_id)
+        if not 0 <= tid < len(vocab):
+            return ""                       # OOV: render as nothing
+        return self._dec.decode(vocab[tid])
+
+    def flush(self) -> str:
+        """Emit any buffered incomplete tail (as U+FFFD) at end of
+        stream."""
+        if not self._byte_vocab:
+            return ""
+        return self._dec.decode(b"", True)
 
 
 # =====================================================================
@@ -563,12 +604,13 @@ def generate_sync(ctx: LLMContext, prompt: str,
     session = Session(ctx, prompt, max_new_tokens, template=template)
     if on_prefilling:
         on_prefilling(session)
+    sdec = ctx.stream_decoder()   # UTF-8-safe across token boundaries
     while session.state != Session.FINISHED:
         tok = session.step()
         if tok is None:
             break
         if on_decoding:
-            if on_decoding(session, tok, ctx.decode([tok])) is False:
+            if on_decoding(session, tok, sdec.feed(tok)) is False:
                 break
     if on_finished:
         on_finished(session)

@@ -244,6 +244,7 @@ class OpenAIServer:
             ids, params["max_new_tokens"], params["temperature"],
             params["top_p"], params["repetition_penalty"])
         scan = _StopScanner(params["stop"])
+        sdec = pool.ctx.stream_decoder()   # UTF-8-safe per-token decode
         alive = True
         try:
             if chat:
@@ -254,7 +255,7 @@ class OpenAIServer:
                                            params["max_new_tokens"]):
                 if not alive or scan.hit:
                     break
-                piece = scan.feed(pool.ctx.decode([tok]))
+                piece = scan.feed(sdec.feed(tok))
                 if piece:
                     alive = await sse(chunk(piece, None))
             reason = ("stop" if scan.hit else
@@ -262,7 +263,7 @@ class OpenAIServer:
         finally:
             await pool.release_stream(engine, slot)
         if alive:
-            tail = "" if scan.hit else scan.flush()
+            tail = "" if scan.hit else scan.feed(sdec.flush()) + scan.flush()
             if tail:
                 alive = await sse(chunk(tail, None))
         if alive:

@@ -319,8 +319,12 @@ class WSServer:
                 closed = True
                 return False
 
+        # incremental decode: multi-byte UTF-8 split across tokens is
+        # held until complete (engine.StreamDecoder)
+        sdec = self.ctx.stream_decoder()
+
         async def send_tok(tok: int):
-            text = self.ctx.decode([tok])
+            text = sdec.feed(tok)
             if json_mode:
                 await send_safe(json.dumps(
                     {"token": int(tok), "text": text}, ensure_ascii=False))
@@ -367,6 +371,11 @@ class WSServer:
                             await send_tok(tok)
                         else:
                             get_task.cancel()
+            tail = sdec.flush()
+            if tail:           # stream ended mid-character: emit U+FFFD
+                await send_safe(json.dumps({"text": tail},
+                                           ensure_ascii=False)
+                                if json_mode else tail)
             reason = ("interrupted" if interrupted else
                       engine.slots[slot].finished_reason or "stop")
             if json_mode:

@@ -239,6 +239,26 @@ def test_build_chat_ids_nano_multiturn(tmp_path):
     assert ctx.build_chat_ids(msgs) == expect
 
 
+def test_stream_decoder_utf8_boundaries():
+    """Byte-level BPE tokens ending mid-character stream without U+FFFD:
+    the incremental decoder holds incomplete tails until they complete
+    (used by both the WS handler and the SSE stream)."""
+    from nano_tpu.infer.engine import StreamDecoder
+
+    raw = "你好".encode()                      # 6 bytes, 2 chars
+    tok = bpe.BpeTokenizer([raw[:2], raw[2:4], raw[4:]], [0.0] * 3)
+    d = StreamDecoder(tok)
+    pieces = [d.feed(i) for i in range(3)] + [d.flush()]
+    assert "".join(pieces) == "你好"
+    assert all("�" not in p for p in pieces)
+    # the naive per-token decode this replaces WOULD mangle it
+    assert "�" in tok.decode([0])
+    # a stream ending mid-character flushes the replacement char
+    d2 = StreamDecoder(tok)
+    assert d2.feed(0) == ""
+    assert d2.flush() == "�"
+
+
 def test_bpe_chat_template_messages_structure():
     """Canonical Qwen block structure for multi-turn messages (the
     single-turn prefix must agree with apply_chat_template, reference
