@@ -147,6 +147,10 @@ class TrainConfig:
                                           # when mesh_shape has "pipe"
                                           # (0 = 2*n_pipe, bubble < 1/3;
                                           # parallel/pipeline.py)
+    adam_mu_dtype: Optional[str] = None   # Adam first-moment dtype (e.g.
+                                          # "bfloat16": halves that buffer
+                                          # so faster remat policies fit
+                                          # the 16 GB chip; None = f32)
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

@@ -23,12 +23,31 @@ VERSION = "nano-tpu-2026.08"
 
 _META_KEY = "__meta__"
 
+# npz can't represent ml_dtypes dtypes (they round-trip as raw void):
+# store them as a same-width uint view with the dtype name suffixed to
+# the key, and view back on load.  Matters for bf16 Adam moments
+# (TrainConfig.adam_mu_dtype) and any bf16-param checkpoints.
+_DTYPE_SEP = "::"
+try:
+    import ml_dtypes
+    _EXT_DTYPES = {"bfloat16": np.dtype(ml_dtypes.bfloat16),
+                   "float8_e4m3fn": np.dtype(ml_dtypes.float8_e4m3fn),
+                   "float8_e5m2": np.dtype(ml_dtypes.float8_e5m2)}
+except ImportError:                                  # pragma: no cover
+    _EXT_DTYPES = {}
+
 
 def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = prefix + "/" + "/".join(_path_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        for name, dt in _EXT_DTYPES.items():
+            if arr.dtype == dt:
+                key += _DTYPE_SEP + name
+                arr = arr.view(np.dtype(f"u{dt.itemsize}"))
+                break
+        flat[key] = arr
     return flat
 
 
@@ -46,9 +65,16 @@ def _unflatten(flat: Dict[str, np.ndarray], prefix: str, like: Any) -> Any:
     leaves = []
     for path, leaf in paths_and_leaves[0]:
         key = prefix + "/" + "/".join(_path_str(p) for p in path)
-        if key not in flat:
+        if key in flat:
+            leaves.append(flat[key])
+            continue
+        for name, dt in _EXT_DTYPES.items():
+            k2 = key + _DTYPE_SEP + name
+            if k2 in flat:
+                leaves.append(flat[k2].view(dt))
+                break
+        else:
             raise KeyError(f"checkpoint missing {key}")
-        leaves.append(flat[key])
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves)
 

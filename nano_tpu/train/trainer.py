@@ -91,6 +91,11 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
             learning_rate=make_lr_schedule(cfg),
             b1=cfg.beta1, b2=cfg.beta2,
             weight_decay=cfg.weight_decay,
+            # bf16 first moment halves that optimizer buffer (the update
+            # math still runs f32; stochastic-rounding-free bf16 mu is
+            # the standard memory lever) — frees HBM for faster remat
+            # policies on the 16 GB chip
+            mu_dtype=cfg.adam_mu_dtype,
             mask=_decay_mask(params)),
     )
 

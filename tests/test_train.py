@@ -152,6 +152,44 @@ def test_resume_from_checkpoint(corpus_shards, tmp_path):
                            np.asarray(t2.params["tok_embeddings"]))
 
 
+def test_bf16_adam_mu_trains_and_resumes(corpus_shards, tmp_path):
+    """adam_mu_dtype=bfloat16 (the optimizer-memory lever for faster
+    remat policies): the first moment is stored bf16, training still
+    converges, and the bf16 moments survive an npz checkpoint round-trip
+    (npz has no native bf16 — checkpoint.py stores a uint16 view)."""
+    d, tok_path, train_p, val_p = corpus_shards
+    base = dict(batch_size=4, gradient_accumulation_steps=1,
+                learning_rate=3e-3, eval_interval=1000, eval_iters=1,
+                log_interval=1, tokenizer_path=tok_path,
+                dataset_path=[[train_p, val_p]], dtype="float32",
+                adam_mu_dtype="bfloat16",
+                save_checkpoint_to=str(tmp_path), random_seed=0)
+    t1 = Trainer(TINY, base, max_steps=20, ckpt_filename="mu.npz")
+    t1.init()
+    t1.load_data()
+    t1.start()
+    assert t1.loss_history[-1][1] < t1.loss_history[0][1]
+    mus = [l for path, l in
+           jax.tree_util.tree_flatten_with_path(t1.opt_state)[0]
+           if any("mu" in str(getattr(p, "key", p)) for p in path)]
+    assert mus and all(m.dtype == jnp.bfloat16 for m in mus)
+
+    t2 = Trainer(TINY, dict(base, from_checkpoint=str(tmp_path / "mu.npz")),
+                 max_steps=22, ckpt_filename="mu2.npz")
+    t2.init()
+    assert t2.step_count == 20
+    mus2 = [l for path, l in
+            jax.tree_util.tree_flatten_with_path(t2.opt_state)[0]
+            if any("mu" in str(getattr(p, "key", p)) for p in path)]
+    assert mus2 and all(m.dtype == jnp.bfloat16 for m in mus2)
+    for a, b in zip(mus, mus2):     # restored bit-exact
+        assert np.array_equal(np.asarray(a).view(np.uint16),
+                              np.asarray(b).view(np.uint16))
+    t2.load_data()
+    t2.start()
+    assert t2.step_count == 22
+
+
 def test_lora_training_only_updates_lora(corpus_shards, tmp_path):
     d, tok_path, train_p, val_p = corpus_shards
     base = dict(batch_size=4, gradient_accumulation_steps=1,

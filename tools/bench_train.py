@@ -7,8 +7,10 @@ corrupted by async dispatch).
 
 Run SOLO from /root/repo on the real TPU:
     python tools/bench_train.py                 # default sweep
-    python tools/bench_train.py full:0 dots:8192 ffn:8192
-(each arg is remat_policy:ce_chunk; "full" means plain remat=True)
+    python tools/bench_train.py full:0 dots:8192 ffn:8192 dots:8192:bf16mu
+(each arg is remat_policy:ce_chunk[:bf16mu]; "full" means plain
+remat=True, the optional third field stores the Adam first moment in
+bf16 — the optimizer-memory lever that can fit the faster policies)
 """
 
 import json
@@ -20,7 +22,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_one(policy: str, ce_chunk: int, n_steps: int = 20) -> dict:
+def run_one(policy: str, ce_chunk: int, bf16mu: bool = False,
+            n_steps: int = 20) -> dict:
     import os
     from nano_tpu.train.trainer import Trainer
 
@@ -29,6 +32,7 @@ def run_one(policy: str, ce_chunk: int, n_steps: int = 20) -> dict:
     tc = json.load(open("config/pretrain.json"))
     n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", n_steps))
     tc.update(remat=True, remat_policy=policy, ce_chunk=ce_chunk,
+              adam_mu_dtype="bfloat16" if bf16mu else None,
               save_checkpoint_to=None, log_interval=10 ** 9,
               batch_size=int(os.environ.get("BENCH_TRAIN_BATCH", 64)))
     t = Trainer(mc, tc, max_steps=n_steps + 2)
@@ -56,25 +60,28 @@ def run_one(policy: str, ce_chunk: int, n_steps: int = 20) -> dict:
             last = float(loss)                        # forces completion
         dt = (time.time() - t0) / n_steps
     except Exception as e:                            # OOM etc.
-        return {"policy": policy, "ce_chunk": ce_chunk,
+        return {"policy": policy, "ce_chunk": ce_chunk, "bf16mu": bf16mu,
                 "error": f"{type(e).__name__}: {str(e)[:160]}"}
     toks = A * B * S / dt
-    return {"policy": policy, "ce_chunk": ce_chunk,
+    return {"policy": policy, "ce_chunk": ce_chunk, "bf16mu": bf16mu,
             "ms_step": round(dt * 1e3, 1), "tok_s": round(toks),
             "loss": round(last, 3)}
 
 
 def main():
     if sys.argv[1:2] == ["--one"]:
-        policy, chunk = sys.argv[2].split(":")
-        print(json.dumps(run_one(policy, int(chunk))), flush=True)
+        parts = sys.argv[2].split(":")
+        print(json.dumps(run_one(parts[0], int(parts[1]),
+                                 bf16mu="bf16mu" in parts[2:])),
+              flush=True)
         return
     # one subprocess per combo: a fresh process per config releases HBM
     # and compile caches between variants (a single process accumulates
     # both and the later combos OOM spuriously)
     import subprocess
     combos = sys.argv[1:] or ["full:0", "full:8192", "ffn:8192",
-                              "heads:8192", "dots:8192", "dots:0"]
+                              "heads:8192", "dots:8192", "dots:0",
+                              "dots:8192:bf16mu", "ffn:8192:bf16mu"]
     for c in combos:
         r = subprocess.run([sys.executable, __file__, "--one", c],
                            capture_output=True, text=True, cwd=".")
