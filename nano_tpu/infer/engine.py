@@ -24,6 +24,7 @@ TPU-native design:
 from __future__ import annotations
 
 import codecs
+import os as _os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -83,10 +84,10 @@ NUCLEUS_WINDOW = 128
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy",
-                                   "exact", "observed"))
+                                   "exact", "observed", "attn_len"))
 def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                 greedy=False, exact=False, observed=False):
+                 greedy=False, exact=False, observed=False, attn_len=None):
     """One decode step: forward 1 token, sample the next, update state.
 
     `greedy` is a static flag so the temperature==0 path compiles to a
@@ -101,7 +102,7 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     observe.start_capture()
     logits, cache = gpt.forward_with_cache(
         params, tok[:, None], cache, pos, cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale)
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     logits = logits[:, 0].astype(jnp.float32)
 
     logits = jnp.where(seen_mask, logits / rep_penalty, logits)
@@ -149,17 +150,21 @@ def _sample_windowed(key, logits, temperature, top_p, top_k, greedy,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
-                                   "greedy", "exact"))
+                                   "greedy", "exact", "attn_len"))
 def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps,
-                 greedy=False, exact=False):
-    """On-device decode of n_steps tokens via lax.scan (no host roundtrips)."""
+                 greedy=False, exact=False, attn_len=None):
+    """On-device decode of n_steps tokens via lax.scan (no host roundtrips).
+
+    `attn_len` (static) bounds the attended cache prefix for the whole
+    scan — the caller guarantees pos + n_steps <= attn_len (cache-length
+    bucketing, generate_on_device)."""
     def body(carry, _):
         tok, pos, cache, seen_mask, key = carry
         next_tok, cache, seen_mask, key, _, _ = _decode_step(
             params, lora, lora_scale, tok, pos, cache, seen_mask, key,
             temperature, top_p, rep_penalty, cfg, dtype, top_k, greedy,
-            exact)
+            exact, attn_len=attn_len)
         return (next_tok, pos + 1, cache, seen_mask, key), next_tok
 
     (tok, pos, cache, seen_mask, key), toks = jax.lax.scan(
@@ -638,7 +643,19 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     pad_len = min(_bucket(n), ctx.max_seq_len)
     ids = np.zeros((1, pad_len), np.int32)
     ids[0, :n] = prompt_ids
-    cache = ctx.new_cache(1)
+    # cache-length bucketing: the total needed length (prompt + output
+    # [+ speculative overdraft]) is known up front — right-size the cache
+    # to its pow2 bucket instead of max_seq_len, so decode attention
+    # never reads rows the generation cannot reach (attention is the
+    # cache-length-proportional part of the step, PERF.md decode
+    # decomposition).  NANO_TPU_DECODE_BUCKET=0 restores the full cache.
+    bucketed = _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0"
+    need = n + n_tokens
+    if ctx.spec_k > 0:
+        need += ctx.spec_k + 2    # verify probes past the last position
+    cache_len = min(_bucket(need), ctx.max_seq_len) if bucketed \
+        else ctx.max_seq_len
+    cache = ctx.new_cache(1, seq_len=cache_len)
     logits, cache, _ = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
                                 jnp.asarray(ids), cache, cfg, ctx.dtype)
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
@@ -674,13 +691,34 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         speculative.LAST_STATS = {"tokens": int(n_em),
                                   "rounds": int(rounds)}
         return np.concatenate([np.asarray(tok), np.asarray(out)])
-    toks, *_ = _decode_scan(
-        ctx.params, ctx.lora, ctx.lora_scale, tok, jnp.int32(n), cache, seen,
-        key, jnp.float32(s.temperature),
-        jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
-        cfg, ctx.dtype, s.top_k, n_tokens - 1, s.temperature <= 0.0,
-        _exact_multinomial(s))
-    return np.concatenate([np.asarray(tok), np.asarray(toks)[:, 0]])
+    # segmented decode: each segment attends only the pow2 cache prefix
+    # covering its positions (attn_len static per compiled scan).  Tiny
+    # segments are merged into the next bucket — each extra segment is
+    # one more dispatched program (~fixed tunnel cost), so a short tail
+    # is not worth its own launch.
+    segs = []           # (attn_len or None, n_steps)
+    p, rem = n, n_tokens - 1
+    while rem > 0:
+        attn_b = min(_bucket(p + 1), cache_len)
+        while attn_b < cache_len and attn_b - p < min(rem, 64):
+            attn_b *= 2
+        take = min(rem, attn_b - p)
+        segs.append((attn_b if attn_b < cache_len else None, take))
+        p += take
+        rem -= take
+    pieces = [tok[:, None]]
+    pos = jnp.int32(n)
+    for attn_b, take in segs:
+        toks, cache, seen, key = _decode_scan(
+            ctx.params, ctx.lora, ctx.lora_scale, tok, pos, cache, seen,
+            key, jnp.float32(s.temperature),
+            jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
+            cfg, ctx.dtype, s.top_k, take, s.temperature <= 0.0,
+            _exact_multinomial(s), attn_len=attn_b)
+        pieces.append(toks.T)           # (n_steps, B) -> (B, n_steps)
+        tok = toks[-1]
+        pos = pos + take
+    return np.asarray(jnp.concatenate(pieces, axis=1))[0]
 
 
 # =====================================================================

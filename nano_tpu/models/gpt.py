@@ -674,15 +674,20 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
                        start_pos: jnp.ndarray, cfg: ModelConfig,
                        dtype=jnp.bfloat16,
                        lora: Optional[Params] = None, lora_scale: float = 0.0,
+                       attn_len: Optional[int] = None,
                        ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward S new tokens at absolute position start_pos using the cache.
 
     idx: (B, S) — S is static (prefill chunk or 1 for decode).
     Returns logits (B, S, V) and the updated cache.  Positions >=
     start_pos+S are masked out, so stale cache contents are harmless.
+    `attn_len` (static) attends only the first attn_len cache rows —
+    cache-length bucketing for the single-stream decode scan; the caller
+    guarantees start_pos + S <= attn_len.
     """
     B, S = idx.shape
     T = cache.max_seq
+    Ta = attn_len if attn_len is not None else T
     h = embed_tokens(params, idx, dtype)
 
     if cfg.use_rope:
@@ -696,13 +701,13 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
 
     # mask over the static cache: query i (absolute pos start_pos+i) may see
     # cache keys j <= start_pos+i (causal) or j < start_pos+S (global).
-    j = jnp.arange(T)[None, :]
+    j = jnp.arange(Ta)[None, :]
     if cfg.is_causal:
         qpos = start_pos + jnp.arange(S)[:, None]
         mask = jnp.where(j <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
     else:
         mask = jnp.where(j < start_pos + S, 0.0, -jnp.inf).astype(jnp.float32)
-        mask = jnp.broadcast_to(mask, (S, T))
+        mask = jnp.broadcast_to(mask, (S, Ta))
 
     observe.tap(Phase.EMBEDDING, -1, h)
 
@@ -711,7 +716,7 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
         out, new_kv = block(carry, layer, cfg, cos, sin, mask, dtype,
                             lora_layer, lora_scale,
                             kv_cache=kvc, start_pos=start_pos,
-                            layer_idx=li)
+                            layer_idx=li, attn_len=attn_len)
         return out, (new_kv, observe.collect_rows())
 
     # NOTE: scan over layers measured FASTER than unrolling (1090 vs

@@ -68,6 +68,54 @@ def test_generate_on_device_matches_session():
     assert dev == want
 
 
+def test_decode_bucketing_matches_full_cache(monkeypatch):
+    """Cache-length-bucketed decode (right-sized cache + segmented scan
+    with attn_len) is token-identical to the full-cache single scan —
+    the masked rows it stops reading are exact zeros in the softmax.
+    Crosses a segment boundary (prompt 5 + 200 tokens on max_seq 512:
+    segments at attn 128 then the 256-row cache)."""
+    ctx = make_ctx(seed=5, max_seq=512)
+    ids = ctx.encode("abcde")
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "0")
+    full = engine.generate_on_device(ctx, ids, 200).tolist()
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "1")
+    bucketed = engine.generate_on_device(ctx, ids, 200).tolist()
+    assert bucketed == full
+
+    # sampled path: identical key threading across segments
+    import dataclasses
+    sctx = dataclasses.replace(ctx, sampler=sampling.SamplerConfig(
+        temperature=0.9, top_p=0.8, repetition_penalty=1.1))
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "0")
+    full_s = engine.generate_on_device(sctx, ids, 150).tolist()
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "1")
+    buck_s = engine.generate_on_device(sctx, ids, 150).tolist()
+    assert buck_s == full_s
+
+
+def test_decode_bucketing_int8_kv(tmp_path, monkeypatch):
+    """Bucketing slices the int8 KV scale tensors consistently too."""
+    from nano_tpu.io import binfmt
+    cfg = ModelConfig(block_size=512, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = gpt.init_params(jax.random.PRNGKey(2), cfg)
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(52)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, jax.tree.map(np.asarray, params), cfg,
+                       tok.config, quant="f32")
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    i8 = engine.LLMContext.from_bin(path, max_seq_len=512,
+                                    dtype=jnp.float32, sampler=samp,
+                                    kv_cache_dtype=jnp.int8)
+    ids = i8.encode("abcdef")
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "0")
+    full = engine.generate_on_device(i8, ids, 180).tolist()
+    monkeypatch.setenv("NANO_TPU_DECODE_BUCKET", "1")
+    bucketed = engine.generate_on_device(i8, ids, 180).tolist()
+    assert bucketed == full
+
+
 def test_generate_sync_callbacks_and_text():
     ctx = make_ctx(seed=1)
     events = []
