@@ -101,18 +101,32 @@ def _q4t_packed(rng, shape_out, inn, stack=None):
 # ---------------------------------------------------------------------
 
 def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
+    """Single-stream decode on the engine's REAL path semantics:
+    right-sized cache + segmented attn_len scan (what
+    generate_on_device dispatches since the cache-length-bucketing
+    change — the cache covers start+n_steps, not block_size, and each
+    segment attends only its pow2 prefix)."""
     s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
-    cache = gpt.KVCache.create(cfg, 1, cfg.block_size, kv_dtype)
+    start = 4
+    cache_len = min(engine._bucket(start + n_steps + 1), cfg.block_size)
+    cache = gpt.KVCache.create(cfg, 1, cache_len, kv_dtype)
+    segs = engine._decode_segments(start, n_steps, cache_len)
     seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
     key = jax.random.PRNGKey(0)
     tok = jnp.zeros((1,), jnp.int32)
 
     def run(tok, cache, seen, key):
-        return engine._decode_scan(
-            params, None, 0.0, tok, jnp.int32(4), cache, seen, key,
-            jnp.float32(s.temperature), jnp.float32(s.top_p),
-            jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
-            s.top_k, n_steps, True)
+        pos, outs = start, []
+        for attn_b, take in segs:
+            toks, cache, seen, key = engine._decode_scan(
+                params, None, 0.0, tok, jnp.int32(pos), cache, seen, key,
+                jnp.float32(s.temperature), jnp.float32(s.top_p),
+                jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
+                s.top_k, take, True, attn_len=attn_b)
+            tok = toks[-1]
+            outs.append(toks)
+            pos += take
+        return jnp.concatenate(outs, 0), cache, seen, key
 
     toks, cache, seen, key = run(tok, cache, seen, key)
     np.asarray(toks)                      # compile + warm

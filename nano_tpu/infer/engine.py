@@ -172,6 +172,25 @@ def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     return toks, cache, seen_mask, key
 
 
+def _decode_segments(p: int, rem: int, cache_len: int,
+                     min_seg: int = 64) -> List[Tuple[Optional[int], int]]:
+    """Split a decode of `rem` steps starting at position `p` into
+    (attn_len, n_steps) segments along pow2 cache buckets.  Tiny
+    segments merge into the next bucket — each segment is one dispatched
+    program (~fixed tunnel cost), so a short tail is not worth its own
+    launch.  attn_len None = the full (already right-sized) cache."""
+    segs: List[Tuple[Optional[int], int]] = []
+    while rem > 0:
+        attn_b = min(_bucket(p + 1), cache_len)
+        while attn_b < cache_len and attn_b - p < min(rem, min_seg):
+            attn_b *= 2
+        take = min(rem, attn_b - p)
+        segs.append((attn_b if attn_b < cache_len else None, take))
+        p += take
+        rem -= take
+    return segs
+
+
 def _exact_multinomial(sampler) -> bool:
     """True when sampling is plain multinomial (reference model.py:527-529
     / C top_p disabled, infer/infer.c:1183-1188): no top-k requested and
@@ -692,20 +711,8 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
                                   "rounds": int(rounds)}
         return np.concatenate([np.asarray(tok), np.asarray(out)])
     # segmented decode: each segment attends only the pow2 cache prefix
-    # covering its positions (attn_len static per compiled scan).  Tiny
-    # segments are merged into the next bucket — each extra segment is
-    # one more dispatched program (~fixed tunnel cost), so a short tail
-    # is not worth its own launch.
-    segs = []           # (attn_len or None, n_steps)
-    p, rem = n, n_tokens - 1
-    while rem > 0:
-        attn_b = min(_bucket(p + 1), cache_len)
-        while attn_b < cache_len and attn_b - p < min(rem, 64):
-            attn_b *= 2
-        take = min(rem, attn_b - p)
-        segs.append((attn_b if attn_b < cache_len else None, take))
-        p += take
-        rem -= take
+    # covering its positions (attn_len static per compiled scan).
+    segs = _decode_segments(n, n_tokens - 1, cache_len)
     pieces = [tok[:, None]]
     pos = jnp.int32(n)
     for attn_b, take in segs:
