@@ -582,6 +582,16 @@ class Session:
             else:
                 s = ctx.sampler
                 observe.set_observer(ctx.observation)
+                # per-step cache-length bucketing: attend only the pow2
+                # prefix covering this position; value-identical — rows
+                # past pos are masked zeros either way.  Bucket floor 256
+                # keeps the compiled-variant count (and interactive
+                # compile pauses) small: 256/512/... per sampler combo.
+                if _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0":
+                    attn_b = min(_bucket(self.pos + 1, minimum=256),
+                                 ctx.max_seq_len)
+                else:
+                    attn_b = ctx.max_seq_len
                 next_tok, self._cache, self._seen, self._key, _, obs_rows = \
                     _decode_step(
                         ctx.params, ctx.lora, ctx.lora_scale,
@@ -591,7 +601,9 @@ class Session:
                         jnp.float32(s.repetition_penalty), ctx.cfg,
                         ctx.dtype, s.top_k, s.temperature <= 0.0,
                         exact=_exact_multinomial(s),
-                        observed=observe.trace_token())
+                        observed=observe.trace_token(),
+                        attn_len=(attn_b if attn_b < ctx.max_seq_len
+                                  else None))
                 if observe.fallback_active():
                     observe.deliver(np.asarray(obs_rows))
                 self._cur_tok = next_tok

@@ -93,6 +93,31 @@ def test_decode_bucketing_matches_full_cache(monkeypatch):
     assert buck_s == full_s
 
 
+def test_session_bucketing_crosses_256(monkeypatch):
+    """Session's per-step attn_len (bucket floor 256) crosses into the
+    512 bucket and stays token-identical to the on-device path (itself
+    pinned against the full cache above)."""
+    ctx = make_ctx(seed=7, max_seq=1024)
+    prompt = "abcdefgh"
+    ids = ctx.encode(prompt)
+    want = engine.generate_on_device(ctx, ids, 300).tolist()
+
+    session = engine.Session(ctx, prompt, max_new_tokens=300)
+    got = []
+    while True:
+        t = session.step()
+        if t is None:
+            break
+        got.append(t)
+    assert session.pos > 256          # the 512 bucket was exercised
+    stop_at = len(got)
+    for i, t in enumerate(want):
+        if t in engine.NANO_STOP_TOKENS:
+            stop_at = i
+            break
+    assert got == want[:stop_at]
+
+
 def test_decode_bucketing_int8_kv(tmp_path, monkeypatch):
     """Bucketing slices the int8 KV scale tensors consistently too."""
     from nano_tpu.io import binfmt
