@@ -566,13 +566,19 @@ class Session:
             if self._spec and self.pos + ctx.spec_k + 2 <= ctx.max_seq_len:
                 # one verify round refills _pending with >= 1 tokens
                 from nano_tpu.infer import speculative
+                if _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0":
+                    ab = min(_bucket(self.pos + ctx.spec_k + 2,
+                                     minimum=256), ctx.max_seq_len)
+                    ab = ab if ab < ctx.max_seq_len else None
+                else:
+                    ab = None
                 g, n_out, self._cache, self._hist, seen = \
                     speculative.verify_step(
                         ctx.params, ctx.lora, ctx.lora_scale,
                         self._cur_tok[0], jnp.int32(self.pos), self._cache,
                         self._hist, self._seen[0],
                         jnp.float32(ctx.sampler.repetition_penalty),
-                        ctx.cfg, ctx.dtype, ctx.spec_k)
+                        ctx.cfg, ctx.dtype, ctx.spec_k, attn_len=ab)
                 self._seen = seen[None]
                 n_out = int(n_out)
                 self._pending = np.asarray(g)[:n_out].tolist()

@@ -108,7 +108,7 @@ def prefix_masks(draft: jnp.ndarray, seen: jnp.ndarray) -> jnp.ndarray:
 
 
 def _verify_round(params, lora, lora_scale, tok, pos, cache, hist, seen,
-                  rep_penalty, cfg, dtype, k):
+                  rep_penalty, cfg, dtype, k, attn_len=None):
     """One speculation round: draft k, verify k+1 in one forward.
 
     tok: () int32 current token (input at position pos).  Returns
@@ -123,7 +123,7 @@ def _verify_round(params, lora, lora_scale, tok, pos, cache, hist, seen,
     ids = jnp.concatenate([tok[None], draft])[None, :]          # (1, k+1)
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, pos, cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale)
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     lf = logits[0].astype(jnp.float32)                          # (k+1, V)
     masks = prefix_masks(draft, seen)
     lf = jnp.where(masks, lf / rep_penalty, lf)   # same op as plain decode
@@ -140,12 +140,14 @@ def _verify_round(params, lora, lora_scale, tok, pos, cache, hist, seen,
     return g, n_out, cache, hist, seen | emitted
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "k"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "k", "attn_len"))
 def verify_step(params, lora, lora_scale, tok, pos, cache, hist, seen,
-                rep_penalty, cfg, dtype, k):
-    """Jitted single round for the host-driven Session path."""
+                rep_penalty, cfg, dtype, k, attn_len=None):
+    """Jitted single round for the host-driven Session path.
+    `attn_len` (static) = cache-length bucketing; the caller guarantees
+    pos + k + 1 < attn_len."""
     return _verify_round(params, lora, lora_scale, tok, pos, cache, hist,
-                         seen, rep_penalty, cfg, dtype, k)
+                         seen, rep_penalty, cfg, dtype, k, attn_len)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "n_tokens", "k"))

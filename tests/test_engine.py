@@ -118,6 +118,32 @@ def test_session_bucketing_crosses_256(monkeypatch):
     assert got == want[:stop_at]
 
 
+def test_spec_session_bucketing_crosses_256():
+    """Speculative Session rounds use a bucketed attn_len too; output
+    stays token-identical to plain greedy across the 256->512 boundary
+    (spec emits exactly the greedy stream by construction)."""
+    import dataclasses
+    ctx = make_ctx(seed=7, max_seq=1024)
+    prompt = "abcdefgh"
+    want = engine.generate_on_device(ctx, ctx.encode(prompt), 300).tolist()
+
+    sctx = dataclasses.replace(ctx, spec_k=5)
+    session = engine.Session(sctx, prompt, max_new_tokens=300)
+    got = []
+    while True:
+        t = session.step()
+        if t is None:
+            break
+        got.append(t)
+    assert session.pos > 256
+    stop_at = len(got)
+    for i, t in enumerate(want):
+        if t in engine.NANO_STOP_TOKENS:
+            stop_at = i
+            break
+    assert got == want[:stop_at]
+
+
 def test_decode_bucketing_int8_kv(tmp_path, monkeypatch):
     """Bucketing slices the int8 KV scale tensors consistently too."""
     from nano_tpu.io import binfmt
