@@ -57,21 +57,24 @@ def _bucket(n: int, minimum: int = 16) -> int:
 # jitted step programs
 # =====================================================================
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "observed"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "observed", "attn_len"))
 def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype,
-             observed=False):
+             observed=False, attn_len=None):
     """Run the whole (padded) prompt through the model, fill the cache.
 
     `observed` is a cache-busting static flag: attaching an observer
     (nano_tpu.observe) re-traces so the phase taps appear in the program.
     The third output carries observation-summary rows on backends without
     host-callback support (observe.deliver) — empty otherwise.
+    `attn_len` (static): prompt queries never attend past the padded
+    prompt itself, so attending only ids.shape[1] rows of a longer cache
+    is value-identical (causal; global attention masks at start+S too).
     """
     del observed
     observe.start_capture()
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, jnp.int32(0), cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale)
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     return logits, cache, observe.end_capture()
 
 
@@ -521,7 +524,8 @@ class Session:
         logits, self._cache, obs_rows = _prefill(
             ctx.params, ctx.lora, ctx.lora_scale,
             jnp.asarray(ids), self._cache, cfg, ctx.dtype,
-            observed=observe.trace_token())
+            observed=observe.trace_token(),
+            attn_len=pad_len if pad_len < ctx.max_seq_len else None)
         if observe.fallback_active():
             observe.deliver(np.asarray(obs_rows))
         # seen mask over prompt tokens (repetition penalty scope:
@@ -694,7 +698,9 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
         else ctx.max_seq_len
     cache = ctx.new_cache(1, seq_len=cache_len)
     logits, cache, _ = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
-                                jnp.asarray(ids), cache, cfg, ctx.dtype)
+                                jnp.asarray(ids), cache, cfg, ctx.dtype,
+                                attn_len=(pad_len if pad_len < cache_len
+                                          else None))
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
                                        cfg.vocab_size)
     s = ctx.sampler
