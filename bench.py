@@ -108,7 +108,8 @@ def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
     segment attends only its pow2 prefix)."""
     s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
     start = 4
-    cache_len = min(engine._bucket(start + n_steps + 1), cfg.block_size)
+    # mirror engine.generate_on_device exactly: need = n + n_tokens
+    cache_len = min(engine._bucket(start + n_steps), cfg.block_size)
     cache = gpt.KVCache.create(cfg, 1, cache_len, kv_dtype)
     segs = engine._decode_segments(start, n_steps, cache_len)
     seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)

@@ -175,6 +175,23 @@ def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     return toks, cache, seen_mask, key
 
 
+def _bucketing_enabled() -> bool:
+    """Decode cache-length bucketing gate (NANO_TPU_DECODE_BUCKET=0
+    restores full-cache attention for A/B; read per call so tests can
+    flip it)."""
+    return _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0"
+
+
+def _attn_bucket(cover: int, cap: int, minimum: int = 16) -> Optional[int]:
+    """Static attn_len for a dispatch that must attend `cover` rows of a
+    `cap`-row cache: the covering pow2 bucket, or None when that is the
+    whole cache or bucketing is disabled."""
+    if not _bucketing_enabled():
+        return None
+    b = min(_bucket(cover, minimum=minimum), cap)
+    return b if b < cap else None
+
+
 def _decode_segments(p: int, rem: int, cache_len: int,
                      min_seg: int = 64) -> List[Tuple[Optional[int], int]]:
     """Split a decode of `rem` steps starting at position `p` into
@@ -525,7 +542,8 @@ class Session:
             ctx.params, ctx.lora, ctx.lora_scale,
             jnp.asarray(ids), self._cache, cfg, ctx.dtype,
             observed=observe.trace_token(),
-            attn_len=pad_len if pad_len < ctx.max_seq_len else None)
+            attn_len=(pad_len if _bucketing_enabled()
+                      and pad_len < ctx.max_seq_len else None))
         if observe.fallback_active():
             observe.deliver(np.asarray(obs_rows))
         # seen mask over prompt tokens (repetition penalty scope:
@@ -570,12 +588,8 @@ class Session:
             if self._spec and self.pos + ctx.spec_k + 2 <= ctx.max_seq_len:
                 # one verify round refills _pending with >= 1 tokens
                 from nano_tpu.infer import speculative
-                if _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0":
-                    ab = min(_bucket(self.pos + ctx.spec_k + 2,
-                                     minimum=256), ctx.max_seq_len)
-                    ab = ab if ab < ctx.max_seq_len else None
-                else:
-                    ab = None
+                ab = _attn_bucket(self.pos + ctx.spec_k + 2,
+                                  ctx.max_seq_len, minimum=256)
                 g, n_out, self._cache, self._hist, seen = \
                     speculative.verify_step(
                         ctx.params, ctx.lora, ctx.lora_scale,
@@ -597,11 +611,8 @@ class Session:
                 # past pos are masked zeros either way.  Bucket floor 256
                 # keeps the compiled-variant count (and interactive
                 # compile pauses) small: 256/512/... per sampler combo.
-                if _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0":
-                    attn_b = min(_bucket(self.pos + 1, minimum=256),
-                                 ctx.max_seq_len)
-                else:
-                    attn_b = ctx.max_seq_len
+                attn_b = _attn_bucket(self.pos + 1, ctx.max_seq_len,
+                                      minimum=256)
                 next_tok, self._cache, self._seen, self._key, _, obs_rows = \
                     _decode_step(
                         ctx.params, ctx.lora, ctx.lora_scale,
@@ -612,8 +623,7 @@ class Session:
                         ctx.dtype, s.top_k, s.temperature <= 0.0,
                         exact=_exact_multinomial(s),
                         observed=observe.trace_token(),
-                        attn_len=(attn_b if attn_b < ctx.max_seq_len
-                                  else None))
+                        attn_len=attn_b)
                 if observe.fallback_active():
                     observe.deliver(np.asarray(obs_rows))
                 self._cur_tok = next_tok
@@ -690,20 +700,25 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     # never reads rows the generation cannot reach (attention is the
     # cache-length-proportional part of the step, PERF.md decode
     # decomposition).  NANO_TPU_DECODE_BUCKET=0 restores the full cache.
-    bucketed = _os.environ.get("NANO_TPU_DECODE_BUCKET", "1") != "0"
+    bucketed = _bucketing_enabled()
+    s = ctx.sampler
+    # same eligibility as the spec branch below — an ineligible spec_k
+    # (e.g. sampling enabled) must not inflate the cache bucket
+    spec_eligible = (ctx.spec_k > 0 and s.temperature <= 0.0
+                     and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len)
     need = n + n_tokens
-    if ctx.spec_k > 0:
+    if spec_eligible:
         need += ctx.spec_k + 2    # verify probes past the last position
     cache_len = min(_bucket(need), ctx.max_seq_len) if bucketed \
         else ctx.max_seq_len
     cache = ctx.new_cache(1, seq_len=cache_len)
     logits, cache, _ = _prefill(ctx.params, ctx.lora, ctx.lora_scale,
                                 jnp.asarray(ids), cache, cfg, ctx.dtype,
-                                attn_len=(pad_len if pad_len < cache_len
+                                attn_len=(pad_len if bucketed
+                                          and pad_len < cache_len
                                           else None))
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
                                        cfg.vocab_size)
-    s = ctx.sampler
     last = logits[:, n - 1].astype(jnp.float32)
     last = jnp.where(seen, last / s.repetition_penalty, last)
     # first token through the SAME sampler as Session._do_prefill (was:
@@ -718,8 +733,7 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
     # matching Session._do_prefill and the C engine
     # (infer/infer.c:1158-1160)
     seen = seen.at[jnp.arange(1), tok].set(True)
-    if (ctx.spec_k > 0 and s.temperature <= 0.0
-            and n + n_tokens + ctx.spec_k + 2 <= ctx.max_seq_len):
+    if spec_eligible:
         # speculative greedy decode: identical token stream, >= 1 tokens
         # per verify round (infer/speculative.py)
         from nano_tpu.infer import speculative
@@ -735,8 +749,11 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
                                   "rounds": int(rounds)}
         return np.concatenate([np.asarray(tok), np.asarray(out)])
     # segmented decode: each segment attends only the pow2 cache prefix
-    # covering its positions (attn_len static per compiled scan).
-    segs = _decode_segments(n, n_tokens - 1, cache_len)
+    # covering its positions (attn_len static per compiled scan); with
+    # bucketing disabled, one full-cache scan (the pre-bucketing path,
+    # for A/B)
+    segs = (_decode_segments(n, n_tokens - 1, cache_len) if bucketed
+            else ([(None, n_tokens - 1)] if n_tokens > 1 else []))
     pieces = [tok[:, None]]
     pos = jnp.int32(n)
     for attn_b, take in segs:

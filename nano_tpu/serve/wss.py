@@ -124,7 +124,13 @@ class WSServer:
                     q.put_nowait(None)   # stream ended: terminator
             if n_burst:
                 self._tok_total += n_burst
-                self._tok_window.append((time.time(), n_burst))
+                now = time.time()
+                self._tok_window.append((now, n_burst))
+                # prune here, not just in stats(): a server whose
+                # operator never polls must not grow the window forever
+                cutoff = now - 60.0
+                while self._tok_window and self._tok_window[0][0] < cutoff:
+                    self._tok_window.popleft()
 
     def _ensure_stepper(self):
         for ei in range(len(self.engines)):
@@ -328,7 +334,10 @@ class WSServer:
             if json_mode:
                 await send_safe(json.dumps(
                     {"token": int(tok), "text": text}, ensure_ascii=False))
-            else:
+            elif text:
+                # raw protocol: an EMPTY frame is the end-of-reply
+                # terminator (below) — a buffering StreamDecoder step
+                # must not emit one mid-stream
                 await send_safe(text)
 
         interrupted = False

@@ -305,6 +305,59 @@ def test_gguf_gateway_backend(tmp_path, monkeypatch):
     assert asyncio.run(run(False)) == "he..."
 
 
+def test_wss_reference_proto_survives_buffering_decoder(tmp_path,
+                                                        monkeypatch):
+    """A StreamDecoder step that buffers (feed() returns "") must not
+    emit the raw protocol's empty end-of-reply frame mid-stream —
+    byte-level BPE tokens can split UTF-8 chars, making "" a normal
+    mid-stream result (regression: clients saw truncated replies)."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+    expect = ctx.decode(solo_greedy(ctx, "abcdef", 8))
+
+    class HoldOne:
+        """Emits each token's text one feed LATE (first feed -> "")."""
+
+        def __init__(self, tokzr):
+            self.t, self.prev = tokzr, None
+
+        def feed(self, tid):
+            out = "" if self.prev is None else self.t.decode([self.prev])
+            self.prev = int(tid)
+            return out
+
+        def flush(self):
+            out = "" if self.prev is None else self.t.decode([self.prev])
+            self.prev = None
+            return out
+
+    monkeypatch.setattr(type(ctx), "stream_decoder",
+                        lambda self: HoldOne(self.tokenizer))
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False)
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(f"{6:05d}abcdef")
+                chunks = []
+                while True:
+                    m = await asyncio.wait_for(c.recv(), 60)
+                    if m == "":
+                        break
+                    chunks.append(m)
+                return "".join(chunks)
+
+    got = asyncio.run(run())
+    # no in-band max_new_tokens on this protocol — the reply may be
+    # longer; the point is that NOTHING was truncated by the buffering
+    # decoder's "" feeds (pre-fix: 0 chunks arrived)
+    n = min(len(got), len(expect))
+    assert n >= 6 and got[:n] == expect[:n]
+
+
 def test_gateway_model_hot_swap(monkeypatch):
     """SwitchableGateway matches the reference Mio's change_llm semantics
     (reference: infer/web/server.py:224-256): list/query the registry,

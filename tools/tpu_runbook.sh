@@ -25,7 +25,7 @@ timeout 1800 python tools/bench_q4k_e2e.py bf16 > $R/bf16.log 2>&1
 tail -1 $R/bf16.log
 
 stage "2 train sweep (168M batch 64)"
-timeout 7200 python tools/bench_train.py full:0 full:8192 ffn:8192 heads:8192 dots:8192 dots:0 dots:8192:bf16mu ffn:8192:bf16mu > $R/train_sweep.log 2>&1
+timeout 10800 python tools/bench_train.py full:0 full:8192 ffn:8192 heads:8192 dots:8192 dots:0 dots:8192:bf16mu ffn:8192:bf16mu > $R/train_sweep.log 2>&1
 cat $R/train_sweep.log
 
 stage "3 56M pretrain (2500 steps)"
