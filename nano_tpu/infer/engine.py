@@ -395,6 +395,15 @@ class LLMContext:
         self.lora = None
         self.lora_scale = 0.0
 
+    def clone_with_lora(self, path: str) -> "LLMContext":
+        """A variant context sharing the base weights (same arrays — no
+        copy) with its own LoRA adapter: the multi-adapter serving unit
+        (serve/wss.py --lora name=path)."""
+        import dataclasses as _dc
+        variant = _dc.replace(self)
+        variant.load_lora(path)
+        return variant
+
     def encode(self, text: str) -> List[int]:
         return self.tokenizer.encode(text)
 

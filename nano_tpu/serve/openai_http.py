@@ -118,9 +118,13 @@ class OpenAIServer:
 
     async def handle_models(self, request):
         from aiohttp import web
+        names = list(dict.fromkeys(
+            getattr(self.pool, "engine_names", None)
+            or [self.pool.model_name]))
         return web.json_response({"object": "list", "data": [
-            {"id": self.pool.model_name, "object": "model",
-             "created": int(time.time()), "owned_by": "nano_tpu"}]})
+            {"id": n, "object": "model",
+             "created": int(time.time()), "owned_by": "nano_tpu"}
+            for n in names]})
 
     async def handle_chat(self, request):
         try:
@@ -160,6 +164,12 @@ class OpenAIServer:
     # ---------------- shared generation ----------------
     async def _respond(self, request, req: dict, ids: List[int], chat: bool):
         params = _parse_params(req, self.pool.ctx.sampler)
+        # route by "model" when it names a served LoRA variant
+        # (wss --lora name=path); any other value falls through to the
+        # base model — OpenAI clients often send arbitrary model ids
+        want = req.get("model")
+        params["model"] = want if want in getattr(
+            self.pool, "engine_names", []) else None
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
         meta = {"id": rid, "created": int(time.time()),
                 "model": req.get("model") or self.pool.model_name,
@@ -188,7 +198,8 @@ class OpenAIServer:
         pool = self.pool
         engine, slot, first, q = await pool.acquire_stream(
             ids, params["max_new_tokens"], params["temperature"],
-            params["top_p"], params["repetition_penalty"])
+            params["top_p"], params["repetition_penalty"],
+            model=params.get("model"))
         toks: List[int] = []
         try:
             async for tok in self._collect(first, q,
@@ -242,7 +253,8 @@ class OpenAIServer:
 
         engine, slot, first, q = await pool.acquire_stream(
             ids, params["max_new_tokens"], params["temperature"],
-            params["top_p"], params["repetition_penalty"])
+            params["top_p"], params["repetition_penalty"],
+            model=params.get("model"))
         scan = _StopScanner(params["stop"])
         sdec = pool.ctx.stream_decoder()   # UTF-8-safe per-token decode
         alive = True

@@ -47,9 +47,10 @@ class WSServer:
 
     def __init__(self, ctx, n_slots: int = 8, template: bool = True,
                  burst: int = 1, replicas: int = 1,
-                 model_name: str = "default"):
+                 model_name: str = "default",
+                 adapters: Optional[dict] = None):
         self.ctx = ctx
-        self.model_name = model_name   # registry-verb identity (one model)
+        self.model_name = model_name   # the base variant's name
         if replicas > 1:
             import jax
             devices = jax.devices()
@@ -59,6 +60,17 @@ class WSServer:
             ctxs = [ctx.replicate_to(devices[i]) for i in range(replicas)]
         else:
             ctxs = [ctx]
+        names = [model_name] * len(ctxs)
+        # multi-adapter serving: each named LoRA gets its own engine
+        # (slot pool + cache arena) SHARING the base weight arrays —
+        # requests route by "model"/switch_model; beyond-parity (the
+        # reference swaps one adapter per process, infer/main_wasm.c)
+        for name, lora_path in (adapters or {}).items():
+            if name in names:
+                raise ValueError(f"duplicate model/adapter name: {name!r}")
+            ctxs.append(ctxs[0].clone_with_lora(lora_path))
+            names.append(name)
+        self.engine_names = names
         self.engines = [BatchedEngine(c, n_slots=n_slots) for c in ctxs]
         self.engine = self.engines[0]      # single-replica compat alias
         self.template = template
@@ -138,11 +150,13 @@ class WSServer:
                 self._steppers[ei] = asyncio.create_task(
                     self._step_loop(ei))
 
-    def _pick_engine(self):
-        """Least-loaded replica with a free slot, or None."""
+    def _pick_engine(self, model: Optional[str] = None):
+        """Least-loaded engine of the requested variant (default: the
+        base model) with a free slot, or None."""
+        want = model or self.model_name
         best, best_load = None, None
         for ei, e in enumerate(self.engines):
-            if e.free_slot() is None:
+            if self.engine_names[ei] != want or e.free_slot() is None:
                 continue
             load = e.n_active
             if best is None or load < best_load:
@@ -152,7 +166,8 @@ class WSServer:
     # ------------------------------------------------------------
     async def acquire_stream(self, ids, max_new_tokens: int,
                              temperature: float, top_p: float,
-                             repetition_penalty: float):
+                             repetition_penalty: float,
+                             model: Optional[str] = None):
         """Join the least-loaded replica (waiting for a free slot if
         none) and return (engine, slot, first_token, token_queue).  The
         queue is registered inside add() under the engine lock, so no
@@ -160,11 +175,13 @@ class WSServer:
         yields ints then a None terminator.  Callers MUST pair with
         release_stream().  Transport-agnostic: used by the WebSocket
         handler below and the OpenAI HTTP frontend (serve/openai_http)."""
+        if model is not None and model not in self.engine_names:
+            raise ValueError(f"unknown model: {model!r}")
         self._ensure_stepper()
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
         while True:
-            ei = self._pick_engine()
+            ei = self._pick_engine(model)
             if ei is not None:
                 engine = self.engines[ei]
                 res = await loop.run_in_executor(
@@ -180,7 +197,7 @@ class WSServer:
                         self._tok_window.append((time.time(), 1))
                     return engine, slot, first, q
             self._slot_freed.clear()
-            if self._pick_engine() is not None:
+            if self._pick_engine(model) is not None:
                 continue       # a release slipped in before the clear
             await self._slot_freed.wait()
 
@@ -203,6 +220,7 @@ class WSServer:
         span = min(60.0, max(now - self._t_start, 1e-9))
         return {
             "model": self.model_name,
+            "models": list(dict.fromkeys(self.engine_names)),
             "uptime_s": round(now - self._t_start, 1),
             "replicas": len(self.engines),
             "burst": self.burst,
@@ -231,6 +249,7 @@ class WSServer:
     async def handle(self, websocket):
         """One connection; one request at a time per connection."""
         pending = []
+        conn = {"model": None}     # per-connection default variant
         while True:
             if pending:
                 message = pending.pop(0)
@@ -242,7 +261,8 @@ class WSServer:
             if self._is_stop(message):
                 continue           # stray stop outside a generation
             try:
-                pending.extend(await self._serve_request(websocket, message)
+                pending.extend(await self._serve_request(websocket, message,
+                                                         conn)
                                or [])
             except Exception as e:  # pragma: no cover - network edge
                 logger.exception("request failed")
@@ -251,7 +271,9 @@ class WSServer:
                 except Exception:
                     break
 
-    async def _serve_request(self, websocket, message: str):
+    async def _serve_request(self, websocket, message: str,
+                             conn: Optional[dict] = None):
+        conn = conn if conn is not None else {"model": None}
         self._ensure_stepper()
         json_mode = False
         s = self.ctx.sampler   # server-level defaults, like the reference's
@@ -266,29 +288,40 @@ class WSServer:
             req = json.loads(message)
             # registry verbs, protocol-uniform with the gateway's
             # hot-swap (serve/gateway.py SwitchableGateway) so the same
-            # browser UI can probe either server; this one serves a
-            # single fixed model
+            # browser UI can probe either server; the registry = the
+            # base model plus any LoRA variants (--lora name=path), and
+            # switch_model sets THIS connection's default variant
+            cur = conn["model"] or self.model_name
             if req.get("stats"):
                 await websocket.send(json.dumps(self.stats()))
                 return []
             if req.get("list_models") or req.get("get_current_model"):
                 await websocket.send(json.dumps(
-                    {"models": [self.model_name],
-                     "current": self.model_name}))
+                    {"models": list(dict.fromkeys(self.engine_names)),
+                     "current": cur}))
                 return []
             if "switch_model" in req:
-                ok = req["switch_model"] == self.model_name
-                resp = {"ok": ok, "current": self.model_name,
-                        "switched": False}
+                name = req["switch_model"]
+                ok = name in self.engine_names
+                if ok:
+                    conn["model"] = name
+                resp = {"ok": ok, "current": name if ok else cur,
+                        "switched": ok and name != cur}
                 if not ok:
-                    resp["error"] = "single-model server"
+                    resp["error"] = f"unknown model: {name!r}"
                 await websocket.send(json.dumps(resp))
+                return []
+            if req.get("model") and req["model"] not in self.engine_names:
+                await websocket.send(json.dumps(
+                    {"error": f"unknown model: {req['model']!r}"}))
                 return []
             prompt = req.get("prompt", "")
             for k in ("max_new_tokens", "temperature", "top_p",
                       "repetition_penalty", "template"):
                 if k in req:
                     params[k] = req[k]
+            if req.get("model"):
+                conn["model"] = req["model"]   # sticky, like switch_model
             json_mode = True
         else:
             # reference protocol: 5-digit length prefix + prompt
@@ -309,7 +342,7 @@ class WSServer:
         engine, slot, first, q = await self.acquire_stream(
             ids, int(params["max_new_tokens"]),
             float(params["temperature"]), float(params["top_p"]),
-            float(params["repetition_penalty"]))
+            float(params["repetition_penalty"]), model=conn["model"])
 
         closed = False
 
@@ -413,10 +446,12 @@ class WSServer:
 async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
                 n_slots: int = 8, template: bool = True, burst: int = 1,
                 replicas: int = 1, warmup: bool = False,
-                model_name: str = "default"):
+                model_name: str = "default",
+                adapters: Optional[dict] = None):
     import websockets
     server = WSServer(ctx, n_slots=n_slots, template=template, burst=burst,
-                      replicas=replicas, model_name=model_name)
+                      replicas=replicas, model_name=model_name,
+                      adapters=adapters)
     if warmup:
         for i, be in enumerate(server.engines):
             t0 = time.time()
@@ -432,7 +467,11 @@ async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
 def main():
     ap = argparse.ArgumentParser(description="Nano TPU WebSocket server")
     ap.add_argument("--model", required=True, help=".bin model path")
-    ap.add_argument("--lora", default=None)
+    ap.add_argument("--lora", default=None, action="append",
+                    help="LoRA .bin; bare path = attach to the base "
+                         "model, name=path (repeatable) = serve it as a "
+                         "selectable variant sharing the base weights "
+                         "(route with {\"model\": name} / switch_model)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--slots", type=int, default=8)
@@ -476,12 +515,18 @@ def main():
         sampler=sampling.SamplerConfig(
             temperature=args.temperature, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty))
-    if args.lora:
-        ctx.load_lora(args.lora)
+    adapters = {}
+    for entry in args.lora or []:
+        if "=" in entry:
+            name, path = entry.split("=", 1)
+            adapters[name] = path
+        else:
+            ctx.load_lora(entry)       # attach to the base, as before
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
                       template=not args.no_template, burst=args.burst,
                       replicas=args.replicas, warmup=args.warmup,
-                      model_name=os.path.basename(args.model)))
+                      model_name=os.path.basename(args.model),
+                      adapters=adapters or None))
 
 
 if __name__ == "__main__":

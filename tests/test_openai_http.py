@@ -239,6 +239,52 @@ def test_build_chat_ids_nano_multiturn(tmp_path):
     assert ctx.build_chat_ids(msgs) == expect
 
 
+def test_openai_multi_adapter_routing(tmp_path):
+    """The REST surface routes by "model" to a served LoRA variant;
+    unknown ids fall through to the base (OpenAI clients often send
+    arbitrary model names)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nano_tpu.io import binfmt as bf
+    from nano_tpu.models import gpt as gptm
+    from nano_tpu.serve.wss import WSServer
+    from nano_tpu.serve.openai_http import OpenAIServer
+
+    ctx = make_ctx(tmp_path)
+    rng = np.random.RandomState(0)
+    lora = gptm.init_lora_params(jax.random.PRNGKey(9), ctx.cfg, rank=4)
+    lora = jax.tree.map(lambda x: jnp.asarray(
+        rng.randn(*x.shape).astype(np.float32) * 0.3), lora)
+    lora_path = str(tmp_path / "l.bin")
+    bf.write_lora(lora_path, lora, ctx.cfg, rank=4, alpha=32)
+
+    async def run():
+        pool = WSServer(ctx, n_slots=2, template=False, model_name="base",
+                        adapters={"tuned": lora_path})
+        client = TestClient(TestServer(OpenAIServer(pool).app()))
+        await client.start_server()
+        try:
+            r = await client.get("/v1/models")
+            ids = [m["id"] for m in (await r.json())["data"]]
+            assert ids == ["base", "tuned"]
+
+            async def text(**extra):
+                rr = await client.post("/v1/completions", json={
+                    "prompt": "abcd", "max_tokens": 8, **GREEDY, **extra})
+                return (await rr.json())["choices"][0]["text"]
+
+            base = await text()
+            tuned = await text(model="tuned")
+            assert base != tuned
+            # unknown ids fall through to base rather than erroring
+            assert await text(model="gpt-4o") == base
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
 def test_stream_decoder_utf8_boundaries():
     """Byte-level BPE tokens ending mid-character stream without U+FFFD:
     the incremental decoder holds incomplete tails until they complete

@@ -305,6 +305,74 @@ def test_gguf_gateway_backend(tmp_path, monkeypatch):
     assert asyncio.run(run(False)) == "he..."
 
 
+def test_multi_adapter_serving(tmp_path):
+    """--lora name=path variants: per-request routing by "model",
+    sticky per-connection switch_model, shared base weights, unknown
+    names refused.  Beyond-parity vs the reference's one adapter per
+    process (infer/main_wasm.c LoRA hot-swap)."""
+    websockets = pytest.importorskip("websockets")
+    import jax.numpy as jnp2
+    from nano_tpu.io import binfmt as bf
+    from nano_tpu.models import gpt as gptm
+    from nano_tpu.serve.wss import WSServer
+
+    ctx = make_ctx(tmp_path)
+    rng = np.random.RandomState(0)
+    lora = gptm.init_lora_params(jax.random.PRNGKey(9), ctx.cfg, rank=4)
+    lora = jax.tree.map(lambda x: jnp2.asarray(
+        rng.randn(*x.shape).astype(np.float32) * 0.3), lora)
+    lora_path = str(tmp_path / "l.bin")
+    bf.write_lora(lora_path, lora, ctx.cfg, rank=4, alpha=32)
+
+    base_out = ctx.decode(solo_greedy(ctx, "abcdef", 8))
+    tuned = ctx.clone_with_lora(lora_path)
+    tuned_out = tuned.decode(solo_greedy(tuned, "abcdef", 8))
+    assert base_out != tuned_out
+    assert tuned.params is ctx.params        # shared base weights
+
+    async def gen(c, prompt, **extra):
+        await c.send(json.dumps({"prompt": prompt, "max_new_tokens": 8,
+                                 "temperature": 0.0,
+                                 "repetition_penalty": 1.0,
+                                 "template": False, **extra}))
+        chunks = []
+        while True:
+            m = json.loads(await asyncio.wait_for(c.recv(), 60))
+            if m.get("error"):
+                return m
+            if m.get("done"):
+                return "".join(chunks)
+            chunks.append(m["text"])
+
+    async def run():
+        server = WSServer(ctx, n_slots=2, template=False,
+                          model_name="base", adapters={"tuned": lora_path})
+        async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                assert await gen(c, "abcdef") == base_out
+                # per-request routing
+                assert await gen(c, "abcdef", model="tuned") == tuned_out
+                # ...which is sticky for the connection
+                assert await gen(c, "abcdef") == tuned_out
+                # switch_model resets the connection default
+                await c.send(json.dumps({"switch_model": "base"}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                assert m["ok"] and m["current"] == "base" and m["switched"]
+                assert await gen(c, "abcdef") == base_out
+                # registry lists both; unknown model refused
+                await c.send(json.dumps({"list_models": True}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                assert m == {"models": ["base", "tuned"], "current": "base"}
+                m = await gen(c, "abcdef", model="nope")
+                assert "unknown model" in m["error"]
+            # a NEW connection defaults to base again
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c2:
+                assert await gen(c2, "abcdef") == base_out
+
+    asyncio.run(run())
+
+
 def test_wss_reference_proto_survives_buffering_decoder(tmp_path,
                                                         monkeypatch):
     """A StreamDecoder step that buffers (feed() returns "") must not
