@@ -293,10 +293,12 @@ class OpenAIServer:
 
 async def serve_http(ctx, host: str = "0.0.0.0", port: int = 8000,
                      n_slots: int = 8, burst: int = 1, replicas: int = 1,
-                     warmup: bool = False, model_name: str = "default"):
+                     warmup: bool = False, model_name: str = "default",
+                     adapters=None):
     from aiohttp import web
     pool = WSServer(ctx, n_slots=n_slots, template=True, burst=burst,
-                    replicas=replicas, model_name=model_name)
+                    replicas=replicas, model_name=model_name,
+                    adapters=adapters)
     if warmup:
         for i, be in enumerate(pool.engines):
             t0 = time.time()
@@ -316,7 +318,10 @@ def main():
     ap = argparse.ArgumentParser(
         description="OpenAI-compatible HTTP server for .bin models")
     ap.add_argument("--model", required=True, help=".bin model path")
-    ap.add_argument("--lora", default=None)
+    ap.add_argument("--lora", default=None, action="append",
+                    help="LoRA .bin; bare path = attach to the base, "
+                         "name=path (repeatable) = serve as a routable "
+                         "variant (request field \"model\": name)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--slots", type=int, default=8)
@@ -342,12 +347,18 @@ def main():
         sampler=sampling.SamplerConfig(
             temperature=args.temperature, top_p=args.top_p,
             repetition_penalty=args.repetition_penalty))
-    if args.lora:
-        ctx.load_lora(args.lora)
+    adapters = {}
+    for entry in args.lora or []:
+        if "=" in entry:
+            name, path = entry.split("=", 1)
+            adapters[name] = path
+        else:
+            ctx.load_lora(entry)
     asyncio.run(serve_http(ctx, args.host, args.port, args.slots,
                            burst=args.burst, replicas=args.replicas,
                            warmup=args.warmup,
-                           model_name=os.path.basename(args.model)))
+                           model_name=os.path.basename(args.model),
+                           adapters=adapters or None))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,14 @@ def test_worker_page_protocol_contract():
         assert api in js and api in worker, api
 
 
+def test_page_registry_dropdown_wired():
+    """The model dropdown speaks the registry verbs (docs/API.md §1/§3)."""
+    page = read("index.html")
+    assert 'id="models"' in page
+    for needle in ("list_models", "switch_model", "refreshModels"):
+        assert needle in page, needle
+
+
 def test_js_brackets_balanced():
     """Crude syntax screen (no JS parser in this environment): brackets
     balance outside strings/comments in every shipped JS file."""
