@@ -178,8 +178,20 @@ def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
 
 
 def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
-                scale: float, dtype) -> jnp.ndarray:
-    """LoRA low-rank branch: (x @ A) @ B * alpha/rank (reference: model.py:145-161)."""
+                scale, dtype) -> jnp.ndarray:
+    """LoRA low-rank branch: (x @ A) @ B * alpha/rank (reference: model.py:145-161).
+
+    a/b may be PER-SLOT selections (B, in, r) / (B, r, out) with a (B,)
+    scale — batched multi-adapter serving (serve/batching.py gathers
+    each slot's adapter from the stacked registry before the layer
+    scan), every slot decoding with its own adapter in ONE dispatch.
+    """
+    if a.ndim == 3:
+        h = jnp.einsum("bse,ber->bsr", x.astype(dtype), a.astype(dtype),
+                       preferred_element_type=dtype)
+        d = jnp.einsum("bsr,bro->bso", h, b.astype(dtype),
+                       preferred_element_type=dtype)
+        return d * jnp.asarray(scale, dtype)[:, None, None]
     h = jnp.dot(x.astype(dtype), a.astype(dtype), preferred_element_type=dtype)
     return jnp.dot(h, b.astype(dtype), preferred_element_type=dtype) * scale
 

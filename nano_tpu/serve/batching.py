@@ -80,11 +80,21 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     return next_tok, pos + 1, cache, seen, key_out
 
 
+def _select_adapters(lora, lora_scale, lora_idx):
+    """Per-slot adapter gather for batched multi-adapter serving: stacked
+    registry leaves (A, L, in, r) -> per-slot (L, B, in, r) selections
+    (the layer scan slices axis 0; _lora_delta sees (B, in, r)), scales
+    (A,) -> (B,).  Runs ONCE per dispatched burst — loop-invariant
+    across the inner scan."""
+    sel = jax.tree.map(lambda s: jnp.moveaxis(s[lora_idx], 0, 1), lora)
+    return sel, lora_scale[lora_idx]
+
+
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
                                    "attn_len"))
 def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
                   temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                  n_steps, attn_len=None):
+                  n_steps, attn_len=None, lora_idx=None):
     """n_steps batched decode steps in ONE dispatched program.
 
     Multi-step scheduling: the per-dispatch fixed cost (30 ms through
@@ -96,7 +106,14 @@ def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
     reads only the first attn_len cache rows.  One compiled program per
     (n_steps, attn_len) pair — buckets are powers of two, so at most
     log2(T) variants exist.
+
+    `lora_idx` (B,) switches `lora`/`lora_scale` to stacked-registry
+    semantics: each slot decodes with its own adapter (see
+    _select_adapters).
     """
+    if lora_idx is not None:
+        lora, lora_scale = _select_adapters(lora, lora_scale, lora_idx)
+
     def body(carry, _):
         tok, pos, cache, seen, key = carry
         tok, pos, cache, seen, key = _batched_step(
@@ -187,9 +204,13 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
 def _batched_spec_scan(params, lora, lora_scale, tok, pos, cache, seen,
                        key, hist, temperature, top_p, rep_penalty,
                        spec_ok, cfg, dtype, top_k, k, n_steps,
-                       attn_len=None):
+                       attn_len=None, lora_idx=None):
     """n_steps speculative batched steps in ONE dispatched program;
-    emits (n_steps, B, k+1) token slabs + (n_steps, B) valid counts."""
+    emits (n_steps, B, k+1) token slabs + (n_steps, B) valid counts.
+    `lora_idx`: per-slot adapters, as in _batched_scan."""
+    if lora_idx is not None:
+        lora, lora_scale = _select_adapters(lora, lora_scale, lora_idx)
+
     def body(carry, _):
         tok, pos, cache, seen, key, hist = carry
         tok, pos, cache, seen, key, hist, emit, n_out = _batched_spec_step(
@@ -236,13 +257,33 @@ class BurstResult(Dict[int, list]):
 
 
 class BatchedEngine:
-    """Slot-based continuous batching over one LLMContext."""
+    """Slot-based continuous batching over one LLMContext.
 
-    def __init__(self, ctx: "eng.LLMContext", n_slots: int = 8):
+    `adapters` ({name: lora .bin path}) enables BATCHED multi-adapter
+    serving: slots running different LoRA variants decode in the SAME
+    dispatched program — each slot's adapter is gathered from a stacked
+    registry inside the scan (gpt._lora_delta per-slot branch).  Index 0
+    of the registry is the bare base model (zero adapter, scale 0).
+    Beyond-parity: the reference hot-swaps ONE adapter per process
+    (infer/main_wasm.c)."""
+
+    def __init__(self, ctx: "eng.LLMContext", n_slots: int = 8,
+                 adapters: Optional[Dict[str, str]] = None):
         self.ctx = ctx
         self.n_slots = n_slots
         cfg = ctx.cfg
         T = ctx.max_seq_len
+        self.adapter_idx = np.zeros(n_slots, np.int32)
+        self.adapter_ids: Dict[Optional[str], int] = {None: 0}
+        self.lora_stack = None        # pytree, leaves (A, L, in, r)
+        self.lora_scales = None       # (A,) f32
+        # per-adapter UNSTACKED pytrees for the batch-1 prefill path
+        self._adapter_prefill = {0: (ctx.lora, ctx.lora_scale)}
+        if adapters:
+            if ctx.lora is not None:
+                raise ValueError("use either a base-attached LoRA or "
+                                 "named adapters, not both")
+            self._build_adapter_stack(adapters)
         self.cache = ctx.new_cache(n_slots)
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.tok = jnp.zeros((n_slots,), jnp.int32)
@@ -259,6 +300,50 @@ class BatchedEngine:
         # logits), so stale rows are a perf issue, never a correctness one.
         self.hist = (jnp.zeros((n_slots, T), jnp.int32)
                      if ctx.spec_k > 0 else None)
+
+    # ------------------------------------------------------------
+    def _build_adapter_stack(self, adapters: Dict[str, str]) -> None:
+        """Load + rank-pad the named adapters into one stacked registry.
+        Ranks may differ: smaller adapters zero-pad to the max rank
+        (zero columns in A contribute nothing; each keeps its OWN
+        alpha/rank scale)."""
+        from nano_tpu.io import binfmt
+        ctx = self.ctx
+        loaded = []
+        for name, path in adapters.items():
+            bl = binfmt.read_lora(path, ctx.cfg)
+            lora = jax.tree.map(lambda x: jnp.asarray(x, ctx.dtype),
+                                bl.lora)
+            loaded.append((name, lora, bl.alpha / bl.rank,
+                           bl.lora["wq_a"].shape[-1]))
+        rmax = max(r for _, _, _, r in loaded)
+
+        def pad(key, leaf, r):
+            if r == rmax:
+                return leaf
+            w = [(0, 0)] * leaf.ndim
+            w[-1 if key.endswith("_a") else -2] = (0, rmax - r)
+            return jnp.pad(leaf, w)
+
+        padded = [{k: pad(k, v, r) for k, v in lora.items()}
+                  for _, lora, _, r in loaded]
+        zero = jax.tree.map(jnp.zeros_like, padded[0])   # registry row 0
+        self.lora_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       zero, *padded)
+        self.lora_scales = jnp.asarray(
+            [0.0] + [s for _, _, s, _ in loaded], jnp.float32)
+        for i, (name, _, s, _) in enumerate(loaded):
+            self.adapter_ids[name] = i + 1
+            self._adapter_prefill[i + 1] = (padded[i], s)
+
+    def _lora_args(self):
+        """(lora, lora_scale, lora_idx) for the batched scans: the
+        stacked registry + per-slot indices when adapters are served,
+        else the context's single (possibly None) adapter."""
+        if self.lora_stack is not None:
+            return (self.lora_stack, self.lora_scales,
+                    jnp.asarray(self.adapter_idx))
+        return self.ctx.lora, self.ctx.lora_scale, None
 
     # ------------------------------------------------------------
     def warmup(self, n_steps: int = 1) -> int:
@@ -294,20 +379,21 @@ class BatchedEngine:
         zs = jnp.zeros((self.n_slots,), jnp.int32)
         seen = jnp.zeros((self.n_slots, cfg.vocab_size), jnp.bool_)
         f = jnp.zeros((self.n_slots,), jnp.float32)
+        wl, ws, wi = self._lora_args()
         for attn_len in buckets:
-            _batched_scan(ctx.params, ctx.lora, ctx.lora_scale, zs, zs,
+            _batched_scan(ctx.params, wl, ws, zs, zs,
                           cache, seen, jax.random.PRNGKey(0), f, f + 0.8,
                           f + 1.0, cfg, ctx.dtype, ctx.sampler.top_k,
-                          n_steps, attn_len)
+                          n_steps, attn_len, lora_idx=wi)
             n += 1
             if self.hist is not None:
                 _batched_spec_scan(
-                    ctx.params, ctx.lora, ctx.lora_scale, zs, zs, cache,
+                    ctx.params, wl, ws, zs, zs, cache,
                     seen, jax.random.PRNGKey(0),
                     jnp.zeros((self.n_slots, T), jnp.int32), f, f + 0.8,
                     f + 1.0, jnp.zeros((self.n_slots,), jnp.bool_), cfg,
                     ctx.dtype, ctx.sampler.top_k, ctx.spec_k, n_steps,
-                    attn_len)
+                    attn_len, lora_idx=wi)
                 n += 1
         return n
 
@@ -326,7 +412,8 @@ class BatchedEngine:
     def add(self, prompt_ids: List[int], max_new_tokens: int = 256,
             temperature: float = 1.0, top_p: float = 0.8,
             repetition_penalty: float = 1.1,
-            sink: Optional[object] = None) -> Optional[tuple]:
+            sink: Optional[object] = None,
+            adapter: Optional[str] = None) -> Optional[tuple]:
         """Attach a stream.  Returns (slot, first_token or None-if-stopped),
         or None when no slot is free (caller queues/retries).
 
@@ -336,6 +423,9 @@ class BatchedEngine:
         active streams for more than the splice."""
         ctx = self.ctx
         cfg = ctx.cfg
+        if adapter not in self.adapter_ids:
+            raise ValueError(f"unknown adapter: {adapter!r}")
+        aidx = self.adapter_ids[adapter]
         with self.lock:
             slot = self.free_slot()
             if slot is None:
@@ -361,8 +451,11 @@ class BatchedEngine:
             ids = np.zeros((1, pad), np.int32)
             ids[0, :n] = prompt_ids
             tmp = ctx.new_cache(1, seq_len=pad)
+            # prefill with this stream's adapter (batch-1: the unstacked
+            # pytree, no gather needed)
+            plora, pscale = self._adapter_prefill[aidx]
             logits, tmp, _ = eng._prefill(
-                ctx.params, ctx.lora, ctx.lora_scale,
+                ctx.params, plora, pscale,
                 jnp.asarray(ids), tmp, cfg, ctx.dtype)
             seen_row = sampling.seen_mask_from_ids(
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
@@ -377,7 +470,7 @@ class BatchedEngine:
             return self._attach_prefilled(
                 st, slot, n, pad, tmp, seen_row, last, temperature, top_p,
                 repetition_penalty, max_new_tokens, sink,
-                prompt_ids=prompt_ids)
+                prompt_ids=prompt_ids, adapter_idx=aidx)
         except BaseException:
             with self.lock:
                 st.attached = False
@@ -386,9 +479,11 @@ class BatchedEngine:
 
     def _attach_prefilled(self, st, slot, n, pad, tmp, seen_row, last,
                           temperature, top_p, repetition_penalty,
-                          max_new_tokens, sink=None, prompt_ids=None):
+                          max_new_tokens, sink=None, prompt_ids=None,
+                          adapter_idx: int = 0):
         ctx = self.ctx
         with self.lock:
+            self.adapter_idx[slot] = adapter_idx
             self.cache = gpt.KVCache(
                 k=self.cache.k.at[:, slot, :pad].set(tmp.k[:, 0]),
                 v=self.cache.v.at[:, slot, :pad].set(tmp.v[:, 0]),
@@ -443,6 +538,7 @@ class BatchedEngine:
             self.slots[slot].active = False
             self.slots[slot].attached = False
             self.slots[slot].sink = None
+            self.adapter_idx[slot] = 0
 
     # ------------------------------------------------------------
     def _consume(self, toks_2d: np.ndarray) -> BurstResult:
@@ -528,14 +624,16 @@ class BatchedEngine:
                     if attn_len >= T:
                         attn_len = None
                     spec_ok = jnp.asarray(self.temperature <= 0.0)
+                    bl, bs, bi = self._lora_args()
                     (emits, n_outs, self.tok, self.pos, self.cache,
                      self.seen, self.key, self.hist) = _batched_spec_scan(
-                        ctx.params, ctx.lora, ctx.lora_scale, self.tok,
+                        ctx.params, bl, bs, self.tok,
                         self.pos, self.cache, self.seen, self.key,
                         self.hist, jnp.asarray(self.temperature),
                         jnp.asarray(self.top_p),
                         jnp.asarray(self.rep_penalty), spec_ok, ctx.cfg,
-                        ctx.dtype, ctx.sampler.top_k, k, n_steps, attn_len)
+                        ctx.dtype, ctx.sampler.top_k, k, n_steps, attn_len,
+                        lora_idx=bi)
                     emits = np.asarray(emits)
                     n_outs = np.asarray(n_outs)
                     return self._consume_lists(
@@ -547,13 +645,14 @@ class BatchedEngine:
             attn_len = min(T, eng._bucket(need, minimum=128))
             if attn_len >= T:
                 attn_len = None          # full cache — no slicing program
+            bl, bs, bi = self._lora_args()
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \
                 _batched_scan(
-                    ctx.params, ctx.lora, ctx.lora_scale, self.tok, self.pos,
+                    ctx.params, bl, bs, self.tok, self.pos,
                     self.cache, self.seen, self.key,
                     jnp.asarray(self.temperature), jnp.asarray(self.top_p),
                     jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
-                    ctx.sampler.top_k, n_steps, attn_len)
+                    ctx.sampler.top_k, n_steps, attn_len, lora_idx=bi)
             return self._consume(np.asarray(toks))
 
     def step(self) -> BurstResult:

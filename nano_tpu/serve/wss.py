@@ -60,18 +60,17 @@ class WSServer:
             ctxs = [ctx.replicate_to(devices[i]) for i in range(replicas)]
         else:
             ctxs = [ctx]
-        names = [model_name] * len(ctxs)
-        # multi-adapter serving: each named LoRA gets its own engine
-        # (slot pool + cache arena) SHARING the base weight arrays —
-        # requests route by "model"/switch_model; beyond-parity (the
-        # reference swaps one adapter per process, infer/main_wasm.c)
-        for name, lora_path in (adapters or {}).items():
-            if name in names:
-                raise ValueError(f"duplicate model/adapter name: {name!r}")
-            ctxs.append(ctxs[0].clone_with_lora(lora_path))
-            names.append(name)
-        self.engine_names = names
-        self.engines = [BatchedEngine(c, n_slots=n_slots) for c in ctxs]
+        # batched multi-adapter serving: named LoRA variants decode in
+        # the SAME dispatch as the base model — the registry is stacked
+        # inside each engine and gathered per slot (serve/batching.py);
+        # requests route by "model"/switch_model.  Beyond-parity (the
+        # reference swaps one adapter per process, infer/main_wasm.c).
+        if adapters and model_name in adapters:
+            raise ValueError(f"adapter name collides with the base "
+                             f"model name: {model_name!r}")
+        self.engine_names = [model_name] + list(adapters or {})
+        self.engines = [BatchedEngine(c, n_slots=n_slots,
+                                      adapters=adapters) for c in ctxs]
         self.engine = self.engines[0]      # single-replica compat alias
         self.template = template
         # multi-step scheduling: decode `burst` tokens per dispatched
@@ -151,12 +150,13 @@ class WSServer:
                     self._step_loop(ei))
 
     def _pick_engine(self, model: Optional[str] = None):
-        """Least-loaded engine of the requested variant (default: the
-        base model) with a free slot, or None."""
-        want = model or self.model_name
+        """Least-loaded replica with a free slot, or None.  Every
+        replica serves every variant (per-slot adapters), so `model`
+        does not constrain the choice."""
+        del model
         best, best_load = None, None
         for ei, e in enumerate(self.engines):
-            if self.engine_names[ei] != want or e.free_slot() is None:
+            if e.free_slot() is None:
                 continue
             load = e.n_active
             if best is None or load < best_load:
@@ -177,6 +177,7 @@ class WSServer:
         handler below and the OpenAI HTTP frontend (serve/openai_http)."""
         if model is not None and model not in self.engine_names:
             raise ValueError(f"unknown model: {model!r}")
+        adapter = None if model in (None, self.model_name) else model
         self._ensure_stepper()
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
@@ -187,7 +188,8 @@ class WSServer:
                 res = await loop.run_in_executor(
                     None, lambda e=engine: e.add(
                         ids, int(max_new_tokens), float(temperature),
-                        float(top_p), float(repetition_penalty), sink=q))
+                        float(top_p), float(repetition_penalty), sink=q,
+                        adapter=adapter))
                 if res is not None:
                     self._wakes[ei].set()
                     self._req_total += 1

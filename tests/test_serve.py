@@ -373,6 +373,71 @@ def test_multi_adapter_serving(tmp_path):
     asyncio.run(run())
 
 
+def test_batched_multi_adapter_one_dispatch(tmp_path):
+    """Slots running DIFFERENT LoRA adapters (different ranks) decode in
+    the same batched scan and each reproduces its per-variant
+    single-stream greedy output exactly — the S-LoRA-style core of
+    multi-adapter serving."""
+    import jax.numpy as jnp2
+    from nano_tpu.io import binfmt as bf
+    from nano_tpu.models import gpt as gptm
+
+    ctx = make_ctx(tmp_path)
+    rng = np.random.RandomState(0)
+    paths = {}
+    for name, rank, seed in (("a", 4, 9), ("b", 2, 11)):
+        lora = gptm.init_lora_params(jax.random.PRNGKey(seed), ctx.cfg,
+                                     rank=rank)
+        lora = jax.tree.map(lambda x: jnp2.asarray(
+            rng.randn(*x.shape).astype(np.float32) * 0.3), lora)
+        p = str(tmp_path / f"{name}.bin")
+        bf.write_lora(p, lora, ctx.cfg, rank=rank, alpha=4 * rank)
+        paths[name] = p
+
+    # per-variant single-stream oracles
+    want = {None: solo_greedy(ctx, "abcdef", 6)}
+    for name, p in paths.items():
+        vctx = ctx.clone_with_lora(p)
+        want[name] = solo_greedy(vctx, "abcdef", 6)
+    assert want[None] != want["a"] != want["b"]
+
+    be = BatchedEngine(ctx, n_slots=4, adapters=paths)
+    ids = ctx.encode("abcdef")
+    streams = {}
+    for adapter in (None, "a", "b", "a"):
+        slot, first = be.add(ids, max_new_tokens=6, temperature=0.0,
+                             repetition_penalty=1.0, adapter=adapter)
+        streams[slot] = (adapter, [first])
+    for _ in range(8):
+        out = be.step()
+        for slot, toks in out.items():
+            streams[slot][1].extend(toks)
+        if not any(s.active for s in be.slots):
+            break
+    for slot, (adapter, got) in streams.items():
+        assert got[:6] == want[adapter][:6], (adapter, got)
+    with pytest.raises(ValueError):
+        be.add(ids, adapter="nope")
+
+    # speculative serving composes: same adapters, same exact streams
+    import dataclasses
+    sctx = dataclasses.replace(ctx, spec_k=3)
+    bes = BatchedEngine(sctx, n_slots=4, adapters=paths)
+    streams = {}
+    for adapter in (None, "a", "b"):
+        slot, first = bes.add(ids, max_new_tokens=6, temperature=0.0,
+                              repetition_penalty=1.0, adapter=adapter)
+        streams[slot] = (adapter, [first])
+    for _ in range(10):
+        out = bes.step()
+        for slot, toks in out.items():
+            streams[slot][1].extend(toks)
+        if not any(s.active for s in bes.slots):
+            break
+    for slot, (adapter, got) in streams.items():
+        assert got[:6] == want[adapter][:6], ("spec", adapter, got)
+
+
 def test_wss_reference_proto_survives_buffering_decoder(tmp_path,
                                                         monkeypatch):
     """A StreamDecoder step that buffers (feed() returns "") must not
