@@ -105,13 +105,19 @@ def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
     right-sized cache + segmented attn_len scan (what
     generate_on_device dispatches since the cache-length-bucketing
     change — the cache covers start+n_steps, not block_size, and each
-    segment attends only its pow2 prefix)."""
+    segment attends only its pow2 prefix).  NANO_TPU_DECODE_BUCKET=0
+    measures the pre-bucketing full-cache path instead (the runbook's
+    A/B baseline), exactly as generate_on_device would dispatch it."""
     s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
     start = 4
     # mirror engine.generate_on_device exactly: need = n + n_tokens
-    cache_len = min(engine._bucket(start + n_steps), cfg.block_size)
+    if engine._bucketing_enabled():
+        cache_len = min(engine._bucket(start + n_steps), cfg.block_size)
+        segs = engine._decode_segments(start, n_steps, cache_len)
+    else:
+        cache_len = cfg.block_size
+        segs = [(None, n_steps)]
     cache = gpt.KVCache.create(cfg, 1, cache_len, kv_dtype)
-    segs = engine._decode_segments(start, n_steps, cache_len)
     seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
     key = jax.random.PRNGKey(0)
     tok = jnp.zeros((1,), jnp.int32)

@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--spec", type=int, default=0, metavar="K",
                     help="speculative greedy decode: draft K tokens by "
                          "n-gram prompt lookup, verify in one forward "
-                         "(greedy + repetition_penalty=1.0 only; "
+                         "(greedy only — any repetition penalty; "
                          "identical output, fewer dispatches)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the whole run "

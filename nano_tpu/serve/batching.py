@@ -327,11 +327,22 @@ class BatchedEngine:
 
         padded = [{k: pad(k, v, r) for k, v in lora.items()}
                   for _, lora, _, r in loaded]
+        if ctx.device is not None:
+            # commit to the replica's device — uncommitted leaves would
+            # re-transfer from device 0 on EVERY dispatched burst under
+            # --replicas (params/cache are committed, the registry must
+            # match)
+            padded = jax.tree.map(
+                lambda x: jax.device_put(x, ctx.device), padded)
         zero = jax.tree.map(jnp.zeros_like, padded[0])   # registry row 0
         self.lora_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
                                        zero, *padded)
         self.lora_scales = jnp.asarray(
             [0.0] + [s for _, _, s, _ in loaded], jnp.float32)
+        if ctx.device is not None:
+            self.lora_stack = jax.tree.map(
+                lambda x: jax.device_put(x, ctx.device), self.lora_stack)
+            self.lora_scales = jax.device_put(self.lora_scales, ctx.device)
         for i, (name, _, s, _) in enumerate(loaded):
             self.adapter_ids[name] = i + 1
             self._adapter_prefill[i + 1] = (padded[i], s)
@@ -369,6 +380,16 @@ class BatchedEngine:
                          jnp.zeros((1, pad), jnp.int32), tmp, cfg,
                          ctx.dtype)
             n += 1
+            if self.lora_stack is not None:
+                # adapter streams prefill with an UNSTACKED adapter
+                # pytree — a different trace than lora=None; every named
+                # adapter shares one structure (rank-padded), so warming
+                # any one covers them all
+                plora, pscale = self._adapter_prefill[1]
+                eng._prefill(ctx.params, plora, pscale,
+                             jnp.zeros((1, pad), jnp.int32), tmp, cfg,
+                             ctx.dtype)
+                n += 1
         buckets = []
         b = 128
         while b < T:                         # decode cache-length buckets

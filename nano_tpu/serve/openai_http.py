@@ -200,22 +200,29 @@ class OpenAIServer:
             ids, params["max_new_tokens"], params["temperature"],
             params["top_p"], params["repetition_penalty"],
             model=params.get("model"))
-        toks: List[int] = []
+        # incremental stop-sequence scan, same as the SSE path: the
+        # stream is abandoned (and its slot freed) at the match, so
+        # usage.completion_tokens counts only tokens actually generated
+        # for the client — not a full max_tokens run truncated after
+        # the fact
+        scan = _StopScanner(params["stop"])
+        sdec = pool.ctx.stream_decoder()
+        text, n_toks = "", 0
         try:
             async for tok in self._collect(first, q,
                                            params["max_new_tokens"]):
-                toks.append(tok)
-            reason = engine.slots[slot].finished_reason or "stop"
+                n_toks += 1
+                text += scan.feed(sdec.feed(tok))
+                if scan.hit:
+                    break
+            reason = ("stop" if scan.hit else
+                      engine.slots[slot].finished_reason or "stop")
         finally:
             await pool.release_stream(engine, slot)
-        # whole-sequence decode (correct across multi-token UTF-8)
-        text = pool.ctx.decode(toks)
-        for s in params["stop"]:
-            i = text.find(s)
-            if i >= 0:
-                text, reason = text[:i], "stop"
-        usage = {"prompt_tokens": len(ids), "completion_tokens": len(toks),
-                 "total_tokens": len(ids) + len(toks)}
+        if not scan.hit:
+            text += scan.feed(sdec.flush()) + scan.flush()
+        usage = {"prompt_tokens": len(ids), "completion_tokens": n_toks,
+                 "total_tokens": len(ids) + n_toks}
         choice = ({"index": 0, "finish_reason": reason,
                    "message": {"role": "assistant", "content": text}}
                   if chat else

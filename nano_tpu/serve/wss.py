@@ -501,8 +501,8 @@ def main():
     ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
     ap.add_argument("--spec", type=int, default=0, metavar="K",
                     help="speculative serving: draft K tokens per slot by "
-                         "n-gram prompt lookup; greedy no-penalty streams "
-                         "emit up to K+1 tokens per cache sweep with "
+                         "n-gram prompt lookup; greedy streams (any "
+                         "rep-penalty) emit up to K+1 tokens per sweep with "
                          "identical output (serve/batching.py)")
     args = ap.parse_args()
 
