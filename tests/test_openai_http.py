@@ -133,9 +133,16 @@ def test_stop_sequences(tmp_path):
 
             r = await client.post("/v1/completions",
                                   json={**base, "stop": stop})
-            out = (await r.json())["choices"][0]
+            body = await r.json()
+            out = body["choices"][0]
             assert out["text"] == full[:full.find(stop)]
             assert out["finish_reason"] == "stop"
+            # usage reflects what was GENERATED before the stop match —
+            # the stream is abandoned at the hit, not run to max_tokens
+            # and truncated after the fact
+            used = body["usage"]["completion_tokens"]
+            assert 1 <= used <= full.find(stop) + len(stop) + 2
+            assert used < base["max_tokens"]
 
             # streamed: same truncation even when the stop string spans
             # token boundaries (scanner holds back len(stop)-1 chars)

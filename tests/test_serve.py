@@ -859,6 +859,35 @@ def test_warmup_compiles_all_buckets(tmp_path):
     assert e._prefill._cache_size() == prefills
 
 
+def test_warmup_covers_adapter_prefill(tmp_path):
+    """--lora name=path --warmup: the first adapter-routed stream pays
+    no XLA compile — warmup also traces the adapter-structured prefill
+    (an unstacked pytree, a different trace than lora=None)."""
+    import jax.numpy as jnp2
+    from nano_tpu.io import binfmt as bf
+    from nano_tpu.models import gpt as gptm
+
+    ctx = make_ctx(tmp_path, max_seq_len=256)
+    lora = gptm.init_lora_params(jax.random.PRNGKey(3), ctx.cfg, rank=2)
+    lora = jax.tree.map(
+        lambda x: jnp2.asarray(
+            np.random.RandomState(5).randn(*x.shape).astype(np.float32)
+            * 0.3), lora)
+    p = str(tmp_path / "wa.bin")
+    bf.write_lora(p, lora, ctx.cfg, rank=2, alpha=8)
+
+    be = BatchedEngine(ctx, n_slots=2, adapters={"tuned": p})
+    be.warmup(n_steps=1)
+    from nano_tpu.infer import engine as e
+    from nano_tpu.serve import batching as b
+    want = solo_greedy(ctx.clone_with_lora(p), "abcdef", 6)  # own traces
+    prefills = e._prefill._cache_size()
+    scans = b._batched_scan._cache_size()
+    assert collect(be, ctx, "abcdef", 6, adapter="tuned") == want
+    assert e._prefill._cache_size() == prefills
+    assert b._batched_scan._cache_size() == scans
+
+
 def test_wss_churn_soak_speculative(tmp_path):
     """The churn soak with speculative serving enabled (ctx.spec_k>0):
     mixed greedy/stochastic clients, an interrupt, slot reuse — every
