@@ -1,9 +1,12 @@
 #!/bin/bash
 # Detached tunnel-heal watcher. Probes the TPU every ~4 min; on the first
-# successful dispatch it writes /tmp/r3/TUNNEL_UP (timestamp inside) and
-# exits.  It never starts TPU workloads itself — sessions check the
-# marker and launch tools/tpu_runbook.sh under supervision, so the solo
-# (one-TPU-job) discipline is kept.
+# successful dispatch it writes /tmp/r3/TUNNEL_UP (timestamp inside),
+# LAUNCHES the queued measurement runbook (tools/tpu_runbook.sh) once —
+# marker-guarded, detached, logging to /tmp/r3/runbook.log — and exits.
+# Auto-launch (rather than waiting for a session to notice) exists
+# because sessions can die mid-round; the runbook's own stage 0 re-probes
+# before any real work.  Solo (one-TPU-job) discipline: while
+# /tmp/r3/RUNBOOK_RUNNING exists, sessions must not dispatch TPU work.
 set -u
 cd /root/repo
 mkdir -p /tmp/r3
@@ -21,6 +24,14 @@ EOF
   then
     date -u +%FT%TZ > /tmp/r3/TUNNEL_UP
     echo "TUNNEL UP $(date -u +%FT%TZ)" >> /tmp/r3/watch.log
+    if [ ! -f /tmp/r3/RUNBOOK_RUNNING ] && [ ! -f /tmp/r3/RUNBOOK_DONE ]; then
+      echo $$ > /tmp/r3/RUNBOOK_RUNNING
+      echo "runbook launch $(date -u +%FT%TZ)" >> /tmp/r3/watch.log
+      setsid nohup bash -c 'bash tools/tpu_runbook.sh > /tmp/r3/runbook.log 2>&1;
+                            date -u +%FT%TZ > /tmp/r3/RUNBOOK_DONE;
+                            rm -f /tmp/r3/RUNBOOK_RUNNING' \
+        >/dev/null 2>&1 < /dev/null &
+    fi
     exit 0
   fi
   echo "probe failed $(date -u +%FT%TZ)" >> /tmp/r3/watch.log
