@@ -139,7 +139,18 @@ def _sample_windowed(key, logits, temperature, top_p, top_k, greedy,
     window = min(top_k if top_k else NUCLEUS_WINDOW, logits.shape[-1])
     l = logits / jnp.maximum(temperature, 1e-6)
     top_logits, top_idx = jax.lax.top_k(l, window)
-    probs = jax.nn.softmax(top_logits, axis=-1)
+    if top_k:
+        # user-requested top-k: renormalize WITHIN the window — exactly
+        # the reference's -inf-mask-then-softmax (model.py top_k path)
+        probs = jax.nn.softmax(top_logits, axis=-1)
+    else:
+        # the 128-window is an implementation detail: use TRUE full-vocab
+        # probabilities (full logsumexp, one cheap reduction) so the
+        # top_p cut lands at the same cumulative mass as a full-vocab
+        # nucleus — window-renormalizing would shrink the threshold to
+        # p * (window mass)
+        lse = jax.nn.logsumexp(l, axis=-1, keepdims=True)
+        probs = jnp.exp(top_logits - lse)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) <= top_p
     use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)
@@ -514,8 +525,8 @@ class Session:
         self.output_ids: List[int] = []
         self.pos = 0
         self.state = Session.PREFILLING
-        self.max_new_tokens = max_new_tokens or (
-            ctx.max_seq_len - len(self.prompt_ids))
+        self.max_new_tokens = (max_new_tokens if max_new_tokens is not None
+                               else ctx.max_seq_len - len(self.prompt_ids))
 
         # device state
         cfg = ctx.cfg
@@ -782,19 +793,56 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
 # seq2seq — non-causal single-pass decode (reference: infer/infer.c:1365-1402)
 # =====================================================================
 
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _seq2seq_forward(params, lora, lora_scale, ids, cfg, dtype):
+    """One compiled forward+argmax (eager per-op dispatch costs ~30 ms
+    per PROGRAM through the tunnel — hundreds of programs per call)."""
+    logits = gpt.forward(params, ids, cfg, dtype=dtype,
+                         lora=lora, lora_scale=lora_scale)
+    return jnp.argmax(logits[0], axis=-1)
+
+
 def seq2seq(ctx: LLMContext, input_ids: List[int]) -> List[int]:
     """Global-attention models (sort/palindrome): one forward over the
     input, argmax at every position."""
-    cfg = ctx.cfg
     ids = jnp.asarray([input_ids], jnp.int32)
-    logits = gpt.forward(ctx.params, ids, cfg, dtype=ctx.dtype,
-                         lora=ctx.lora, lora_scale=ctx.lora_scale)
-    return [int(t) for t in np.asarray(jnp.argmax(logits[0], axis=-1))]
+    out = _seq2seq_forward(ctx.params, ctx.lora, ctx.lora_scale, ids,
+                           ctx.cfg, ctx.dtype)
+    return [int(t) for t in np.asarray(out)]
 
 
 # =====================================================================
 # denoise decode (reference: model.py:581-638)
 # =====================================================================
+
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k"))
+def _denoise_round(params, lora, lora_scale, x, masked, key, temperature,
+                   confidence_threshold, cfg, dtype, top_k):
+    """One unmasking round, module-level so the jit cache survives across
+    denoise_generate calls (params as arguments, never a closure —
+    CLAUDE.md: closures bake weights into the program as constants)."""
+    logits = gpt.forward(params, x, cfg, dtype=dtype,
+                         lora=lora, lora_scale=lora_scale)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
+    tk_probs, tk_idx = jax.lax.top_k(probs, top_k)
+    conf = jnp.sum(tk_probs, axis=-1)
+    decode_mask = jnp.logical_and(conf >= confidence_threshold, masked)
+    # at least one: unmask the most confident masked position
+    none_hit = jnp.logical_not(jnp.any(decode_mask))
+    masked_conf = jnp.where(masked, conf, -jnp.inf)
+    best = jnp.argmax(masked_conf, axis=-1)
+    fallback = jnp.zeros_like(decode_mask).at[0, best[0]].set(
+        masked[0, best[0]])
+    decode_mask = jnp.where(none_hit, fallback, decode_mask)
+    # sample from renormalized top-k
+    key, sub = jax.random.split(key)
+    tk_norm = tk_probs / jnp.sum(tk_probs, axis=-1, keepdims=True)
+    draw = jax.random.categorical(sub, jnp.log(jnp.maximum(tk_norm, 1e-38)))
+    sampled = jnp.take_along_axis(tk_idx, draw[..., None], axis=-1)[..., 0]
+    x = jnp.where(decode_mask, sampled, x)
+    masked = jnp.logical_and(masked, jnp.logical_not(decode_mask))
+    return x, masked, key
+
 
 def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
                      max_new_tokens: int, temperature: float = 1.0,
@@ -817,31 +865,6 @@ def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
     # block_len = 0 -> infinite loop; a longer one, a broadcast error)
     prompt_len = min(len(prompt_ids), block - 1)
 
-    # params passed as an argument, never a closure (CLAUDE.md: closures
-    # bake weights into the program as constants)
-    @partial(jax.jit, static_argnames=("cfg_", "dtype_"))
-    def round_step(params, lora, x, masked, key, cfg_, dtype_):
-        logits = gpt.forward(params, x, cfg_, dtype=dtype_,
-                             lora=lora, lora_scale=ctx.lora_scale)
-        probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, -1)
-        tk_probs, tk_idx = jax.lax.top_k(probs, top_k)
-        conf = jnp.sum(tk_probs, axis=-1)
-        decode_mask = jnp.logical_and(conf >= confidence_threshold, masked)
-        # at least one: unmask the most confident masked position
-        none_hit = jnp.logical_not(jnp.any(decode_mask))
-        masked_conf = jnp.where(masked, conf, -jnp.inf)
-        best = jnp.argmax(masked_conf, axis=-1)
-        fallback = jnp.zeros_like(decode_mask).at[0, best[0]].set(masked[0, best[0]])
-        decode_mask = jnp.where(none_hit, fallback, decode_mask)
-        # sample from renormalized top-k
-        key, sub = jax.random.split(key)
-        tk_norm = tk_probs / jnp.sum(tk_probs, axis=-1, keepdims=True)
-        draw = jax.random.categorical(sub, jnp.log(jnp.maximum(tk_norm, 1e-38)))
-        sampled = jnp.take_along_axis(tk_idx, draw[..., None], axis=-1)[..., 0]
-        x = jnp.where(decode_mask, sampled, x)
-        masked = jnp.logical_and(masked, jnp.logical_not(decode_mask))
-        return x, masked, key
-
     key = jax.random.PRNGKey(ctx.random_seed)
     # generate max_new_tokens NEW tokens beyond the (full) prompt
     target = len(all_tokens) + max_new_tokens
@@ -854,8 +877,10 @@ def denoise_generate(ctx: LLMContext, prompt_ids: List[int],
         masked = jnp.zeros((1, block), jnp.bool_).at[
             0, prompt_len:prompt_len + block_len].set(True)
         while bool(jnp.any(masked)):
-            x, masked, key = round_step(ctx.params, ctx.lora, x, masked,
-                                        key, cfg, ctx.dtype)
+            x, masked, key = _denoise_round(
+                ctx.params, ctx.lora, ctx.lora_scale, x, masked, key,
+                jnp.float32(temperature), jnp.float32(confidence_threshold),
+                cfg, ctx.dtype, top_k)
             if callback:
                 callback(np.asarray(x))
         all_tokens.extend(int(t) for t in

@@ -121,6 +121,8 @@ def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
     dequantize on the fly, same values)."""
     w = params["tok_embeddings"]
     if isinstance(w, Q80Tensor):
+        assert w.layout == "rows", \
+            "embedding gather needs rows layout (grouped q is (G,out,gs))"
         g = w.group_size
         q = w.q[idx]                        # (..., E) int8
         s = w.scales[idx]                   # (..., E // g)

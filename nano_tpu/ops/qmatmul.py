@@ -58,7 +58,7 @@ class Q80Tensor:
 
     @property
     def out_dim(self) -> int:
-        return self.q.shape[-2] if self.layout == "rows" else self.q.shape[-2]
+        return self.q.shape[-2]     # (out, in) rows / (G, out, gs) grouped
 
     @property
     def in_dim(self) -> int:

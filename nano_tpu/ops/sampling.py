@@ -69,16 +69,21 @@ def apply_top_p(probs: jnp.ndarray, p: float) -> jnp.ndarray:
     """
     if p <= 0.0 or p >= 1.0:
         return probs
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    # stable argsort on -probs: descending, ties broken by token id —
+    # keeps EXACTLY the sorted prefix (a >=threshold compare would keep
+    # every token TIED at the boundary, a larger nucleus than the C
+    # engine's first-crossing cut; C's own tie order is qsort-unspecified,
+    # so ties break deterministically by id here)
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
     cum = jnp.cumsum(sorted_probs, axis=-1)
     # keep position i iff the cumulative mass BEFORE it is <= p: the C
     # engine breaks at the first i with cum_i > p and includes that i
     # (infer/infer.c:1078-1084)
     keep_sorted = (cum - sorted_probs) <= p
-    # threshold = smallest kept probability per row
-    thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf),
-                     axis=-1, keepdims=True)
-    return jnp.where(probs >= thresh, probs, 0.0)
+    inv = jnp.argsort(order, axis=-1)          # inverse permutation
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    return jnp.where(keep, probs, 0.0)
 
 
 # ---------------------------------------------------------------------

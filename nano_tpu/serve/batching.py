@@ -42,7 +42,15 @@ def _sample_rows(key, logits, temperature, top_p, top_k):
     window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
     l = logits / jnp.maximum(temperature, 1e-6)[:, None]
     top_logits, top_idx = jax.lax.top_k(l, window)
-    probs = jax.nn.softmax(top_logits, axis=-1)
+    if top_k:
+        # user top-k: renormalize within the window (reference semantics)
+        probs = jax.nn.softmax(top_logits, axis=-1)
+    else:
+        # 128-window is an implementation detail: TRUE probabilities via
+        # the full-vocab logsumexp so the top_p cut matches a full-vocab
+        # nucleus (same fix as engine._sample_windowed)
+        lse = jax.nn.logsumexp(l, axis=-1, keepdims=True)
+        probs = jnp.exp(top_logits - lse)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) <= top_p[:, None]
     use_topp = jnp.logical_and(top_p > 0.0, top_p < 1.0)[:, None]

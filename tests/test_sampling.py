@@ -38,6 +38,45 @@ def test_top_p_keeps_first_crossing():
     assert kept[0, 0] == 0 and kept[0, 2] == 0
 
 
+def test_top_p_boundary_tie_keeps_prefix_only():
+    """Tokens TIED at the nucleus boundary: keep exactly the sorted
+    prefix (first-crossing cut, ties broken by token id) — not every
+    token sharing the threshold probability."""
+    probs = jnp.asarray([[0.4, 0.3, 0.3]])
+    kept = np.asarray(sampling.apply_top_p(probs, 0.5))
+    # cum before: [0, .4, .7] -> keep positions 0 and 1 only; the second
+    # 0.3 (token 2) ties the boundary value but lies past the crossing
+    assert kept[0, 0] > 0 and kept[0, 1] > 0
+    assert kept[0, 2] == 0
+
+
+def test_windowed_nucleus_matches_full_vocab_cut():
+    """With no user top-k, the 128-window sampler's kept set equals the
+    full-vocab nucleus (true probabilities via full logsumexp), token
+    for token."""
+    from nano_tpu.infer import engine
+    rng = np.random.RandomState(7)
+    raw = rng.randn(1, 4096).astype(np.float32) * 2.0
+    raw[0, 400:460] += 9.0        # peaked head: nucleus fits the window
+    logits = jnp.asarray(raw)
+    top_p = 0.8
+    # full-vocab reference cut
+    full_probs = jax.nn.softmax(logits, axis=-1)
+    full_kept = np.asarray(sampling.apply_top_p(full_probs, top_p))[0]
+    want = set(np.nonzero(full_kept)[0].tolist())
+    assert 1 <= len(want) < engine.NUCLEUS_WINDOW   # nucleus fits window
+    # windowed sampler: every draw must come from exactly that set, and
+    # enough draws cover that the set is not strictly larger
+    key = jax.random.PRNGKey(0)
+    seen = set()
+    for _ in range(300):
+        key, tok = engine._sample_windowed(
+            key, logits, jnp.float32(1.0), jnp.float32(top_p), 0, False)
+        seen.add(int(tok[0]))
+    assert seen <= want, sorted(seen - want)[:5]
+    assert len(seen) >= min(len(want), 3)
+
+
 def test_sample_with_coin_matches_cdf_walk():
     """Explicit-coin sampler reproduces a hand-computed inverse-CDF draw."""
     logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
