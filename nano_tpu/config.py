@@ -151,6 +151,10 @@ class TrainConfig:
                                           # "bfloat16": halves that buffer
                                           # so faster remat policies fit
                                           # the 16 GB chip; None = f32)
+    max_resident_shards: Optional[int] = None
+                                          # bound loaded data shards (LRU)
+                                          # for TB-scale parts lists;
+                                          # None = keep all once touched
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

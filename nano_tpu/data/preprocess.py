@@ -82,6 +82,30 @@ def _drain_blocks(leftover: List[int], block_size: int, dtype, emit
     return leftover[n * w:]
 
 
+def _encoded_chunks(text_paths: Sequence[str], tokenizer: TrieTokenizer,
+                    chunk_chars: int, num_workers: int):
+    """Stream token-id lists for chunk_chars-sized text pieces, optionally
+    tokenizing on a worker pool.  The ONE reader/pool implementation
+    shared by the single-shard and TB-scale parts generators."""
+
+    def chunks():
+        for p in text_paths:
+            with open(p, "r", encoding="utf-8") as f:
+                while True:
+                    c = f.read(chunk_chars)
+                    if not c:
+                        break
+                    yield c
+
+    if num_workers > 1:
+        with Pool(num_workers, initializer=_init_worker,
+                  initargs=(tokenizer.config,)) as pool:
+            yield from pool.imap(_encode_chunk, chunks(), chunksize=1)
+    else:
+        for c in chunks():
+            yield tokenizer.encode(c)
+
+
 def generate_pretrain_dataset(
         text_paths: Sequence[str], tokenizer: TrieTokenizer, block_size: int,
         output_prefix: str, val_ratio: float = 0.05,
@@ -94,30 +118,12 @@ def generate_pretrain_dataset(
     rng = np.random.RandomState(seed)
     dtype = _id_dtype(tokenizer.vocab_size)
     blocks: List[np.ndarray] = []
-
-    def chunks():
-        for p in text_paths:
-            with open(p, "r", encoding="utf-8") as f:
-                while True:
-                    c = f.read(chunk_chars)
-                    if not c:
-                        break
-                    yield c
-
     leftover: List[int] = []
-    if num_workers > 1:
-        with Pool(num_workers, initializer=_init_worker,
-                  initargs=(tokenizer.config,)) as pool:
-            encoded = pool.imap(_encode_chunk, chunks(), chunksize=1)
-            for ids in encoded:
-                leftover.extend(ids)
-                leftover = _drain_blocks(leftover, block_size, dtype,
-                                         blocks.append)
-    else:
-        for c in chunks():
-            leftover.extend(tokenizer.encode(c))
-            leftover = _drain_blocks(leftover, block_size, dtype,
-                                     blocks.append)
+    for tok_ids in _encoded_chunks(text_paths, tokenizer, chunk_chars,
+                                   num_workers):
+        leftover.extend(tok_ids)
+        leftover = _drain_blocks(leftover, block_size, dtype,
+                                 blocks.append)
 
     if not blocks:
         raise ValueError("corpus too small for one block")
@@ -151,25 +157,6 @@ def generate_pretrain_dataset_parts(
     """
     rng = np.random.RandomState(seed)
     dtype = _id_dtype(tokenizer.vocab_size)
-
-    def chunks():
-        for p in text_paths:
-            with open(p, "r", encoding="utf-8") as f:
-                while True:
-                    c = f.read(chunk_chars)
-                    if not c:
-                        break
-                    yield c
-
-    def encoded_chunks():
-        if num_workers > 1:
-            with Pool(num_workers, initializer=_init_worker,
-                      initargs=(tokenizer.config,)) as pool:
-                yield from pool.imap(_encode_chunk, chunks(), chunksize=1)
-        else:
-            for c in chunks():
-                yield tokenizer.encode(c)
-
     train_tmp: List[str] = []
     val_tmp: List[str] = []
     part: List[np.ndarray] = []
@@ -196,7 +183,8 @@ def generate_pretrain_dataset_parts(
         if len(part) >= part_blocks:
             flush_part()
 
-    for tok_ids in encoded_chunks():
+    for tok_ids in _encoded_chunks(text_paths, tokenizer, chunk_chars,
+                                   num_workers):
         leftover.extend(tok_ids)
         leftover = _drain_blocks(leftover, block_size, dtype, _emit)
     flush_part()

@@ -866,10 +866,26 @@ def _attach_clf_dequant(params: Dict[str, Any], bm: "BinModel",
     src = bm.params.get("output")          # ours (E, V) when untied
     if src is not None:
         params["output_deq"] = jnp.asarray(np.ascontiguousarray(src), dtype)
-    else:
-        params["output_deq"] = jnp.asarray(
-            np.ascontiguousarray(np.asarray(
-                bm.params["tok_embeddings"], np.float32).T), dtype)
+        return
+    emb = bm.params.get("tok_embeddings")  # tied head: (V, E) dense
+    if emb is None:
+        # dense=False read: rebuild the table from the quantized copy,
+        # value-identical to what the dense reader would have produced
+        qt = bm.qparams.get("tok_embeddings") if bm.qparams else None
+        if qt is None:
+            raise ValueError(
+                "clf_dequant needs the dense embedding for a tied head; "
+                "re-read the file with dense=True or pass "
+                "clf_dequant='none'")
+        if hasattr(qt, "dequantize"):      # Q4K frame
+            emb = np.asarray(qt.dequantize(), np.float32)
+        else:                              # Q80 qt: same affine as dense
+            V, E = qt.q.shape
+            gs = bm.header.group_size
+            emb = (qt.q.astype(np.float32).reshape(V, E // gs, gs)
+                   * qt.scale.reshape(V, E // gs)[..., None]).reshape(V, E)
+    params["output_deq"] = jnp.asarray(
+        np.ascontiguousarray(np.asarray(emb, np.float32).T), dtype)
 
 
 def repack(in_path: str, out_path: str, quant: str = "q4k",

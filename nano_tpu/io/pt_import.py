@@ -94,10 +94,37 @@ class _ShimUnpickler(pickle.Unpickler):
     def find_class(self, module: str, name: str):
         if name in ("ModelConfig", "TrainConfig"):
             return _ConfigShim
-        if (module == "torch" or module.startswith("torch.")
-                or module == "numpy" or module.startswith("numpy.")
-                or (module, name) in _ALLOWED_GLOBALS):
+        if (module, name) in _ALLOWED_GLOBALS:
             return super().find_class(module, name)
+        # torch/numpy internals, resolve-then-type-check: a bare module
+        # prefix trust would admit code-executing callables (torch.hub.
+        # load, numpy.load, ...).  Resolving a global never calls it.
+        if module == "torch._utils" and name.startswith("_rebuild_"):
+            return super().find_class(module, name)
+        if module == "torch":
+            import torch as _t
+            obj = super().find_class(module, name)
+            if (isinstance(obj, _t.dtype) or name in ("Size", "Tensor")
+                    or (isinstance(obj, type) and name.endswith("Storage"))):
+                return obj
+        elif module in ("torch.storage",):
+            if name in ("TypedStorage", "_TypedStorage", "UntypedStorage"):
+                return super().find_class(module, name)
+        elif module in ("numpy.core.multiarray", "numpy._core.multiarray"):
+            if name in ("_reconstruct", "scalar"):
+                return super().find_class(module, name)
+        elif module == "numpy":
+            import numpy as _np
+            obj = super().find_class(module, name)
+            if obj is _np.ndarray or obj is _np.dtype or (
+                    isinstance(obj, type) and issubclass(obj, _np.generic)):
+                return obj
+        elif module == "numpy.dtypes":
+            # numpy>=1.25 dtype classes (the module holds nothing else)
+            return super().find_class(module, name)
+        elif module in ("numpy.core.numeric", "numpy._core.numeric"):
+            if name == "_frombuffer":
+                return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"refusing to unpickle {module}.{name}: .pt checkpoints may "
             "only reference torch/numpy tensor internals and plain "

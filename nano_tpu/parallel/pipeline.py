@@ -143,9 +143,15 @@ def make_pp_loss(cfg: ModelConfig, mesh: Mesh, dtype=jnp.bfloat16,
         def tick(carry, t):
             state, outputs = carry
             mb_idx = jnp.clip(t, 0, M - 1)
-            h0 = embed_mb(lax.dynamic_index_in_dim(
-                x_mb, mb_idx, keepdims=False))
-            inp = jnp.where(stage == 0, h0, state)
+            # embed only on stage 0 (same runtime-stage lax.cond pattern
+            # as head_ce; no collectives inside): every other stage was
+            # paying the (V, E) row gather forward and a zero-cotangent
+            # scatter-add into the embedding grad backward, per tick
+            inp = lax.cond(
+                stage == 0,
+                lambda: embed_mb(lax.dynamic_index_in_dim(
+                    x_mb, mb_idx, keepdims=False)),
+                lambda: state)
             out = local_forward(blocks_local, inp, cos, sin, mask)
             # the last stage banks one finished microbatch per tick once
             # the pipeline is full (tick >= P-1)

@@ -30,32 +30,90 @@ from nano_tpu.data.preprocess import load_shard, read_base64_dataset
 MASK_TOKEN_ID = 7  # <|nano_meta_0|> (reference: train.py:26)
 
 
+def _npz_rows(path: str) -> int:
+    """Row count of the 'ids' member from its .npy header alone — no
+    decompression (np.load(npz)['ids'] materializes the full matrix,
+    and npz members cannot be mmapped)."""
+    import zipfile
+    from numpy.lib import format as npfmt
+    with zipfile.ZipFile(path) as z, z.open("ids.npy") as f:
+        ver = npfmt.read_magic(f)
+        read_hdr = (npfmt.read_array_header_1_0 if ver == (1, 0)
+                    else npfmt.read_array_header_2_0)
+        shape, _, _ = read_hdr(f)
+    return shape[0]
+
+
 class _Shard:
+    """Lazily-materialized shard: construction reads only the row count
+    (npz header), token data loads on first access and can be released —
+    so a TB-scale parts list (generate_pretrain_dataset_parts) never
+    holds more than DataLoader.max_resident parts in RAM at once.
+    The reference base64-line format has no cheap header; it loads
+    eagerly (reference-compat small files)."""
+
     def __init__(self, path: str):
         self.path = path
+        self._ids: Optional[np.ndarray] = None
+        self._mask: Optional[np.ndarray] = None
         if path.endswith(".npz"):
-            self.ids, self.mask = load_shard(path)
+            self.n = _npz_rows(path)
         else:  # reference base64-line format
-            self.ids, self.mask = read_base64_dataset(path)
-        self.n = len(self.ids)
+            self._ids, self._mask = read_base64_dataset(path)
+            self.n = len(self._ids)
+
+    def _load(self) -> None:
+        if self._ids is None:
+            self._ids, self._mask = load_shard(self.path)
+
+    @property
+    def ids(self) -> np.ndarray:
+        self._load()
+        return self._ids
+
+    @property
+    def mask(self) -> Optional[np.ndarray]:
+        self._load()
+        return self._mask
+
+    def release(self) -> None:
+        if self.path.endswith(".npz"):
+            self._ids = self._mask = None
 
 
 class DataLoader:
-    """Curriculum loader over token shards."""
+    """Curriculum loader over token shards.
+
+    ``max_resident`` bounds how many shards stay materialized (LRU;
+    None = keep every shard once touched, the right default for the
+    common several-file case)."""
 
     def __init__(self, filepath_list: Sequence[str], seed: int = 39,
-                 shuffle: bool = False):
+                 shuffle: bool = False,
+                 max_resident: Optional[int] = None):
         assert len(filepath_list) > 0
         self.shards = [_Shard(p) for p in filepath_list]
         self.course = 0
         self.pos = 0
         self.epoch = 0
         self.shuffle = shuffle
+        self.max_resident = max_resident
+        self._resident: List[int] = []
         self._rng = np.random.RandomState(seed)
         self._orders = [np.arange(s.n) for s in self.shards]
         if shuffle:
             for o in self._orders:
                 self._rng.shuffle(o)
+
+    def _touch(self, i: int) -> None:
+        """LRU residency bookkeeping for shard i (about to be read)."""
+        if self.max_resident is None:
+            return
+        if i in self._resident:
+            self._resident.remove(i)
+        self._resident.append(i)
+        while len(self._resident) > self.max_resident:
+            self.shards[self._resident.pop(0)].release()
 
     def _advance_course(self) -> None:
         self.course += 1
@@ -78,6 +136,7 @@ class DataLoader:
             if self.pos >= shard.n:
                 self._advance_course()
                 continue
+            self._touch(self.course)
             take = min(need, shard.n - self.pos)
             sel = order[self.pos:self.pos + take]
             ids = shard.ids[sel]
@@ -93,10 +152,9 @@ class DataLoader:
                 self._advance_course()
 
         def fit(a, w):  # batches may span shards of different widths
+            # w is the running max over the parts, so only padding occurs
             if a.shape[1] == w:
                 return a
-            if a.shape[1] > w:
-                return a[:, :w]
             return np.pad(a, ((0, 0), (0, w - a.shape[1])))
 
         return (np.concatenate([fit(a, width) for a in ids_parts]
@@ -123,7 +181,11 @@ class DataLoader:
             p = self._rng.rand(batch_size, 1)
             noise = self._rng.rand(batch_size, block_size) < p
             x[noise] = MASK_TOKEN_ID
-            return x, y, m.astype(np.int32)
+            # loss trains ONLY on corrupted positions (the reference's
+            # intent, train.py:106-108 — its mean-reduction makes the
+            # mask a no-op, a known bug we fix; SURVEY row 18).  The
+            # shard/pad validity mask still gates out padding.
+            return x, y, (noise & (m > 0)).astype(np.int32)
         if is_causal:
             x = ids[:, 0:block_size]
             y = ids[:, 1:block_size + 1]
@@ -167,7 +229,9 @@ class DataLoader:
             if st[4] is not None:
                 self._orders = [o.copy() for o in st[4]]
 
-    def skip_batches(self, n: int, batch_size: int) -> None:
+    def skip_batches(self, n: int, batch_size: int,
+                     denoise: bool = False,
+                     block_size: Optional[int] = None) -> None:
         """Fast-forward the stream by index arithmetic (resume replay,
         reference: train.py:374-377).
 
@@ -175,8 +239,23 @@ class DataLoader:
         — including the per-epoch reshuffles — but gathers no data: a
         resume at step 100k previously re-read the entire dataset
         through fancy-indexing just to discard it.
+
+        ``denoise`` replays get_batch's two RNG draws per batch as well
+        (corruption rate + noise pattern, in stream order relative to
+        the epoch reshuffles) so a resumed denoise run continues the
+        exact uninterrupted trajectory — skipping rows alone would leave
+        the RNG cursor offset and desync every later reshuffle too.
         """
-        remaining = n * batch_size
+        if denoise:
+            assert block_size is not None, "denoise replay needs block_size"
+            for _ in range(n):
+                self._skip_rows(batch_size)
+                self._rng.rand(batch_size, 1)
+                self._rng.rand(batch_size, block_size)
+            return
+        self._skip_rows(n * batch_size)
+
+    def _skip_rows(self, remaining: int) -> None:
         while remaining > 0:
             shard = self.shards[self.course]
             if self.pos >= shard.n:

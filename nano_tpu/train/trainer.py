@@ -136,6 +136,7 @@ class Trainer:
         self.train_data: Optional[DataLoader] = None
         self.val_data: Optional[DataLoader] = None
         self.best_val_loss = float("inf")
+        self._pending_skip = 0          # continued-pretrain replay batches
         self.forced_save_every = 1000   # reference: train.py:391-396
         self.loss_history: list = []
 
@@ -218,7 +219,9 @@ class Trainer:
         if resume:
             ck = ckpt_io.Checkpoint(resume)
             self.model_config = mc = ModelConfig.from_dict(ck.model_config)
-            self.tokenizer = TrieTokenizer.from_config_dict(ck.tokenizer_config)
+            # a run saved without a tokenizer stores tokenizer_config=None
+            self.tokenizer = (TrieTokenizer.from_config_dict(
+                ck.tokenizer_config) if ck.tokenizer_config else None)
             # structure/dtype template only — eval_shape materializes
             # nothing (a real init_params would allocate and randomize
             # the full model just to be overwritten)
@@ -337,14 +340,17 @@ class Trainer:
         assert tc.dataset_path, "train_config.dataset_path required"
         train_files = [p[0] for p in tc.dataset_path]
         val_files = [p[1] for p in tc.dataset_path]
-        self.train_data = DataLoader(train_files, seed=tc.random_seed)
-        self.val_data = DataLoader(val_files, seed=tc.random_seed)
+        self.train_data = DataLoader(train_files, seed=tc.random_seed,
+                                     max_resident=tc.max_resident_shards)
+        self.val_data = DataLoader(val_files, seed=tc.random_seed,
+                                   max_resident=tc.max_resident_shards)
         self.log(f"dataset: {self.train_data.total_samples:,} train / "
                  f"{self.val_data.total_samples:,} val samples")
         if self.is_continued_pretrain and self.step_count > 0:
-            n_skip = self.step_count * tc.gradient_accumulation_steps
-            self.log(f"replaying {n_skip} batches for continued pretrain")
-            self.train_data.skip_batches(n_skip, tc.batch_size)
+            # deferred to _run(): denoise replay must also burn the RNG
+            # draws get_batch made, and denoise-ness is only known there
+            self._pending_skip = self.step_count * \
+                tc.gradient_accumulation_steps
 
     # ------------------------------------------------------------
     def _get_accum_batch(self, denoise: bool = False):
@@ -410,6 +416,13 @@ class Trainer:
 
     def _run(self, denoise: bool = False) -> None:
         tc = self.train_config
+        if self._pending_skip:
+            self.log(f"replaying {self._pending_skip} batches for "
+                     f"continued pretrain")
+            self.train_data.skip_batches(
+                self._pending_skip, tc.batch_size, denoise=denoise,
+                block_size=self.model_config.block_size)
+            self._pending_skip = 0
         trainable = self.lora if tc.use_lora else self.params
         frozen = self.params if tc.use_lora else None
 

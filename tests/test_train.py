@@ -442,14 +442,20 @@ def test_dataloader_seq2seq_short_output_masked(tmp_path):
 def test_dataloader_denoise_pads_to_block(tmp_path):
     """Denoise batches are always (B, block_size) with pad mask 0 —
     ragged widths previously crashed np.stack across microbatches."""
-    ids = (np.arange(4 * 10, dtype=np.uint16) % 50 + 1).reshape(4, 10)
+    # token ids avoid MASK_TOKEN_ID (7) so x==MASK detects corruption
+    ids = (np.arange(4 * 10, dtype=np.uint16) % 50 + 10).reshape(4, 10)
     p = str(tmp_path / "dn.npz")
     preprocess.save_shard(p, ids)
     dl = DataLoader([p])
     x, y, m = dl.get_batch(4, 16, denoise=True)
     assert x.shape == y.shape == m.shape == (4, 16)
-    assert (m[:, 10:] == 0).all()
-    assert m[:, :10].all()
+    assert (m[:, 10:] == 0).all()          # pad positions never train
+    # the loss mask is the CORRUPTION mask (the reference's intended
+    # objective, train.py:106-108): exactly the positions replaced by
+    # MASK_TOKEN_ID within the valid region
+    from nano_tpu.train.data import MASK_TOKEN_ID
+    assert (m[:, :10].astype(bool) == (x[:, :10] == MASK_TOKEN_ID)).all()
+    assert m.any()                          # some positions were noised
     assert (y[:, :10] == ids[:, :10].astype(np.int32)).all()
 
 
@@ -474,3 +480,52 @@ def test_skip_batches_arithmetic_matches_take(tmp_path):
     x2, y2, m2 = fast.get_batch(4, 8)
     np.testing.assert_array_equal(x1, x2)
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_skip_batches_denoise_replays_rng(tmp_path):
+    """Denoise resume replay burns the SAME RNG draws get_batch made, so
+    the post-skip stream (noise patterns AND later reshuffle orders) is
+    bit-identical to an uninterrupted run."""
+    ids = (np.arange(6 * 9, dtype=np.uint16) % 50 + 10).reshape(6, 9)
+    p = str(tmp_path / "dn2.npz")
+    preprocess.save_shard(p, ids)
+
+    slow = DataLoader([p], seed=11, shuffle=True)
+    for _ in range(5):
+        slow.get_batch(4, 8, denoise=True)   # real draws, incl. reshuffles
+    fast = DataLoader([p], seed=11, shuffle=True)
+    fast.skip_batches(5, 4, denoise=True, block_size=8)
+
+    assert (fast.course, fast.pos, fast.epoch) == \
+        (slow.course, slow.pos, slow.epoch)
+    for _ in range(3):                       # crosses another epoch edge
+        x1, y1, m1 = slow.get_batch(4, 8, denoise=True)
+        x2, y2, m2 = fast.get_batch(4, 8, denoise=True)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+        np.testing.assert_array_equal(m1, m2)
+
+
+def test_dataloader_lazy_shards_bounded_residency(tmp_path):
+    """Shards materialize on first touch only, and max_resident evicts
+    LRU — the TB-scale parts pipeline never holds every part in RAM."""
+    paths = []
+    for i in range(4):
+        ids = (np.arange(6 * 9, dtype=np.uint16) % 50 + i).reshape(6, 9)
+        p = str(tmp_path / f"part{i}.npz")
+        preprocess.save_shard(p, ids)
+        paths.append(p)
+    dl = DataLoader(paths, max_resident=2)
+    # construction reads only headers
+    assert all(s._ids is None for s in dl.shards)
+    assert [s.n for s in dl.shards] == [6, 6, 6, 6]
+    seen = []
+    for _ in range(4):                     # walk all four courses
+        x, y, m = dl.get_batch(6, 8)
+        seen.append(x.copy())
+        assert sum(s._ids is not None for s in dl.shards) <= 2
+    # data identical to an unbounded loader
+    dl2 = DataLoader(paths)
+    for want in seen:
+        x, _, _ = dl2.get_batch(6, 8)
+        np.testing.assert_array_equal(x, want)
