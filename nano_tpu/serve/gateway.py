@@ -35,6 +35,28 @@ import threading
 logger = logging.getLogger("nano_tpu.gateway")
 
 
+def _legacy_prompt(message: str) -> str:
+    """Reference length-prefix framing: 'NNNNN|prompt'
+    (nano_ws_client.html:28; main_wss.c:50 reads from index 6).
+    Tolerates the separator-less variant from older probes."""
+    n = int(message[:5])
+    start = 6 if message[5:6] == "|" else 5
+    return message[start:start + n]
+
+
+def _is_stop(message) -> bool:
+    """Mid-stream interrupt (reference Mio: infer/web/server.py:258-266):
+    {"stop": true} or "STOP".  Same contract as wss.WSServer._is_stop."""
+    if isinstance(message, bytes):
+        message = message.decode("utf-8", errors="replace")
+    if message.strip() == "STOP":
+        return True
+    try:
+        return bool(json.loads(message).get("stop"))
+    except Exception:
+        return False
+
+
 class _Gateway:
     """Shared WebSocket protocol; subclasses provide _generate_stream
     returning (iterator-of-text-pieces, error-list)."""
@@ -42,60 +64,120 @@ class _Gateway:
     MAX_NEW_TOKENS = 65536     # cap unvalidated client requests
 
     async def handle(self, websocket):
-        async for message in websocket:
+        pending: list = []         # pipelined frames read mid-stream
+        while True:
+            if pending:
+                message = pending.pop(0)
+            else:
+                try:
+                    message = await websocket.recv()
+                except Exception:
+                    break
+            if _is_stop(message):
+                continue           # stray stop outside a generation
             try:
-                if isinstance(message, bytes):     # binary frames carry
-                    message = message.decode(      # the same protocols
-                        "utf-8", errors="replace")
-                req = json.loads(message) if message.lstrip().startswith("{") \
-                    else {"prompt": message[5:5 + int(message[:5])]}
-                if isinstance(req, dict):
-                    ctrl = await self._control(req)
-                    if ctrl is not None:
-                        await websocket.send(
-                            json.dumps(ctrl, ensure_ascii=False))
-                        continue
-                async with self.lock:
-                    streamer, err, stop = self._generate_stream(
-                        req.get("prompt", ""), bool(req.get("template", True)),
-                        min(int(req.get("max_new_tokens", 256)),
-                            self.MAX_NEW_TOKENS),
-                        float(req.get("temperature", 1.0)),
-                        float(req.get("top_p", 0.8)),
-                        float(req.get("repetition_penalty", 1.05)))
-                    loop = asyncio.get_running_loop()
-                    it = iter(streamer)
-                    ended = False
-                    try:
-                        while True:
-                            piece = await loop.run_in_executor(
-                                None, lambda: next(it, None))
-                            if piece is None:
-                                ended = True
-                                break
-                            if piece:
-                                await websocket.send(json.dumps(
-                                    {"text": piece}, ensure_ascii=False))
-                    finally:
-                        if not ended:
-                            # client went away mid-stream: the generation
-                            # must not keep running after the lock frees
-                            # (the next request would generate
-                            # concurrently) — signal stop and drain the
-                            # remaining pieces until the backend ends
-                            stop()
-                            await loop.run_in_executor(
-                                None, lambda: all(False for _ in it))
-                    if err:
-                        raise err[0]
-                    await websocket.send(json.dumps({"done": True,
-                                                     "reason": "stop"}))
+                pending.extend(
+                    await self._serve(websocket, message) or [])
             except Exception as e:   # pragma: no cover - network edge
                 logger.exception("gateway request failed")
                 try:
                     await websocket.send(json.dumps({"error": str(e)}))
                 except Exception:
                     break
+
+    async def _serve(self, websocket, message):
+        """One generation (or control reply).  Watches the socket while
+        streaming so a mid-stream {"stop": true} interrupts the backend
+        (the UI's Stop button; reference Mio supports the same) instead
+        of queueing up as a bogus empty-prompt generation.  Returns
+        pipelined non-stop frames for handle() to process next."""
+        if isinstance(message, bytes):         # binary frames carry
+            message = message.decode(          # the same protocols
+                "utf-8", errors="replace")
+        req = json.loads(message) if message.lstrip().startswith("{") \
+            else {"prompt": _legacy_prompt(message)}
+        if isinstance(req, dict):
+            ctrl = await self._control(req)
+            if ctrl is not None:
+                await websocket.send(json.dumps(ctrl, ensure_ascii=False))
+                return []
+        pending: list = []
+        async with self.lock:
+            streamer, err, stop = self._generate_stream(
+                req.get("prompt", ""), bool(req.get("template", True)),
+                min(int(req.get("max_new_tokens", 256)),
+                    self.MAX_NEW_TOKENS),
+                float(req.get("temperature", 1.0)),
+                float(req.get("top_p", 0.8)),
+                float(req.get("repetition_penalty", 1.05)))
+            loop = asyncio.get_running_loop()
+            it = iter(streamer)
+            ended = False
+            interrupted = False
+            client_gone = False
+            recv_task = asyncio.create_task(websocket.recv())
+            try:
+                while True:
+                    piece_task = asyncio.ensure_future(
+                        loop.run_in_executor(None, lambda: next(it, None)))
+                    while not piece_task.done():
+                        waiters = {piece_task}
+                        if not interrupted and not recv_task.done():
+                            waiters.add(recv_task)
+                        done, _ = await asyncio.wait(
+                            waiters, return_when=asyncio.FIRST_COMPLETED)
+                        if recv_task in done and not interrupted:
+                            try:
+                                msg = recv_task.result()
+                            except Exception:
+                                msg = None
+                                interrupted = client_gone = True
+                            if msg is not None:
+                                if _is_stop(msg):
+                                    interrupted = True
+                                else:  # pipelined request: queue it
+                                    pending.append(msg)
+                                    recv_task = asyncio.create_task(
+                                        websocket.recv())
+                            if interrupted:
+                                stop()   # backend ends; drain below
+                    piece = piece_task.result()
+                    if piece is None:
+                        ended = True
+                        break
+                    if piece and not interrupted:
+                        await websocket.send(json.dumps(
+                            {"text": piece}, ensure_ascii=False))
+                if err:
+                    raise err[0]
+                if not client_gone:
+                    await websocket.send(json.dumps(
+                        {"done": True,
+                         "reason": "interrupted" if interrupted
+                         else "stop"}))
+            finally:
+                if not recv_task.done():
+                    recv_task.cancel()
+                    try:
+                        await recv_task     # two concurrent recv() calls
+                    except BaseException:   # are forbidden: await the
+                        pass                # cancel (not an Exception)
+                else:
+                    try:
+                        m = recv_task.result()
+                        if m is not None:
+                            pending.append(m)   # stray stops filtered
+                    except Exception:           # by handle()
+                        pass
+                if not ended:
+                    # an exception escaped mid-stream: the generation
+                    # must not keep running after the lock frees (the
+                    # next request would generate concurrently) —
+                    # signal stop and drain until the backend ends
+                    stop()
+                    await loop.run_in_executor(
+                        None, lambda: all(False for _ in it))
+        return pending
 
     async def _control(self, req: dict):
         """Non-generation requests (model registry queries etc.).

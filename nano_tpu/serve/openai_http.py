@@ -221,6 +221,8 @@ class OpenAIServer:
             await pool.release_stream(engine, slot)
         if not scan.hit:
             text += scan.feed(sdec.flush()) + scan.flush()
+            if scan.hit:     # stop completed inside the held-back tail
+                reason = "stop"
         usage = {"prompt_tokens": len(ids), "completion_tokens": n_toks,
                  "total_tokens": len(ids) + n_toks}
         choice = ({"index": 0, "finish_reason": reason,
@@ -283,6 +285,8 @@ class OpenAIServer:
             await pool.release_stream(engine, slot)
         if alive:
             tail = "" if scan.hit else scan.feed(sdec.flush()) + scan.flush()
+            if scan.hit:     # stop completed inside the held-back tail
+                reason = "stop"
             if tail:
                 alive = await sse(chunk(tail, None))
         if alive:
@@ -322,50 +326,19 @@ async def serve_http(ctx, host: str = "0.0.0.0", port: int = 8000,
 
 
 def main():
+    from nano_tpu.serve.cli import add_engine_args, build_ctx
     ap = argparse.ArgumentParser(
         description="OpenAI-compatible HTTP server for .bin models")
-    ap.add_argument("--model", required=True, help=".bin model path")
-    ap.add_argument("--lora", default=None, action="append",
-                    help="LoRA .bin; bare path = attach to the base, "
-                         "name=path (repeatable) = serve as a routable "
-                         "variant (request field \"model\": name)")
-    ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--slots", type=int, default=8)
-    ap.add_argument("--burst", type=int, default=1)
-    ap.add_argument("--replicas", type=int, default=1)
-    ap.add_argument("--max_seq_len", type=int, default=None)
-    ap.add_argument("--kv_cache", choices=["bf16", "int8"], default="int8")
-    ap.add_argument("--spec", type=int, default=0, metavar="K")
-    ap.add_argument("--warmup", action="store_true")
-    ap.add_argument("-t", "--temperature", type=float, default=1.0)
-    ap.add_argument("-p", "--top_p", type=float, default=0.8)
-    ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
+    add_engine_args(ap, port=8000)
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    from nano_tpu.infer import engine
-    from nano_tpu.ops import sampling
-    import jax.numpy as jnp
-    ctx = engine.LLMContext.from_bin(
-        args.model, max_seq_len=args.max_seq_len,
-        kv_cache_dtype=jnp.int8 if args.kv_cache == "int8" else None,
-        spec_k=args.spec,
-        sampler=sampling.SamplerConfig(
-            temperature=args.temperature, top_p=args.top_p,
-            repetition_penalty=args.repetition_penalty))
-    adapters = {}
-    for entry in args.lora or []:
-        if "=" in entry:
-            name, path = entry.split("=", 1)
-            adapters[name] = path
-        else:
-            ctx.load_lora(entry)
+    ctx, adapters = build_ctx(args)
     asyncio.run(serve_http(ctx, args.host, args.port, args.slots,
                            burst=args.burst, replicas=args.replicas,
                            warmup=args.warmup,
                            model_name=os.path.basename(args.model),
-                           adapters=adapters or None))
+                           adapters=adapters))
 
 
 if __name__ == "__main__":

@@ -326,10 +326,13 @@ class WSServer:
                 conn["model"] = req["model"]   # sticky, like switch_model
             json_mode = True
         else:
-            # reference protocol: 5-digit length prefix + prompt
-            # (infer/main_wss.c:41-52)
+            # reference protocol: 5-digit length prefix, '|', prompt
+            # (nano_ws_client.html:28 builds `${len}|${prompt}`;
+            # infer/main_wss.c:50 reads chars from w_input[i+6]).
+            # Tolerate a separator-less variant from older probes.
             n = int(message[:5])
-            prompt = message[5:5 + n]
+            start = 6 if message[5:6] == "|" else 5
+            prompt = message[start:start + n]
 
         # BPE-encoding a long prompt is pure Python — off the loop, or
         # every other stream's sends stall behind it
@@ -467,68 +470,19 @@ async def serve(ctx, host: str = "0.0.0.0", port: int = 8080,
 
 
 def main():
+    from nano_tpu.serve.cli import add_engine_args, build_ctx
     ap = argparse.ArgumentParser(description="Nano TPU WebSocket server")
-    ap.add_argument("--model", required=True, help=".bin model path")
-    ap.add_argument("--lora", default=None, action="append",
-                    help="LoRA .bin; bare path = attach to the base "
-                         "model, name=path (repeatable) = serve it as a "
-                         "selectable variant sharing the base weights "
-                         "(route with {\"model\": name} / switch_model)")
-    ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("--slots", type=int, default=8)
-    ap.add_argument("--burst", type=int, default=1,
-                    help="tokens decoded per dispatch (multi-step "
-                         "scheduling; higher = more throughput, chunkier "
-                         "streaming)")
-    ap.add_argument("--replicas", type=int, default=1,
-                    help="data-parallel serving: copy the model to N "
-                         "devices, one continuous-batching engine each")
-    ap.add_argument("--max_seq_len", type=int, default=None)
-    ap.add_argument("--kv_cache", default="int8", choices=["model", "int8"],
-                    help="int8 (the serving default) halves KV-cache HBM "
-                         "and lifted 32-slot aggregate throughput 57%% at "
-                         "the 0.6B shape (PERF.md); 'model' keeps the "
-                         "model dtype for C-engine value parity")
-    ap.add_argument("--warmup", action="store_true",
-                    help="pre-compile every prefill/decode bucket before "
-                         "accepting connections (a few minutes on a cold "
-                         "compile cache; no client then hits an XLA "
-                         "compile pause)")
+    add_engine_args(ap, port=8080)
     ap.add_argument("--no_template", action="store_true")
-    ap.add_argument("-t", "--temperature", type=float, default=1.0)
-    ap.add_argument("-p", "--top_p", type=float, default=0.8)
-    ap.add_argument("-r", "--repetition_penalty", type=float, default=1.05)
-    ap.add_argument("--spec", type=int, default=0, metavar="K",
-                    help="speculative serving: draft K tokens per slot by "
-                         "n-gram prompt lookup; greedy streams (any "
-                         "rep-penalty) emit up to K+1 tokens per sweep with "
-                         "identical output (serve/batching.py)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    from nano_tpu.infer import engine
-    from nano_tpu.ops import sampling
-    import jax.numpy as jnp
-    ctx = engine.LLMContext.from_bin(
-        args.model, max_seq_len=args.max_seq_len,
-        kv_cache_dtype=jnp.int8 if args.kv_cache == "int8" else None,
-        spec_k=args.spec,
-        sampler=sampling.SamplerConfig(
-            temperature=args.temperature, top_p=args.top_p,
-            repetition_penalty=args.repetition_penalty))
-    adapters = {}
-    for entry in args.lora or []:
-        if "=" in entry:
-            name, path = entry.split("=", 1)
-            adapters[name] = path
-        else:
-            ctx.load_lora(entry)       # attach to the base, as before
+    ctx, adapters = build_ctx(args)
     asyncio.run(serve(ctx, args.host, args.port, args.slots,
                       template=not args.no_template, burst=args.burst,
                       replicas=args.replicas, warmup=args.warmup,
                       model_name=os.path.basename(args.model),
-                      adapters=adapters or None))
+                      adapters=adapters))
 
 
 if __name__ == "__main__":

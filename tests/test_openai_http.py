@@ -339,3 +339,59 @@ def test_bpe_chat_template_messages_structure():
     assert two[-6:] == [bpe.QWEN_THINK_OPEN, bpe.QWEN_NEWLINE,
                         bpe.QWEN_NEWLINE, bpe.QWEN_THINK_CLOSE,
                         bpe.QWEN_NEWLINE, bpe.QWEN_NEWLINE]
+
+
+def test_stop_completed_in_flush_tail_reports_stop(tmp_path, monkeypatch):
+    """A stop sequence that only materializes when the UTF-8 stream
+    decoder flushes its held-back tail must still report
+    finish_reason="stop" (the text IS truncated either way — reason and
+    truncation must agree)."""
+
+    class HoldAll:
+        """Decoder that emits nothing until flush — the extreme case of
+        a held-back multi-byte tail."""
+        def __init__(self, tok):
+            self.tok = tok
+            self.toks = []
+
+        def feed(self, t):
+            self.toks.append(t)
+            return ""
+
+        def flush(self):
+            out = self.tok.decode(self.toks)
+            self.toks = []
+            return out
+
+    async def run():
+        client = _make_client(tmp_path)
+        await client.start_server()
+        try:
+            base = {"prompt": "abcd", "max_tokens": 6, **GREEDY}
+            r = await client.post("/v1/completions", json=base)
+            full = (await r.json())["choices"][0]["text"]
+            stop = full[2:4]
+            idx = full.find(stop)
+
+            # now hold the whole reply back until the flush
+            from nano_tpu.infer.engine import LLMContext
+            monkeypatch.setattr(LLMContext, "stream_decoder",
+                                lambda self: HoldAll(self.tokenizer))
+            for stream in (False, True):
+                r = await client.post(
+                    "/v1/completions",
+                    json={**base, "stop": stop, "stream": stream})
+                if stream:
+                    events = await _sse_events(r)
+                    text = "".join(e["choices"][0]["text"]
+                                   for e in events[:-2])
+                    reason = events[-2]["choices"][0]["finish_reason"]
+                else:
+                    out = (await r.json())["choices"][0]
+                    text, reason = out["text"], out["finish_reason"]
+                assert text == full[:idx]
+                assert reason == "stop"      # pre-fix: "length"
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -140,7 +140,9 @@ def test_wss_server_end_to_end(tmp_path, proto):
             port = list(ws_srv.sockets)[0].getsockname()[1]
             async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
                 if proto == "reference":
-                    await c.send(f"{6:05d}abcdef")
+                    # true reference framing: 'NNNNN|prompt'
+                    # (nano_ws_client.html:28)
+                    await c.send(f"{6:05d}|abcdef")
                     chunks = []
                     while True:
                         m = await asyncio.wait_for(c.recv(), 60)
@@ -474,6 +476,7 @@ def test_wss_reference_proto_survives_buffering_decoder(tmp_path,
         async with websockets.serve(server.handle, "127.0.0.1", 0) as srv:
             port = list(srv.sockets)[0].getsockname()[1]
             async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                # separator-less legacy variant (tolerated framing)
                 await c.send(f"{6:05d}abcdef")
                 chunks = []
                 while True:
@@ -1060,3 +1063,69 @@ def test_wss_slot_recovery_after_transport_abort(tmp_path):
             return True
 
     assert asyncio.run(run())
+
+
+def test_gateway_midstream_stop_and_legacy_separator():
+    """Gateway interrupts on a mid-stream {"stop": true} (the UI Stop
+    button; reference Mio: infer/web/server.py:258-266) instead of
+    queueing it as a bogus empty-prompt generation, and parses the
+    reference 'NNNNN|prompt' legacy framing (nano_ws_client.html:28)."""
+    websockets = pytest.importorskip("websockets")
+    import threading
+    import time
+    from nano_tpu.serve import gateway
+
+    assert gateway._legacy_prompt("00003|abc") == "abc"
+    assert gateway._legacy_prompt("00003abc") == "abc"   # tolerated
+
+    class SlowGateway(gateway._Gateway):
+        def __init__(self):
+            self.lock = asyncio.Lock()
+            self.calls = []
+
+        def _generate_stream(self, prompt, template, max_new_tokens,
+                             temperature, top_p, repetition_penalty):
+            self.calls.append(prompt)
+            ev = threading.Event()
+
+            def gen():
+                for i in range(max_new_tokens):
+                    if ev.is_set():
+                        return
+                    time.sleep(0.02)
+                    yield f"t{i} "
+            return gen(), [], ev.set
+
+    gw = SlowGateway()
+
+    async def run():
+        async with websockets.serve(gw.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                # stray stop while idle: ignored, no generation fired
+                await c.send(json.dumps({"stop": True}))
+                await c.send(json.dumps({"prompt": "long", "template": False,
+                                         "max_new_tokens": 5000}))
+                m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                assert m["text"].startswith("t0")
+                await c.send(json.dumps({"stop": True}))
+                t0 = time.time()
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done"):
+                        assert m["reason"] == "interrupted"
+                        break
+                assert time.time() - t0 < 30   # not 5000 pieces later
+                # slot is free and the stop did not become a request:
+                # a legacy-framed follow-up streams normally
+                await c.send(f"{5:05d}|hello")
+                texts = []
+                while True:
+                    m = json.loads(await asyncio.wait_for(c.recv(), 60))
+                    if m.get("done"):
+                        assert m["reason"] == "stop"
+                        break
+                    texts.append(m["text"])
+                assert len(texts) == 256      # default max_new_tokens
+                assert gw.calls == ["long", "hello"]
+    asyncio.run(run())

@@ -32,6 +32,7 @@ const NanoASR = (() => {
   // offline backend: mic -> 16 kHz s16le PCM -> voice_ws.py -> text
   function serverBackend(url) {
     let ws = null, ctx = null, node = null, stream = null;
+    let stopRequested = false;   // stop() raced an in-flight start()
     const RATE = 16000;
     async function cleanup() {
       if (node) { try { node.disconnect(); } catch (e) {} node = null; }
@@ -44,6 +45,7 @@ const NanoASR = (() => {
     return {
       name: "server",
       async start(onText, onState) {
+        stopRequested = false;
         try {
           ws = new WebSocket(url);
           ws.binaryType = "arraybuffer";
@@ -51,11 +53,15 @@ const NanoASR = (() => {
             ws.onopen = res;
             ws.onerror = () => rej(new Error("voice bridge unreachable"));
           });
+          // bridge dies / hangs up without a transcript: never leave
+          // the mic hot waiting for a reply that cannot come
+          ws.onclose = async () => { await cleanup(); onState("idle"); };
           ws.onmessage = async ev => {
             if (typeof ev.data !== "string") return;
             const m = JSON.parse(ev.data);
             if (m.type === "asr") { onText(m.text || "", true); onState("idle"); }
             else if (m.type === "error") onState("error: " + m.error);
+            ws.onclose = null;        // normal end: keep the final state
             ws.close();
             await cleanup();
           };
@@ -77,6 +83,11 @@ const NanoASR = (() => {
           src.connect(node);
           node.connect(ctx.destination);   // keep the node pulled
           ws.send(JSON.stringify({ type: "start", rate: RATE }));
+          if (stopRequested) {      // user hit stop during connect/mic
+            ws.send(JSON.stringify({ type: "stop" }));
+            onState("processing");
+            return;
+          }
           onState("listening");
         } catch (e) {
           await cleanup();
@@ -86,7 +97,10 @@ const NanoASR = (() => {
       stop() {
         if (ws && ws.readyState === WebSocket.OPEN)
           ws.send(JSON.stringify({ type: "stop" }));
-        // socket + audio close after the transcript arrives (onmessage)
+        else
+          stopRequested = true;   // start() is mid-flight: it stops on
+        // arrival; socket + audio close once the transcript (or close)
+        // event fires
       },
     };
   }

@@ -23,10 +23,16 @@ const NanoTTS = (() => {
   function serverBackend(url) {
     let ctx = null;
     let queue = Promise.resolve();
-    function play(buf) {
+    let gen = 0;   // bumped by cancel(): utterances queued (or still in
+                   // flight to the bridge) before the bump never play —
+                   // their chain continuations and late WAV replies
+                   // check the generation and no-op
+    function play(buf, g) {
       queue = queue.then(() => new Promise(res => {
+        if (g !== gen) return res();       // cancelled while queued
         if (!ctx) ctx = new (window.AudioContext || window.webkitAudioContext)();
         ctx.decodeAudioData(buf.slice(0), decoded => {
+          if (g !== gen) return res();     // cancelled while decoding
           const src = ctx.createBufferSource();
           src.buffer = decoded;
           src.connect(ctx.destination);
@@ -38,16 +44,18 @@ const NanoTTS = (() => {
     return {
       name: "server",
       speak(text) {
+        const g = gen;
         const ws = new WebSocket(url);
         ws.binaryType = "arraybuffer";
         ws.onopen = () => ws.send(JSON.stringify({ type: "tts", text }));
         ws.onmessage = ev => {
           if (typeof ev.data === "string") return;   // header frame
-          play(ev.data);
+          play(ev.data, g);
           ws.close();
         };
       },
       cancel() {
+        gen++;
         queue = Promise.resolve();
         if (ctx) { ctx.close(); ctx = null; }
       },
