@@ -2,6 +2,7 @@
 // (nano_tpu/cpp_engine.py).  Build: `make libnano.so`.
 
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -10,31 +11,34 @@
 extern "C" {
 
 struct NanoHandle {
-    nano::Model* model;
-    nano::Model::Runtime* rt;
+    std::unique_ptr<nano::Model> model;
+    nano::Model::Runtime* rt = nullptr;
     nano::Sampler sampler;
-    int max_seq;
+    int max_seq = 0;
+
+    ~NanoHandle() {
+        if (rt) model->free_runtime(rt);
+    }
 };
 
 void* nano_open(const char* path, int max_seq_len) {
     try {
-        auto* h = new NanoHandle();
-        h->model = new nano::Model(path);
+        // unique_ptr ownership so a throw from any constructor stage
+        // (bad path, malformed file, runtime bad_alloc) frees whatever
+        // was already built instead of leaking per failed probe
+        auto h = std::make_unique<NanoHandle>();
+        h->model = std::make_unique<nano::Model>(path);
         if (max_seq_len <= 0) max_seq_len = h->model->config().block_size;
         h->rt = h->model->new_runtime(max_seq_len);
         h->max_seq = max_seq_len;
-        return h;
+        return h.release();
     } catch (...) {
         return nullptr;
     }
 }
 
 void nano_close(void* hp) {
-    auto* h = (NanoHandle*)hp;
-    if (!h) return;
-    h->model->free_runtime(h->rt);
-    delete h->model;
-    delete h;
+    delete (NanoHandle*)hp;    // ~NanoHandle frees the runtime + model
 }
 
 int nano_vocab_size(void* hp) {

@@ -820,12 +820,43 @@ void Model::parse_() {
     arch_ = (Arch)read_le<uint32_t>(data_ + 16);
     if (arch_ == Arch::Lora)
         throw std::runtime_error("LoRA file given as base model");
+    if (arch_ != Arch::Nano && arch_ != Arch::Qwen2 && arch_ != Arch::Qwen3)
+        throw std::runtime_error("unknown model arch in header");
     std::memcpy(&cfg_, data_ + 24, sizeof(Config));
     quant_ = (Quant)read_le<uint32_t>(data_ + 60);
     group_size_ = read_le<uint32_t>(data_ + 64);
     rope_theta_ = read_le<float>(data_ + 68);   // header extension; 0 in
     if (!(rope_theta_ > 0.0f)) rope_theta_ = 0; // reference-written files
-    if (cfg_.head_dim == 0) cfg_.head_dim = cfg_.n_embd / cfg_.n_head;
+
+    // Sanity-check the header BEFORE any size arithmetic: a corrupt or
+    // crafted file must fail with runtime_error, not overflow the
+    // pointer math in map_weights (count*4 advances), divide by a zero
+    // group_size, or drive new_runtime into multi-GB/negative resizes.
+    auto chk = [](bool ok, const char* what) {
+        if (!ok)
+            throw std::runtime_error(std::string("malformed model header: ") +
+                                     what);
+    };
+    const int32_t DIM_MAX = 1 << 24;   // far above any real model; keeps
+                                       // products of two fields in range
+    chk(quant_ == Quant::F32 || quant_ == Quant::Q80 ||
+        quant_ == Quant::Q4K, "quant type");
+    chk(cfg_.block_size > 0 && cfg_.block_size <= DIM_MAX, "block_size");
+    chk(cfg_.vocab_size > 0 && cfg_.vocab_size <= DIM_MAX, "vocab_size");
+    chk(cfg_.n_layer > 0 && cfg_.n_layer <= 4096, "n_layer");
+    chk(cfg_.n_embd > 0 && cfg_.n_embd <= DIM_MAX, "n_embd");
+    chk(cfg_.n_head > 0 && cfg_.n_head <= 65536, "n_head");
+    chk(cfg_.n_kv_head > 0 && cfg_.n_kv_head <= cfg_.n_head &&
+        cfg_.n_head % cfg_.n_kv_head == 0, "n_kv_head");
+    chk(cfg_.n_hidden > 0 && cfg_.n_hidden <= DIM_MAX, "n_hidden");
+    chk(cfg_.head_dim >= 0 && cfg_.head_dim <= 65536, "head_dim");
+    if (cfg_.head_dim == 0) {
+        chk(cfg_.n_embd % cfg_.n_head == 0, "n_embd % n_head");
+        cfg_.head_dim = cfg_.n_embd / cfg_.n_head;
+    }
+    chk((cfg_.head_dim & 1) == 0, "head_dim parity");   // RoPE uses D/2
+    if (quant_ == Quant::Q80)
+        chk(group_size_ > 0 && group_size_ <= (1u << 20), "group_size");
 
     size_t pos = 256;
     if (arch_ == Arch::Qwen2 || arch_ == Arch::Qwen3)
@@ -847,9 +878,12 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
     const uint8_t* p = base;
     const uint8_t* limit = base + remaining;
     auto take_f32 = [&](size_t count) -> const float* {
+        // bounds-check BEFORE the pointer advance: count*4 on a huge
+        // header-derived count must not overflow past `limit`
+        if (count > (size_t)(limit - p) / 4)
+            throw std::runtime_error("model file truncated");
         const float* out = (const float*)p;
         p += count * 4;
-        if (p > limit) throw std::runtime_error("model file truncated");
         return out;
     };
     int64_t L = c.n_layer, E = c.n_embd, V = c.vocab_size;
@@ -868,11 +902,14 @@ void Model::map_weights(const uint8_t* base, size_t remaining) {
         if (quant_ == Quant::F32) {
             w.f32 = take_f32(numel);
         } else if (quant_ == Quant::Q80) {
+            if (numel > (size_t)(limit - p))
+                throw std::runtime_error("model file truncated");
             w.q80.q = (const int8_t*)p;
             p += numel;
+            if (numel / group_size_ > (size_t)(limit - p) / 4)
+                throw std::runtime_error("model file truncated");
             w.q80.s = (const float*)p;
             p += (numel / group_size_) * 4;
-            if (p > limit) throw std::runtime_error("model file truncated");
             if (int_dot_enabled() && (group_size_ & 63) == 0) {
                 // group weight sums for the VNNI dot (see matmul_q80_int)
                 size_t ng = numel / group_size_;
@@ -1665,21 +1702,8 @@ const float* Model::forward_global(Runtime* rt, int token, int pos,
     int gs = (int)group_size_;
     const float EPS = (arch_ == Arch::Nano) ? 1e-5f : 1e-6f;
     float* x = rt->x.data();
-    if (tok_emb_.quant == Quant::F32) {
-        std::memcpy(x, tok_emb_.f32 + (size_t)token * E, E * sizeof(float));
-    } else if (tok_emb_.quant == Quant::Q80) {
-        const int8_t* qq = tok_emb_.q80.q + (size_t)token * E;
-        const float* ss = tok_emb_.q80.s + (size_t)token * (E / gs);
-        for (int i = 0; i < E; i++) x[i] = (float)qq[i] * ss[i / gs];
-    } else {
-        int bpr = (E + Q4K_BLOCK - 1) / Q4K_BLOCK;
-        for (int blk = 0; blk < bpr; blk++)
-            q4k_block_dequant(tok_emb_.q4k.blocks +
-                              ((size_t)token * bpr + blk) * Q4K_BYTES,
-                              x + blk * Q4K_BLOCK);
-    }
+    embed_row(x, token);
     float* xb = rt->xb.data();
-    (void)0;  // activation quant buffers live in rt (prep_act)
     float* q = rt->q.data();
     float* k = q + qdim;
     float* v = k + kvdim;

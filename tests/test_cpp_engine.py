@@ -481,3 +481,39 @@ def test_cpp_failed_reattach_keeps_old_lora(tmp_path):
             pass
         # the good adapter still drives generation, bit-for-bit
         assert eng.generate(ids, 8) == with_lora
+
+
+@pytest.mark.skipif(not cpp_ok, reason="C++ engine not built")
+def test_cpp_rejects_malformed_header_fields(tmp_path):
+    """Corrupt header fields must fail the load with a clean error —
+    not overflow take_f32's pointer math, SIGFPE on group_size=0, or
+    drive new_runtime into absurd allocations (header layout: Config
+    int32s at byte 24, quant at 60, group_size at 64)."""
+    import struct
+
+    _, _, _, good = make_tiny(tmp_path, "q80")
+    blob = bytearray(open(good, "rb").read())
+
+    def corrupted(offset, value):
+        b = bytearray(blob)
+        b[offset:offset + 4] = struct.pack("<i", value)
+        p = tmp_path / f"bad_{offset}_{value & 0xffffffff:x}.bin"
+        p.write_bytes(bytes(b))
+        return str(p)
+
+    cases = [
+        (32, 0x40000000),    # n_layer huge
+        (32, -1),            # n_layer negative
+        (36, -32),           # n_embd negative
+        (44, 3),             # n_kv_head not dividing n_head (4)
+        (60, 0x77),          # unknown quant tag
+        (64, 0),             # group_size zero (SIGFPE pre-fix)
+        (16, 9),             # unknown arch
+    ]
+    for off, val in cases:
+        with pytest.raises(RuntimeError):
+            cpp_engine.CppEngine(corrupted(off, val))
+
+    # the untouched blob still loads fine after all that
+    eng = cpp_engine.CppEngine(good)
+    eng.close()
