@@ -265,8 +265,10 @@ class Q4KTensor:
     layout="grouped" (int8-MXU layout, see to_grouped()):
         packed: int8 4-bit VALUES (..., G, out, 32) with G = n_pad//32
         scales/biases: f32 (..., out, G)
-        qsum:   f32 (..., out, G) — per-group value sums, precomputed so
-                the affine expansion's Σq term costs nothing per step.
+        qsum:   f32 (..., out, 2, G) — precombined correction weights
+                [biases ; scales·Σq] so the affine expansion's three
+                non-MXU terms collapse into ONE dot per step (decode is
+                per-op-latency-bound; see q4k_matmul_int8).
     in_dim: true contraction length (n_pad rounds up to 256).
     """
     packed: jnp.ndarray
@@ -318,11 +320,15 @@ class Q4KTensor:
         scales = jnp.where(gmask, self.scales, 0.0)
         biases = jnp.where(gmask, self.biases, 0.0)
         qsum = jnp.sum(v.astype(jnp.int32), axis=-1).astype(jnp.float32)
+        # correction weights for the affine expansion, precombined so the
+        # per-step path pays one dot instead of three einsums (padded
+        # groups have scales=biases=0, so corr is 0 there too)
+        corr = jnp.stack([biases, scales * qsum], axis=-2)
         perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
                                           len(lead) + 2)
         return Q4KTensor(packed=jnp.transpose(v, perm), scales=scales,
                          biases=biases, in_dim=self.in_dim,
-                         layout="grouped", qsum=qsum)
+                         layout="grouped", qsum=corr)
 
     @classmethod
     def from_blocks(cls, blocks: np.ndarray, out_dim: int, in_dim: int
@@ -511,7 +517,11 @@ def _act_quant_aligned(x2d: jnp.ndarray
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Minimal-op quantizer for n % 256 == 0 (see act_quant_q4k)."""
     import os as _os
-    tree = _os.environ.get("NANO_TPU_Q4K_FQ", "tree") == "tree"
+    # default "max" (plain jnp.max reduce): measured 435 vs 402 tok/s for
+    # the log2-tree form at the Qwen3-0.6B Q4K decode shape on the v5e —
+    # the fused-elementwise-tree hypothesis lost to XLA's native reduce.
+    # Both forms are bit-identical (max/min are associative/commutative).
+    tree = _os.environ.get("NANO_TPU_Q4K_FQ", "max") == "tree"
     B, n = x2d.shape
     nbpl = n // BLOCK_LEN
     vals = x2d.astype(jnp.float32).reshape(B, nbpl, GROUPS_PER_BLOCK,
@@ -691,23 +701,28 @@ def q4k_matmul_int8(x2d: jnp.ndarray, w: Q4KTensor,
 
         y[b,o] = Σ_g [ sa·s·(va·q)  -  sa·m·Σva  -  ba·s·Σq  +  32·ba·m ]
 
-    va·q runs as int8xint8->int32 group-batched dots on the MXU; Σq is
-    precomputed at load (w.qsum); Σva is a cheap reduction.  Every
-    integer matches the C engine's expansion (infer/tensor.c:359-434);
-    only f32 multiply/sum order differs.
+    va·q runs as int8xint8->int32 group-batched dots on the MXU.  The
+    three non-MXU terms collapse into ONE dot against the load-time
+    precombined correction matrix w.qsum = [m ; s·Σq] (decode is
+    per-op-latency-bound, so per-step op count — not FLOPs — sets the
+    cost):
+
+        y = t1 - Σ_g [ (sa·Σva − 32·ba)·m  +  ba·(s·Σq) ]
+
+    Every integer matches the C engine's expansion
+    (infer/tensor.c:359-434); only f32 multiply/sum order differs.
     """
     va, sa, ba = act_quant_q4k(x2d)        # (B,G,32), (B,G), (B,G)
-    vq, s, m, qsum = w.packed, w.scales, w.biases, w.qsum
+    vq, s, corr = w.packed, w.scales, w.qsum
     P = jax.lax.dot_general(
         va.transpose(1, 0, 2), vq,
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)  # (G, B, out)
     A = jnp.sum(va.astype(jnp.int32), axis=-1).astype(jnp.float32)  # (B,G)
     t1 = jnp.einsum("gbo,bg,og->bo", P.astype(jnp.float32), sa, s)
-    t2 = jnp.einsum("bg,og->bo", sa * A, m)
-    t3 = jnp.einsum("bg,og->bo", ba, s * qsum)
-    t4 = np.float32(GROUP_LEN) * jnp.einsum("bg,og->bo", ba, m)
-    y = t1 - t2 - t3 + t4
+    left = jnp.stack([sa * A - np.float32(GROUP_LEN) * ba, ba],
+                     axis=-2)              # (B, 2, G)
+    y = t1 - jnp.einsum("bkg,okg->bo", left, corr)
     return y.astype(dtype) if dtype != jnp.float32 else y
 
 

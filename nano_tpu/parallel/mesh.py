@@ -167,15 +167,18 @@ def infer_param_specs(params: Any) -> Any:
 
     def qspec(key: str, w) -> Any:
         grouped = getattr(w, "layout", "rows") in ("grouped",)
+        cleaf = P()
         if grouped:
             # values (L, G, out, gs): out is dim -2, in spans (G, gs);
-            # scales/biases/qsum (L, out, G)
+            # scales/biases (L, out, G); corr/qsum (L, out, 2, G)
             if key in COL:
                 vleaf = P(None, None, MODEL_AXIS, None)
                 sleaf = P(None, MODEL_AXIS, None)
+                cleaf = P(None, MODEL_AXIS, None, None)
             elif key in ROW:     # shard the group axis (contraction)
                 vleaf = P(None, MODEL_AXIS, None, None)
                 sleaf = P(None, None, MODEL_AXIS)
+                cleaf = P(None, None, None, MODEL_AXIS)
             else:
                 vleaf, sleaf = P(), P()
         else:
@@ -191,7 +194,7 @@ def infer_param_specs(params: Any) -> Any:
                              group_size=w.group_size, layout=w.layout)
         return Q4KTensor(packed=vleaf, scales=sleaf, biases=sleaf,
                          in_dim=w.in_dim, layout=w.layout,
-                         qsum=None if w.qsum is None else sleaf)
+                         qsum=None if w.qsum is None else cleaf)
 
     def spec_for(key: str, w) -> Any:
         from nano_tpu.ops.qmatmul import Q80Tensor as Q80

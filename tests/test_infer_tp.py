@@ -156,7 +156,7 @@ def _abstract_q4k(out, inn, L, layout):
                      scales=S((L, out, G), jnp.float32),
                      biases=S((L, out, G), jnp.float32),
                      in_dim=inn, layout="grouped",
-                     qsum=S((L, out, G), jnp.float32))
+                     qsum=S((L, out, 2, G), jnp.float32))
 
 
 def _tp_mesh(k):

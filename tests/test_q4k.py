@@ -140,6 +140,18 @@ def test_fake_quant_act_matches_host_quantizer():
         np.testing.assert_array_equal(dev, host)
 
 
+def test_act_quant_fq_modes_bit_identical(monkeypatch):
+    """NANO_TPU_Q4K_FQ=tree and =max are the same values, different
+    lowering (max/min are associative; the knob only affects speed)."""
+    x = rnd((4, 512), seed=77)
+    outs = {}
+    for mode in ("max", "tree"):
+        monkeypatch.setenv("NANO_TPU_Q4K_FQ", mode)
+        outs[mode] = [np.asarray(a) for a in q4k.act_quant_q4k(jnp.asarray(x))]
+    for a, b in zip(outs["max"], outs["tree"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_matmul_ref_equals_kernel_fallback():
     """q4k_matmul == explicit fake-quant dot (f32-exact in parity mode,
     bf16-bounded in the fast default)."""
