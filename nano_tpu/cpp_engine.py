@@ -19,13 +19,21 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LIB_PATH = os.path.join(_REPO, "build", "libnano.so")
 
 
+CLI_PATH = os.path.join(_REPO, "build", "nano_cpp")
+
+
 def build(force: bool = False) -> bool:
-    """Build libnano.so via the cpp/ Makefile; returns success."""
-    if os.path.exists(LIB_PATH) and not force:
+    """Build libnano.so + nano_cpp via the cpp/ Makefile; returns success.
+
+    Builds ``all`` (not just ``lib``): the test suite also drives the
+    ``build/nano_cpp`` CLI, and a clean tree must self-build both.
+    """
+    if os.path.exists(LIB_PATH) and os.path.exists(CLI_PATH) and not force:
         return True
-    r = subprocess.run(["make", "-C", os.path.join(_REPO, "cpp"), "lib"],
+    r = subprocess.run(["make", "-C", os.path.join(_REPO, "cpp"), "all"],
                        capture_output=True)
-    return r.returncode == 0 and os.path.exists(LIB_PATH)
+    return (r.returncode == 0 and os.path.exists(LIB_PATH)
+            and os.path.exists(CLI_PATH))
 
 
 _lib = None

@@ -432,6 +432,7 @@ class Trainer:
                  f"{tc.gradient_accumulation_steps} tokens/step={tokens_per_step}")
 
         start_step = self.step_count
+        win_t0, win_steps = time.time(), 0
         while self.step_count < self.max_steps:
             # eval + checkpoint policy (reference: train.py:391-430,
             # incl. its `iter > start_step` gate: no untrained-model
@@ -447,9 +448,10 @@ class Trainer:
                 if improved or self.step_count % self.forced_save_every == 0:
                     self.save_checkpoint()
 
-            # timed region starts AFTER eval/checkpoint so the logged
+            # timing window restarts AFTER eval/checkpoint so the logged
             # ms/step + GFLOP/s never fold eval time in
-            step_t0 = time.time()
+            if self.step_count % tc.eval_interval == 0:
+                win_t0, win_steps = time.time(), 0
             # NOTE: batch prep overlaps device compute for free — the
             # previous _train_step call dispatched asynchronously, so
             # this host-side work runs while the chip is still busy (the
@@ -465,6 +467,7 @@ class Trainer:
                 self.params = trainable
 
             self.step_count += 1
+            win_steps += 1
             # throttle async dispatch: without an occasional readback an
             # unbounded in-flight queue can wedge XLA:CPU's in-process
             # collectives (observed as a stuck AllReduce check-failure
@@ -472,9 +475,17 @@ class Trainer:
             # every 16 steps costs nothing
             if self.step_count % 16 == 0:
                 jax.block_until_ready(loss)
-            dt = time.time() - step_t0
             if self.step_count % tc.log_interval == 0:
+                # the loss READBACK is the completion barrier: dispatch is
+                # async (and block_until_ready does not force completion
+                # through the axon tunnel), so ms/step must be averaged
+                # over the whole window AFTER fetching a value that
+                # depends on every step in it — per-step host timing
+                # reported dispatch cost, inflating GFLOP/s ~5x past the
+                # chip's peak
                 loss_f = float(loss)
+                dt = (time.time() - win_t0) / max(win_steps, 1)
+                win_t0, win_steps = time.time(), 0
                 self.loss_history.append((self.step_count, loss_f))
                 # flop_per_token is the PaLM fwd+bwd formula (6N + 12LHQT)
                 # already — no extra factor, same semantics as the
