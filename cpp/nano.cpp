@@ -1057,6 +1057,11 @@ void Model::attach_lora(const std::string& path) {
         throw std::runtime_error("short read on " + path);
     }
     std::fclose(f);
+    attach_lora(blob.data(), blob.size());
+}
+
+void Model::attach_lora(const uint8_t* data, size_t len) {
+    std::vector<uint8_t> blob(data, data + len);
     if (blob.size() < 256)
         throw std::runtime_error("LoRA file truncated");
     const uint8_t* d = blob.data();

@@ -175,6 +175,9 @@ class Model {
     Runtime* new_runtime(int max_seq_len) const;
 
     void attach_lora(const std::string& path);
+    // from an in-memory blob (copied) — the WASM bridge's entry point,
+    // where adapters arrive as JS ArrayBuffers rather than files
+    void attach_lora(const uint8_t* data, size_t len);
     void detach_lora() { lora_.reset(); }
 
     ObservationHook observation;   // optional per-phase tap

@@ -517,3 +517,86 @@ def test_cpp_rejects_malformed_header_fields(tmp_path):
     # the untouched blob still loads fine after all that
     eng = cpp_engine.CppEngine(good)
     eng.close()
+
+
+# ------------------------------------------------------------------
+# WASM bridge (cpp/main_wasm.cpp) — driven natively via
+# build/nano_wasm_host, which stands in for the JS host so the export
+# surface build_wasm.sh ships is execution-tested without a wasm
+# toolchain (reference counterpart: infer/main_wasm.c)
+# ------------------------------------------------------------------
+
+WASM_HOST = os.path.join(REPO_ROOT, "build", "nano_wasm_host")
+
+
+def _build_wasm_host():
+    r = subprocess.run(["make", "-C", os.path.join(REPO_ROOT, "cpp"),
+                        "wasm_host"], capture_output=True)
+    return r.returncode == 0 and os.path.exists(WASM_HOST)
+
+
+wasm_host_ok = _build_wasm_host()
+
+
+def run_wasm_host(model, max_new, prompt, lora=None):
+    cmd = [WASM_HOST, model, str(max_new)]
+    if lora:
+        cmd.append(lora)
+    cmd += ["--", prompt]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    enc, gen, text = r.stdout.split("\n")[:3]
+    return ([int(t) for t in enc.split()],
+            [int(t) for t in gen.split()], text)
+
+
+@pytest.mark.skipif(not (cpp_ok and wasm_host_ok),
+                    reason="C++ engine or wasm host not built")
+@pytest.mark.parametrize("quant", ["f32", "q80", "q4k"])
+def test_wasm_bridge_greedy_matches_ctypes(tmp_path, quant):
+    cfg, params, tok, path = make_tiny(tmp_path, quant)
+    prompt_ids = tok.encode("abcdefgh")
+    enc, gen, text = run_wasm_host(path, 16, "abcdefgh")
+    assert enc == prompt_ids
+
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        cpp_out = eng.generate(prompt_ids, 16)
+        want_text = eng.decode([t for t in gen if t not in (0, 3)])
+    strip = lambda ids: [t for t in ids if t not in (0, 3)]
+    assert strip(gen) == strip(cpp_out), f"wasm={gen} ctypes={cpp_out}"
+    assert text == want_text
+
+
+@pytest.mark.skipif(not (cpp_ok and wasm_host_ok),
+                    reason="C++ engine or wasm host not built")
+def test_wasm_bridge_lora_from_buffer_matches_ctypes(tmp_path):
+    cfg, params, tok, path = make_tiny(tmp_path, "f32")
+    rng = np.random.RandomState(0)
+    L, E, H, KV, D = (cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.n_kv_head,
+                      cfg.head_dim)
+    r = 4
+    lora = {
+        "wq_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wq_b": rng.randn(L, r, H * D).astype(np.float32) * 0.2,
+        "wk_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wk_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wv_a": rng.randn(L, E, r).astype(np.float32) * 0.2,
+        "wv_b": rng.randn(L, r, KV * D).astype(np.float32) * 0.2,
+        "wo_a": rng.randn(L, H * D, r).astype(np.float32) * 0.2,
+        "wo_b": rng.randn(L, r, E).astype(np.float32) * 0.2,
+    }
+    lora_path = str(tmp_path / "l.bin")
+    binfmt.write_lora(lora_path, lora, cfg, rank=r, alpha=8)
+    ids = tok.encode("abcdef")
+
+    _, base, _ = run_wasm_host(path, 10, "abcdef")
+    _, with_lora, _ = run_wasm_host(path, 10, "abcdef", lora=lora_path)
+    assert base != with_lora   # the buffer-loaded adapter took effect
+
+    with cpp_engine.CppEngine(path, max_seq_len=64, temperature=0.0,
+                              repetition_penalty=1.0) as eng:
+        eng.attach_lora(lora_path)
+        cpp_lora = eng.generate(ids, 10)
+    strip = lambda ids: [t for t in ids if t not in (0, 3)]
+    assert strip(with_lora) == strip(cpp_lora)
