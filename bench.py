@@ -85,15 +85,22 @@ def q80_params(cfg, rng):
             "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
 
 
-def _q4t_packed(rng, shape_out, inn, stack=None):
-    """Random Q4K tensor in the loader's packed device layout."""
+def _q4t_packed(rng, shape_out, inn, stack=None, block_weight=True):
+    """Random Q4K tensor in the loader's packed device layout.
+
+    block_weight=True mirrors binfmt._q4k_device_params' layout knob
+    (NANO_TPU_Q4K_LAYOUT=unpacked applies to block weights only; the
+    embedding/head stay packed for the row gather)."""
     G = inn // GROUP_LEN
     lead = () if stack is None else (stack,)
     packed = rng.randint(0, 256, lead + (shape_out, inn // 2)).astype(np.uint8)
     s = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02 + 1e-3
     b = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02
-    return Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
-                     biases=jnp.asarray(b), in_dim=inn)
+    t = Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
+                  biases=jnp.asarray(b), in_dim=inn)
+    if block_weight and os.environ.get("NANO_TPU_Q4K_LAYOUT") == "unpacked":
+        t = t.to_unpacked()
+    return t
 
 
 # ---------------------------------------------------------------------
@@ -376,7 +383,7 @@ def _panel(extra: dict, primary: dict) -> None:
         blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
         blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
         blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
-        tok = _q4t_packed(rng, V, E)
+        tok = _q4t_packed(rng, V, E, block_weight=False)
         # the loader requantizes a Q4K head to grouped Q80-256 at load
         # (binfmt._maybe_int8_layout) — mirror that here
         head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)

@@ -262,6 +262,11 @@ class Q4KTensor:
                 never shuffles lanes).
         scales/biases: f32 (..., out, n_pad//32) dequantized per-group
                 params.
+    layout="unpacked" (see to_unpacked()):
+        packed: int8 VALUES (..., out, n_pad) in true value order —
+                bit-identical weights, 2x the HBM of "packed", zero
+                per-step nibble ops (decode is per-op-latency-bound).
+        scales/biases: as "packed".
     layout="grouped" (int8-MXU layout, see to_grouped()):
         packed: int8 4-bit VALUES (..., G, out, 32) with G = n_pad//32
         scales/biases: f32 (..., out, G)
@@ -298,7 +303,29 @@ class Q4KTensor:
     def n_pad(self) -> int:
         if self.layout == "grouped":
             return self.packed.shape[-3] * GROUP_LEN
+        if self.layout == "unpacked":
+            return self.packed.shape[-1]
         return self.packed.shape[-1] * 2
+
+    def to_unpacked(self) -> "Q4KTensor":
+        """Unpack nibbles to int8 values (..., out, n_pad) once at load.
+
+        Bit-identical weights (the [lo | hi] nibble split per 32-group
+        IS the file's value order); trades 2x weight HBM for zero
+        per-step unpack ops.  NANO_TPU_Q4K_LAYOUT=unpacked selects this
+        at load (binfmt._q4k_device_params) for the block weights."""
+        if self.layout == "unpacked":
+            return self
+        assert self.layout == "packed", self.layout
+        *lead, out, nh = self.packed.shape
+        ng = nh // (GROUP_LEN // 2)
+        p = self.packed.astype(jnp.int32)
+        lo = (p & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
+        hi = ((p >> 4) & 0x0F).reshape(*lead, out, ng, GROUP_LEN // 2)
+        v = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+        return Q4KTensor(packed=v.reshape(*lead, out, ng * GROUP_LEN),
+                         scales=self.scales, biases=self.biases,
+                         in_dim=self.in_dim, layout="unpacked")
 
     def to_grouped(self) -> "Q4KTensor":
         """Unpack nibbles to int8 values in (..., G, out, 32) layout once
@@ -384,6 +411,13 @@ class Q4KTensor:
                  - self.biases[..., None].astype(dtype))
             # padded groups have scale=bias=0, so their values are 0
             return w.reshape(*lead, out, G * gl)[..., :self.in_dim]
+        if self.layout == "unpacked":
+            *lead, out, npad = self.packed.shape
+            v = self.packed.reshape(*lead, out, npad // GROUP_LEN,
+                                    GROUP_LEN).astype(dtype)
+            w = (v * self.scales[..., None].astype(dtype)
+                 - self.biases[..., None].astype(dtype))
+            return w.reshape(*lead, out, npad)[..., :self.in_dim]
         *lead, out, nh = self.packed.shape
         ng = nh // (GROUP_LEN // 2)
         p = self.packed.astype(jnp.int32)
@@ -405,14 +439,14 @@ class Q4KTensor:
     def dequantize_rows(self, ids: jnp.ndarray, dtype=jnp.float32
                         ) -> jnp.ndarray:
         """Gather + dequantize rows (embedding lookup on a Q4K table)."""
-        # packed layout only: a grouped tensor's leading axis is the
-        # quantization GROUP, not the vocab row — gathering it by token
-        # id would silently return garbage embeddings
-        assert self.layout == "packed", self.layout
+        # packed/unpacked layouts only: a grouped tensor's leading axis
+        # is the quantization GROUP, not the vocab row — gathering it by
+        # token id would silently return garbage embeddings
+        assert self.layout in ("packed", "unpacked"), self.layout
         sub = Q4KTensor(packed=jnp.take(self.packed, ids, axis=0),
                         scales=jnp.take(self.scales, ids, axis=0),
                         biases=jnp.take(self.biases, ids, axis=0),
-                        in_dim=self.in_dim)
+                        in_dim=self.in_dim, layout=self.layout)
         return sub.dequantize(dtype)
 
 
@@ -596,7 +630,7 @@ def q4k_matmul_ref(x: jnp.ndarray, w: Q4KTensor,
 
     def rows_dot(packed, scales, biases):
         t = Q4KTensor(packed=packed, scales=scales, biases=biases,
-                      in_dim=w.in_dim)
+                      in_dim=w.in_dim, layout=w.layout)
         if deq_bf16:
             return jnp.dot(xd, t.dequantize(jnp.bfloat16).T,
                            preferred_element_type=jnp.float32)
@@ -745,7 +779,8 @@ def q4k_matmul(x: jnp.ndarray, w: Q4KTensor, dtype=jnp.bfloat16
         return y.reshape(*lead, w.out_dim)
     assert w.packed.ndim == 2, "use scan indexing for stacked weights"
     out = w.out_dim
-    if _IMPL == "pallas" and _on_tpu() and _pick_tile(out):
+    if (_IMPL == "pallas" and w.layout == "packed" and _on_tpu()
+            and _pick_tile(out)):
         xq = fake_quant_act(x.reshape(B, w.in_dim))
         xp = _permute_act(xq, w.n_pad)
         Bp = max(8, -(-B // 8) * 8)

@@ -224,3 +224,60 @@ def test_binfmt_q4k_roundtrip(tmp_path):
                      dtype=jnp.float32)
     assert logits.shape == (1, 4, 64)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_unpacked_layout_bit_exact():
+    Q4KTensor = q4k.Q4KTensor
+    """NANO_TPU_Q4K_LAYOUT=unpacked trades 2x weight HBM for zero
+    per-step nibble ops — the values must be bit-identical in every
+    consumer (dequantize f32/bf16, the fused-dequant matmul, stacking)."""
+    from nano_tpu.ops.q4k import q4k_matmul
+    rng = np.random.RandomState(0)
+    for out, inn in [(48, 256), (64, 512), (32, 320)]:  # incl. partial
+        t = Q4KTensor.quantize(rng.randn(out, inn).astype(np.float32))
+        u = t.to_unpacked()
+        assert u.layout == "unpacked" and u.n_pad == t.n_pad
+        for dt in (jnp.float32, jnp.bfloat16):
+            a, b = t.dequantize(dt), u.dequantize(dt)
+            assert a.dtype == b.dtype and bool(jnp.all(a == b))
+        x = jnp.asarray(rng.randn(2, inn).astype(np.float32))
+        assert bool(jnp.all(q4k_matmul(x, t) == q4k_matmul(x, u)))
+    ts = Q4KTensor.stack([Q4KTensor.quantize(
+        rng.randn(16, 256).astype(np.float32)) for _ in range(3)])
+    us = ts.to_unpacked()
+    assert bool(jnp.all(ts.dequantize(jnp.float32)
+                        == us.dequantize(jnp.float32)))
+
+
+def test_unpacked_layout_greedy_parity(tmp_path, monkeypatch):
+    Q4KTensor = q4k.Q4KTensor  # noqa: F841
+    """Loading a Q4K .bin with the unpacked layout knob produces the
+    exact same greedy tokens as the default packed layout."""
+    from nano_tpu.config import ModelConfig
+    from nano_tpu.models import gpt
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+
+    cfg = ModelConfig(block_size=64, vocab_size=64, n_layer=2, n_embd=32,
+                      n_head=4, n_kv_head=2, n_hidden=64)
+    params = jax.tree.map(np.asarray,
+                          gpt.init_params(jax.random.PRNGKey(7), cfg))
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(26)])
+    path = str(tmp_path / "m.bin")
+    binfmt.write_model(path, params, cfg, tok.config, quant="q4k")
+    samp = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+
+    def greedy():
+        ctx = engine.LLMContext.from_bin(path, max_seq_len=64, sampler=samp)
+        q4 = ctx.params["blocks"]["wqkv"]
+        return list(np.asarray(
+            engine.generate_on_device(ctx, tok.encode("abcabc"), 12))), q4
+
+    base, t_packed = greedy()
+    assert t_packed.layout == "packed"
+    monkeypatch.setenv("NANO_TPU_Q4K_LAYOUT", "unpacked")
+    unp, t_unpacked = greedy()
+    assert t_unpacked.layout == "unpacked"
+    assert base == unp

@@ -49,7 +49,7 @@ def main():
     else:
         p = q4k_params(cfg, rng)
     tok_s = bench.decode_tok_s(p, cfg)
-    print(f"{which} FQ={os.environ.get('NANO_TPU_Q4K_FQ', 'tree')} "
+    print(f"{which} FQ={os.environ.get('NANO_TPU_Q4K_FQ', 'max')} "
           f"ACT={os.environ.get('NANO_TPU_Q4K_ACT', 'exact')}: "
           f"{tok_s:.1f} tok/s")
 
