@@ -5,14 +5,28 @@
 // flat C surface sized for a JS host that owns the wasm heap.  Export
 // set mirrors the reference's (init_nano / set_sampler /
 // generate_next_token_external / encode_external / decode_external /
-// load_lora_external / unload_lora_external / close_nano), with two
+// load_lora_external / unload_lora_external / close_nano), with four
 // deliberate divergences:
 //   * strings cross the boundary as UTF-8 with explicit lengths/caps,
 //     not wchar_t — wchar_t width is toolchain-dependent and the JS
 //     host has TextEncoder/TextDecoder anyway;
 //   * out-buffers are caller-allocated (via the exported malloc/free),
 //     so the bridge never hands out pointers into transient internals
-//     except decode_external's documented call-scoped buffer.
+//     except decode_external's documented call-scoped buffer;
+//   * encode_external returns RAW ids (no chat template) — the
+//     reference's encode_external silently applies the Qwen chat
+//     template for Qwen archs (infer/main_wasm.c apply_qwen_chat_
+//     template); here that is the separate, explicit
+//     encode_prompt_external(..., use_template=1), so a host can get
+//     either behavior and continuation mode never templates by
+//     accident;
+//   * the repetition-penalty footprint covers ids[0..pos] INCLUSIVE —
+//     the reference's generate_next_token penalizes only
+//     output_ids[0..pos-1], never the token just fed (infer/infer.c
+//     `for (i = 0; i < pos; i++)`).  Inclusive matches this repo's
+//     Session/emit_token semantics (nano.cpp, infer/engine.py) so all
+//     in-repo engines agree; identical to the reference at the
+//     parity-tested rp == 1.0.
 //
 // Build: cpp/build_wasm.sh (emcc, gated on toolchain presence).  The
 // same translation unit compiles natively — tests/test_cpp_engine.py
@@ -131,6 +145,7 @@ int generate_next_token_external(const uint32_t* ids, uint32_t pos,
 
 // UTF-8 text -> ids into a caller buffer; returns the FULL id count so
 // the host can detect truncation and retry with a bigger buffer.
+// RAW encoding — no chat template (see the divergence list up top).
 NANO_WASM_EXPORT
 int encode_external(const char* utf8, uint32_t* out_ids, uint32_t cap) {
     if (!g_ctx) return -1;
@@ -142,6 +157,32 @@ int encode_external(const char* utf8, uint32_t* out_ids, uint32_t cap) {
     } catch (...) {
         return -1;
     }
+}
+
+// Prompt -> ids with the arch's chat template applied when
+// use_template != 0 (Nano instruct marks / Qwen im_start blocks —
+// Model::prompt_ids); use_template == 0 is identical to
+// encode_external.  This is the templated path the reference bakes
+// into its encode_external for Qwen archs.
+NANO_WASM_EXPORT
+int encode_prompt_external(const char* utf8, uint32_t* out_ids,
+                           uint32_t cap, int use_template) {
+    if (!g_ctx) return -1;
+    try {
+        auto ids = g_ctx->model->prompt_ids(utf8, use_template != 0);
+        for (uint32_t i = 0; i < ids.size() && i < cap; i++)
+            out_ids[i] = (uint32_t)ids[i];
+        return (int)ids.size();
+    } catch (...) {
+        return -1;
+    }
+}
+
+// Arch-correct stop-token query (Nano pad/eos 0/3, Qwen 151643/151645)
+// so hosts need not hardcode ids per arch.
+NANO_WASM_EXPORT
+int is_stop_token_external(int id) {
+    return g_ctx ? (g_ctx->model->is_stop_token(id) ? 1 : 0) : -1;
 }
 
 // ids -> UTF-8.  The returned pointer is into a context-owned buffer,

@@ -20,6 +20,8 @@ int set_sampler(float, float, float, uint64_t);
 int vocab_size_external();
 int generate_next_token_external(const uint32_t*, uint32_t, int);
 int encode_external(const char*, uint32_t*, uint32_t);
+int encode_prompt_external(const char*, uint32_t*, uint32_t, int);
+int is_stop_token_external(int);
 const char* decode_external(const uint32_t*, uint32_t, uint32_t*);
 int load_lora_external(const uint8_t*, uint32_t);
 int unload_lora_external();
@@ -86,7 +88,7 @@ int main(int argc, char** argv) {
         if (!prefilling) {
             ids.push_back((uint32_t)tok);
             produced++;
-            if (tok == 0 || tok == 3) break;   // pad / eos
+            if (is_stop_token_external(tok) == 1) break;   // arch eos/pad
         }
     }
     for (int i = 0; i < produced; i++)

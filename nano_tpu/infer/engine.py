@@ -538,9 +538,16 @@ class Session:
         # speculative decode state (infer/speculative.py): each verify
         # dispatch emits >= 1 tokens into _pending; step() drains it —
         # through the tunnel's ~30 ms/dispatch this multiplies
-        # interactive decode by the acceptance rate
+        # interactive decode by the acceptance rate.  ctx.spec_k is the
+        # draft-length CAP; the round-to-round length adapts like the
+        # C++ engine (cpp/nano.cpp Session::run_spec_round: x2 on full
+        # acceptance, back to the accepted run length on a miss) but
+        # quantized to pow2 buckets so only log2(cap) verify_step
+        # programs ever compile (each static k is its own XLA program;
+        # the C++ rule's arbitrary k values are free there, not here)
         self._pending: List[int] = []
         self._hist: Optional[jnp.ndarray] = None
+        self._spec_k_cur = 1
         self._spec = (ctx.spec_k > 0
                       and ctx.sampler.temperature <= 0.0
                       and ctx.observation is None)
@@ -605,10 +612,12 @@ class Session:
                     len(self.output_ids) >= self.max_new_tokens):
                 self.state = Session.FINISHED
                 return None
-            if self._spec and self.pos + ctx.spec_k + 2 <= ctx.max_seq_len:
+            if self._spec and self.pos + 3 <= ctx.max_seq_len:
                 # one verify round refills _pending with >= 1 tokens
                 from nano_tpu.infer import speculative
-                ab = _attn_bucket(self.pos + ctx.spec_k + 2,
+                k = max(1, min(self._spec_k_cur, ctx.spec_k,
+                               ctx.max_seq_len - self.pos - 2))
+                ab = _attn_bucket(self.pos + k + 2,
                                   ctx.max_seq_len, minimum=256)
                 g, n_out, self._cache, self._hist, seen = \
                     speculative.verify_step(
@@ -616,9 +625,15 @@ class Session:
                         self._cur_tok[0], jnp.int32(self.pos), self._cache,
                         self._hist, self._seen[0],
                         jnp.float32(ctx.sampler.repetition_penalty),
-                        ctx.cfg, ctx.dtype, ctx.spec_k, attn_len=ab)
+                        ctx.cfg, ctx.dtype, k, attn_len=ab)
                 self._seen = seen[None]
                 n_out = int(n_out)
+                n_acc = n_out - 1
+                # adaptive draft length (pow2-bucketed C++ rule):
+                # unpredictable text parks at k=1 (a 2-token verify,
+                # ~1 plain step's cost), repetitive text doubles to cap
+                self._spec_k_cur = (min(2 * k, ctx.spec_k) if n_acc == k
+                                    else 1 << (max(1, n_acc).bit_length() - 1))
                 self._pending = np.asarray(g)[:n_out].tolist()
                 self._cur_tok = g[n_out - 1][None]
                 self.pos += n_out

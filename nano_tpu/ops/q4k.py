@@ -334,6 +334,7 @@ class Q4KTensor:
         in_dim % 32 == 0 (partial sub-groups stay on the packed path)."""
         if self.layout == "grouped":
             return self
+        assert self.layout == "packed", self.layout
         assert self.in_dim % GROUP_LEN == 0, self.in_dim
         *lead, out, nh = self.packed.shape
         G = nh // (GROUP_LEN // 2)

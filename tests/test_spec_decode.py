@@ -1,6 +1,14 @@
-"""Speculative greedy decode (infer/speculative.py): the emitted token
-stream must be IDENTICAL to plain greedy decode — acceptance is exact
-argmax equality, so speculation is a pure latency optimization.
+"""Speculative greedy decode (infer/speculative.py): on these toy
+models the emitted token stream is IDENTICAL to plain greedy decode —
+acceptance is exact argmax equality against the verify forward.
+
+Scope note: identity is exact here because toy-model argmax margins
+dwarf the rounding difference between the (1, k+1)-shaped verify
+program and the single-token decode program.  On real trained models
+that shape difference can flip near-tie argmaxes (56M: diverged at
+token 28 bf16 / 53 f32 on held-out text) — see the module docstring of
+infer/speculative.py and tools/bench_spec_realtext.py, which pins the
+prefix-agreement semantics at real scale.
 """
 
 import numpy as np
@@ -74,6 +82,24 @@ def test_session_spec_matches_plain():
     assert spec.output_ids == plain.output_ids
     # the spec session ran verify rounds (pending buffer exercised)
     assert ctx_s.spec_k == 7
+
+
+def test_session_adaptive_k_ramps_on_repetitive_text():
+    """The pow2-bucketed C++ ramp rule (cpp/nano.cpp run_spec_round):
+    full acceptance doubles the draft length toward the cap, a miss
+    drops it to the accepted-run-length bucket.  A cyclic stream must
+    ramp k off its floor; the stream stays exact either way."""
+    ctx = make_ctx(spec_k=8)
+    s = engine.Session(ctx, "abcabcabcabc", max_new_tokens=40)
+    ks = []
+    while s.step() is not None:
+        ks.append(s._spec_k_cur)
+    assert ks[0] >= 1 and max(ks) > 1, ks          # ramped off the floor
+    assert all(k <= 8 for k in ks), ks             # never exceeds the cap
+    assert all(k & (k - 1) == 0 for k in ks), ks   # pow2 buckets only
+    plain = engine.generate_sync(make_ctx(), "abcabcabcabc",
+                                 max_new_tokens=40)
+    assert s.output_ids == plain.output_ids
 
 
 def test_session_spec_respects_max_new_tokens():
