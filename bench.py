@@ -298,21 +298,30 @@ def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
 
 def _probe_device(timeout_s: float = 180.0) -> bool:
     """One tiny dispatched program with a full readback, bounded by a
-    watchdog thread: if the TPU tunnel is wedged (observed outage:
-    trivial matmuls hang forever), the bench must still emit its JSON
-    line rather than hang until the driver kills it."""
-    import threading
-    ok = []
+    timeout: if the TPU tunnel is wedged (observed outage: trivial
+    matmuls hang forever), the bench must still emit its JSON line
+    rather than hang until the driver kills it.
 
-    def run():
-        x = jnp.ones((128, 128), jnp.float32)
-        if float(np.asarray(x @ x)[0, 0]) == 128.0:
-            ok.append(True)
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    The probe runs in a SUBPROCESS, not a watchdog thread: a daemon
+    thread doing the process's first dispatch initializes the backend
+    off the main thread, which wedges the axon plugin and aborts the
+    whole process at teardown ("terminate called … FATAL: exception not
+    rethrown", rc 134) — that false "device unreachable" burned the
+    round-3 driver bench and the round-4 runbook's first panel while
+    dispatches in neighboring processes succeeded."""
+    import subprocess
+    import sys as _sys
+    code = ("import jax, numpy as np, jax.numpy as jnp\n"
+            "x = jnp.ones((128, 128), jnp.float32)\n"
+            "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
+            "print('probe-ok')\n")
+    try:
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=".")
+        return "probe-ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def _panel(extra: dict, primary: dict) -> None:

@@ -62,7 +62,7 @@ def model_ppl(path: str, text: str, block_size: int = 0,
     return math.exp(total_nll / total_tok)
 
 
-def cpp_model_ppl(path: str, text: str, block_size: int = 512,
+def cpp_model_ppl(path: str, text: str, block_size: int = 0,
                   stride: int = 0) -> float:
     """PPL through the C++ host engine (cpp/ via libnano.so) — the same
     strided-window token accounting as model_ppl, so `--engine cpp` is a
