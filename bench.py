@@ -416,18 +416,19 @@ def _panel(extra: dict, primary: dict) -> None:
 
     def s_ppl():
         # north-star PPL Δ vs FP32 at 56M — only when the round's trained
-        # exports exist (tools/tpu_runbook.sh stage 4); silently absent
-        # otherwise (random-weight PPL is meaningless)
-        f32 = "/tmp/r3/m56_f32.bin"
-        txt = "/tmp/r3/eval_text.txt"
-        if not (os.path.exists(f32) and os.path.exists(txt)):
+        # exports exist (tools/tpu_runbook*.sh train+export stages);
+        # silently absent otherwise (random-weight PPL is meaningless)
+        root = next((r for r in ("/tmp/r4", "/tmp/r3")
+                     if os.path.exists(f"{r}/m56_f32.bin")
+                     and os.path.exists(f"{r}/eval_text.txt")), None)
+        if root is None:
             return
         import eval as evalmod
-        text = open(txt, encoding="utf-8").read()
-        base = evalmod.model_ppl(f32, text)
+        text = open(f"{root}/eval_text.txt", encoding="utf-8").read()
+        base = evalmod.model_ppl(f"{root}/m56_f32.bin", text)
         extra["ppl_f32_56m"] = round(base, 4)
         for q in ("q80", "q4k"):
-            p = f"/tmp/r3/m56_{q}.bin"
+            p = f"{root}/m56_{q}.bin"
             if os.path.exists(p):
                 extra[f"ppl_delta_{q}_56m"] = round(
                     evalmod.model_ppl(p, text) - base, 4)
