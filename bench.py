@@ -7,316 +7,60 @@ one chip, vs the reference C engine's 8-12 tok/s on a Raspberry Pi 5
 
 "extra" carries the full panel: bf16 / Q80-int8 / Q4K-int8 decode tok/s at
 the 0.6B shape, p50 TTFT, continuous-batching aggregate throughput
-(slots=8/32, Q80), and the round-1 continuity number (Nano-168M bf16).
+(slots=8/32, Q80), the round-1 continuity number (Nano-168M bf16), PPL
+deltas at 56M when the round's trained exports exist, and Nano-168M
+training throughput.
 
-Weights are random (throughput is content-independent); the quantized
-pytrees are built in the exact device layout the .bin loader produces
-(grouped int8-MXU form, binfmt._maybe_int8_layout), so a regression in
-the quantized decode path shows up here.
-
-Methodology (PERF.md, .claude/skills/verify/SKILL.md): the TPU tunnel
-memoizes value-identical dispatches and adds ~30 ms fixed cost per
-dispatched program, so every timed call chains inputs from previous
-outputs, brackets a full host readback, and decodes inside one compiled
-scan long enough to amortize the dispatch cost.
+This file is the ORCHESTRATOR and never imports jax.  Every stage runs
+in its own subprocess (`python tools/bench_stages.py --stage NAME`) with
+a timeout and an address-space cap, because three distinct in-process
+failure modes have each killed a whole panel before:
+  * JAX backend init on a non-main thread wedges the axon plugin and
+    aborts the process at teardown (rc 134, "FATAL: exception not
+    rethrown") — burned the round-3 driver bench;
+  * one stage ballooning host RSS (observed: 130 GB -> host OOM-kill)
+    — burned the round-4 runbook's first panel;
+  * a tunnel wedge mid-stage hanging the panel with zero output.
+With per-stage subprocesses each of those costs ONE stage's keys; the
+final JSON line always prints.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from nano_tpu.config import ModelConfig
-from nano_tpu.models import gpt
-from nano_tpu.ops import sampling
-from nano_tpu.ops.qmatmul import Q80Tensor
-from nano_tpu.ops.q4k import Q4KTensor, GROUP_LEN
-from nano_tpu.infer import engine
-from nano_tpu.serve import batching
-
-BASELINE_RPI5_TOK_S = 10.0     # Qwen3-0.6B on Raspberry Pi 5: 8-12 tok/s
-BASELINE_N150_TOK_S = 65.0     # Nano-168M Q80 on Intel N150
-
-QWEN3_06B = dict(block_size=1024, vocab_size=151936, n_layer=28,
-                 n_embd=1024, n_head=16, n_kv_head=8, n_hidden=3072,
-                 head_dim=128, use_qk_norm=True, rope_style="half",
-                 rope_theta=1e6, norm_eps=1e-6, tie_embeddings=True)
-NANO_168M = dict(block_size=512, vocab_size=16384, n_layer=24, n_embd=768,
-                 n_head=16, n_kv_head=8, n_hidden=2048)
-GS = 256   # Q80 group size: the grouped int8-MXU path needs >= 256
-           # (ops/qmatmul.py MIN_GROUPED_GS); our exporters default to it
-
-
-# ---------------------------------------------------------------------
-# random params in the loader's device layouts
-# ---------------------------------------------------------------------
-
-def _norms(cfg, rng):
-    L, E, D = cfg.n_layer, cfg.n_embd, cfg.head_dim
-    b = {"attn_norm": jnp.ones((L, E), jnp.float32),
-         "ffn_norm": jnp.ones((L, E), jnp.float32)}
-    if cfg.use_qk_norm:
-        b["q_norm"] = jnp.ones((L, D), jnp.float32)
-        b["k_norm"] = jnp.ones((L, D), jnp.float32)
-    return b
-
-
-def q80_params(cfg, rng):
-    """Mirrors binfmt.quantized_device_params(fuse=True) + int8 layout."""
-    def qt(*shape, inn):
-        q = rng.randint(-127, 128, shape).astype(np.int8)
-        s = (rng.rand(*shape[:-1], inn // GS).astype(np.float32)
-             * 0.02 + 1e-3)
-        return Q80Tensor(q=jnp.asarray(q), scales=jnp.asarray(s),
-                         group_size=GS)
-
-    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
-    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-    blocks = dict(_norms(cfg, rng))
-    blocks["wqkv"] = qt(L, HD + 2 * KVD, E, inn=E).to_grouped()
-    blocks["wo"] = qt(L, E, HD, inn=HD).to_grouped()
-    blocks["w13"] = qt(L, 2 * F, E, inn=E).to_grouped()
-    blocks["w2"] = qt(L, E, F, inn=F).to_grouped()
-    tok = qt(V, E, inn=E)
-    return {"tok_embeddings": tok, "output_q": tok.to_grouped(),
-            "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
-
-
-def _q4t_packed(rng, shape_out, inn, stack=None, block_weight=True):
-    """Random Q4K tensor in the loader's packed device layout.
-
-    block_weight=True mirrors binfmt._q4k_device_params' layout knob
-    (NANO_TPU_Q4K_LAYOUT=unpacked applies to block weights only; the
-    embedding/head stay packed for the row gather)."""
-    G = inn // GROUP_LEN
-    lead = () if stack is None else (stack,)
-    packed = rng.randint(0, 256, lead + (shape_out, inn // 2)).astype(np.uint8)
-    s = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02 + 1e-3
-    b = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02
-    t = Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
-                  biases=jnp.asarray(b), in_dim=inn)
-    if block_weight and os.environ.get("NANO_TPU_Q4K_LAYOUT") == "unpacked":
-        t = t.to_unpacked()
-    return t
-
-
-# ---------------------------------------------------------------------
-# timed programs
-# ---------------------------------------------------------------------
-
-def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
-    """Single-stream decode on the engine's REAL path semantics:
-    right-sized cache + segmented attn_len scan (what
-    generate_on_device dispatches since the cache-length-bucketing
-    change — the cache covers start+n_steps, not block_size, and each
-    segment attends only its pow2 prefix).  NANO_TPU_DECODE_BUCKET=0
-    measures the pre-bucketing full-cache path instead (the runbook's
-    A/B baseline), exactly as generate_on_device would dispatch it."""
-    s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
-    start = 4
-    # mirror engine.generate_on_device exactly: need = n + n_tokens
-    if engine._bucketing_enabled():
-        cache_len = min(engine._bucket(start + n_steps), cfg.block_size)
-        segs = engine._decode_segments(start, n_steps, cache_len)
-    else:
-        cache_len = cfg.block_size
-        segs = [(None, n_steps)]
-    cache = gpt.KVCache.create(cfg, 1, cache_len, kv_dtype)
-    seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
-    key = jax.random.PRNGKey(0)
-    tok = jnp.zeros((1,), jnp.int32)
-
-    def run(tok, cache, seen, key):
-        pos, outs = start, []
-        for attn_b, take in segs:
-            toks, cache, seen, key = engine._decode_scan(
-                params, None, 0.0, tok, jnp.int32(pos), cache, seen, key,
-                jnp.float32(s.temperature), jnp.float32(s.top_p),
-                jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
-                s.top_k, take, True, attn_len=attn_b)
-            tok = toks[-1]
-            outs.append(toks)
-            pos += take
-        return jnp.concatenate(outs, 0), cache, seen, key
-
-    toks, cache, seen, key = run(tok, cache, seen, key)
-    np.asarray(toks)                      # compile + warm
-    best = 0.0
-    for it in range(reps):
-        tok = (toks[-1] + it + 1) % cfg.vocab_size     # chain values
-        t0 = time.time()
-        toks, cache, seen, key = run(tok, cache, seen, key)
-        np.asarray(toks)                  # force full execution
-        best = max(best, n_steps / (time.time() - t0))
-    return best
-
-
-def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
-    cache0 = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
-    ids = np.zeros((1, prompt_len), np.int32)
-    ids[0] = np.arange(prompt_len) % 1000 + 10
-    times = []
-    logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
-                                   cache0, cfg, jnp.bfloat16)
-    first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))  # warm
-    for i in range(reps):
-        ids[0, 0] = 10 + i                # new value -> no memoized hit
-        t0 = time.time()
-        logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
-                                       cache0, cfg, jnp.bfloat16)
-        first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))
-        times.append((time.time() - t0) * 1e3)
-    return float(np.percentile(times, 50))
-
-
-def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
-                      kv_dtype=jnp.int8, start_pos=384):
-    """Aggregate decode throughput at the SERVING defaults: int8 KV
-    cache + per-burst cache-length bucketing (serve/batching.py).
-
-    start_pos models streams that already hold a prompt + some decode
-    history (384 + 128 steps -> a 512 bucket out of the 1024 cache);
-    attn_len mirrors step_burst's bucket choice.
-    """
-    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, kv_dtype)
-    pos = jnp.full((slots,), start_pos, jnp.int32)
-    tok = jnp.arange(slots, dtype=jnp.int32) % 997
-    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
-    key = jax.random.PRNGKey(1)
-    temp = jnp.zeros((slots,), jnp.float32)
-    topp = jnp.full((slots,), 0.8, jnp.float32)
-    rp = jnp.ones((slots,), jnp.float32)
-    from nano_tpu.infer.engine import _bucket
-    attn_len = min(cfg.block_size, _bucket(start_pos + n_steps + 1,
-                                           minimum=128))
-    if attn_len >= cfg.block_size:
-        attn_len = None
-
-    def run(tok, pos, cache, seen, key):
-        return batching._batched_scan(
-            params, None, 0.0, tok, pos, cache, seen, key, temp, topp, rp,
-            cfg, jnp.bfloat16, 0, n_steps, attn_len)
-
-    toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
-    np.asarray(toks)
-    best = 0.0
-    for it in range(reps):
-        tok = (tok + it + 1) % cfg.vocab_size
-        pos = jnp.full((slots,), start_pos, jnp.int32)
-        t0 = time.time()
-        toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
-        np.asarray(toks)
-        best = max(best, slots * n_steps / (time.time() - t0))
-    return best
-
-
-def spec_decode_tok_s(params, cfg, n_tokens=256, k=7, reps=3):
-    """Speculative greedy decode on a cyclic stream (infer/speculative.py).
-
-    Random weights decode greedily into a short cycle, so prompt-lookup
-    acceptance approaches 1 — this measures the MECHANISM's ceiling
-    (verify k+1 tokens at ~1 step's cost), not free-text acceptance;
-    reported alongside tokens-per-round so the multiplier is explicit.
-    """
-    from nano_tpu.infer import speculative
-    T = cfg.block_size
-    prompt = ([5, 9, 3, 17, 11, 2, 29, 7] * 4)[:32]
-    cache = gpt.KVCache.create(cfg, 1, T, jnp.bfloat16)
-    ids = np.zeros((1, 32), np.int32)
-    ids[0] = prompt
-    logits, cache, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
-                                       cache, cfg, jnp.bfloat16)
-    tok = jnp.argmax(logits[0, 31]).astype(jnp.int32)
-    hist0 = np.zeros((T,), np.int32)
-    hist0[:32] = prompt
-    hist0[32] = int(tok)
-
-    # plain greedy: empty seen-mask + rep_penalty 1.0 (the no-op values;
-    # signature gained seen/rep_penalty with penalized-greedy support)
-    seen = jnp.zeros((cfg.vocab_size,), jnp.bool_)
-
-    def run(hist):
-        return speculative.spec_decode_loop(
-            params, None, 0.0, tok, jnp.int32(32), cache, hist,
-            seen, jnp.float32(1.0), cfg, jnp.bfloat16, n_tokens, k)
-
-    out, n_em, rounds, _ = run(jnp.asarray(hist0))
-    np.asarray(out)                       # compile + warm
-    best, tpr = 0.0, 0.0
-    for it in range(reps):
-        hist0[0] = 40 + it                # new value -> no memoized hit
-        t0 = time.time()
-        out, n_em, rounds, _ = run(jnp.asarray(hist0))
-        np.asarray(out)                   # force full execution
-        dt = time.time() - t0
-        n = int(n_em)
-        best = max(best, n / dt)
-        tpr = n / max(int(rounds), 1)
-    return best, tpr
-
-
-def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
-                           kv_dtype=jnp.int8, start_pos=256):
-    """Aggregate throughput of the SPECULATIVE batched scan on cyclic
-    per-slot streams (serve/batching.py _batched_spec_scan).  Like
-    spec_decode_tok_s this measures the mechanism's ceiling — every
-    slot's stream is repetitive, so acceptance approaches 1 and each
-    scan step emits ~k+1 tokens per slot at ~1 step's cost."""
-    from nano_tpu.serve.batching import _batched_spec_scan
-    T = cfg.block_size
-    cache = gpt.KVCache.create(cfg, slots, T, kv_dtype)
-    pos = jnp.full((slots,), start_pos, jnp.int32)
-    tok = jnp.arange(slots, dtype=jnp.int32) % 997
-    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
-    temp = jnp.zeros((slots,), jnp.float32)
-    topp = jnp.full((slots,), 0.8, jnp.float32)
-    rp = jnp.ones((slots,), jnp.float32)
-    spec_ok = jnp.ones((slots,), jnp.bool_)
-    hist0 = np.tile(np.arange(T, dtype=np.int32) % 13, (slots, 1))
-
-    def run(hist):
-        return _batched_spec_scan(
-            params, None, 0.0, tok, pos, cache, seen,
-            jax.random.PRNGKey(1), hist, temp, topp, rp, spec_ok,
-            cfg, jnp.bfloat16, 0, k, n_steps, None)
-
-    out = run(jnp.asarray(hist0))
-    np.asarray(out[0])
-    best = 0.0
-    for it in range(reps):
-        hist0[0, 0] = 20 + it             # new value -> no memoized hit
-        t0 = time.time()
-        emits, n_outs, *_ = run(jnp.asarray(hist0))
-        n_em = int(np.asarray(n_outs).sum())
-        np.asarray(emits)
-        best = max(best, n_em / (time.time() - t0))
-    return best
+# (stage name, timeout seconds).  Timeouts are generous per-stage caps;
+# the global deadline (NANO_BENCH_DEADLINE_S) trims the tail if the
+# earlier stages ran long.
+STAGE_PLAN = [
+    ("q80", 1200),        # primary metric first: always gets full budget
+    ("bf16", 900),
+    ("q4k", 900),
+    ("batched", 900),
+    ("spec", 700),
+    ("nano168m", 600),
+    ("ppl", 600),
+    ("train", 1000),
+]
 
 
 def _probe_device(timeout_s: float = 180.0) -> bool:
     """One tiny dispatched program with a full readback, bounded by a
     timeout: if the TPU tunnel is wedged (observed outage: trivial
     matmuls hang forever), the bench must still emit its JSON line
-    rather than hang until the driver kills it.
-
-    The probe runs in a SUBPROCESS, not a watchdog thread: a daemon
-    thread doing the process's first dispatch initializes the backend
-    off the main thread, which wedges the axon plugin and aborts the
-    whole process at teardown ("terminate called … FATAL: exception not
-    rethrown", rc 134) — that false "device unreachable" burned the
-    round-3 driver bench and the round-4 runbook's first panel while
-    dispatches in neighboring processes succeeded."""
-    import subprocess
-    import sys as _sys
-    code = ("import jax, numpy as np, jax.numpy as jnp\n"
+    rather than hang until the driver kills it."""
+    # import nano_tpu first: the axon plugin overrides JAX_PLATFORMS
+    # during registration, and nano_tpu re-asserts it — without this a
+    # CPU-forced smoke run probes the tunneled TPU instead (CLAUDE.md).
+    code = ("import nano_tpu\n"
+            "import jax, numpy as np, jax.numpy as jnp\n"
             "x = jnp.ones((128, 128), jnp.float32)\n"
             "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
             "print('probe-ok')\n")
     try:
-        r = subprocess.run([_sys.executable, "-c", code],
+        r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,
                            timeout=timeout_s, cwd=".")
         return "probe-ok" in r.stdout
@@ -324,137 +68,31 @@ def _probe_device(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def _panel(extra: dict, primary: dict) -> None:
-    """Fill `extra`/`primary` in place, one guarded stage at a time, so a
-    single stage failure (OOM, compile error) costs that stage's keys,
-    not the whole panel."""
-    rng = np.random.RandomState(0)
-    cfg = ModelConfig(**QWEN3_06B)
-
-    def stage(name, fn):
-        try:
-            fn()
-        except Exception as e:                        # noqa: BLE001
-            extra[name + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-
-    # --- Qwen3-0.6B shape: bf16 / Q80-int8 / Q4K-int8 single-stream ---
-    def s_bf16():
-        pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
-                             param_dtype=jnp.bfloat16)
-        extra["qwen3_0.6b_bf16_tok_s"] = round(decode_tok_s(pb, cfg), 1)
-        extra["ttft_p50_ms_bf16_p64"] = round(ttft_p50_ms(pb, cfg), 1)
-    stage("bf16", s_bf16)
-
-    pq_box = []
-
-    def s_q80_params():
-        pq_box.append(q80_params(cfg, rng))
-    stage("q80_params", s_q80_params)
-    pq = pq_box[0] if pq_box else None
-
-    def s_q80():
-        if pq is None:
-            raise RuntimeError("q80 params unavailable")
-        q80 = decode_tok_s(pq, cfg)
-        extra["qwen3_0.6b_q80_tok_s"] = round(q80, 1)
-        primary["value"] = round(q80, 2)
-        primary["vs_baseline"] = round(q80 / BASELINE_RPI5_TOK_S, 2)
-        extra["qwen3_0.6b_q80_kv8_tok_s"] = round(
-            decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1)
-        extra["ttft_p50_ms_q80_p64"] = round(ttft_p50_ms(pq, cfg), 1)
-    stage("q80", s_q80)
-
-    def s_batched():
-        if pq is None:
-            raise RuntimeError("q80 params unavailable")
-        extra["q80_batch8_agg_tok_s"] = round(
-            batched_aggregate(pq, cfg, 8), 1)
-        extra["q80_batch32_agg_tok_s"] = round(
-            batched_aggregate(pq, cfg, 32), 1)
-    stage("batched", s_batched)
-
-    def s_spec():
-        if pq is None:
-            raise RuntimeError("q80 params unavailable")
-        sp, tpr = spec_decode_tok_s(pq, cfg)
-        extra["q80_spec_tok_s_cyclic"] = round(sp, 1)
-        extra["spec_tokens_per_round"] = round(tpr, 2)
-        extra["q80_spec_batch8_agg_tok_s_cyclic"] = round(
-            batched_spec_aggregate(pq, cfg, 8), 1)
-    stage("spec", s_spec)
-
-    def s_q4k():
-        # Q4K in the loader's packed layout (binfmt._q4k_device_params)
-        L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
-        HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-        blocks = dict(_norms(cfg, rng))
-        blocks["wqkv"] = _q4t_packed(rng, HD + 2 * KVD, E, stack=L)
-        blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
-        blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
-        blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
-        tok = _q4t_packed(rng, V, E, block_weight=False)
-        # the loader requantizes a Q4K head to grouped Q80-256 at load
-        # (binfmt._maybe_int8_layout) — mirror that here
-        head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)
-        head_s = rng.rand(V, E // 256).astype(np.float32) * 0.02 + 1e-3
-        head = Q80Tensor(q=jnp.asarray(head_q), scales=jnp.asarray(head_s),
-                         group_size=256).to_grouped()
-        p4 = {"tok_embeddings": tok, "output_q": head,
-              "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
-        extra["qwen3_0.6b_q4k_tok_s"] = round(decode_tok_s(p4, cfg), 1)
-    stage("q4k", s_q4k)
-
-    def s_nano():
-        # round-1 continuity: Nano-168M bf16
-        ncfg = ModelConfig(**NANO_168M)
-        pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
-                             param_dtype=jnp.bfloat16)
-        nano = decode_tok_s(pn, ncfg, n_steps=512)
-        extra["nano168m_bf16_tok_s"] = round(nano, 1)
-        extra["nano168m_vs_n150_q80"] = round(nano / BASELINE_N150_TOK_S, 2)
-    stage("nano168m", s_nano)
-
-    def s_ppl():
-        # north-star PPL Δ vs FP32 at 56M — only when the round's trained
-        # exports exist (tools/tpu_runbook*.sh train+export stages);
-        # silently absent otherwise (random-weight PPL is meaningless)
-        root = next((r for r in ("/tmp/r4", "/tmp/r3")
-                     if os.path.exists(f"{r}/m56_f32.bin")
-                     and os.path.exists(f"{r}/eval_text.txt")), None)
-        if root is None:
-            return
-        import eval as evalmod
-        text = open(f"{root}/eval_text.txt", encoding="utf-8").read()
-        base = evalmod.model_ppl(f"{root}/m56_f32.bin", text)
-        extra["ppl_f32_56m"] = round(base, 4)
-        for q in ("q80", "q4k"):
-            p = f"{root}/m56_{q}.bin"
-            if os.path.exists(p):
-                extra[f"ppl_delta_{q}_56m"] = round(
-                    evalmod.model_ppl(p, text) - base, 4)
-    stage("ppl", s_ppl)
-
-    def s_train():
-        # training throughput at Nano-168M batch 64 (BASELINE.md:12-13).
-        # Subprocess: training HBM (weights+Adam+activations ~14 GB)
-        # must not fragment the inference stages' pool, and a fresh
-        # process releases it deterministically.
-        import subprocess
-        import sys as _sys
-        combo = os.environ.get("NANO_BENCH_TRAIN_COMBO", "full:0")
+def _run_stage(name: str, timeout_s: float, extra: dict) -> None:
+    """Run one stage subprocess; merge its result keys into extra.
+    Any failure (timeout, OOM, compile error, teardown abort after the
+    result line) costs only this stage's keys."""
+    try:
         r = subprocess.run(
-            [_sys.executable, "tools/bench_train.py", "--one", combo],
-            capture_output=True, text=True, timeout=900, cwd=".")
-        rows = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        rec = json.loads(rows[-1]) if rows else {}
-        if "tok_s" in rec:
-            extra["nano168m_train_tok_s"] = rec["tok_s"]
-            extra["nano168m_train_ms_step"] = rec["ms_step"]
-            extra["train_remat_policy"] = combo
-        else:
-            raise RuntimeError(rec.get("error") or
-                               (r.stderr or r.stdout)[-200:])
-    stage("train", s_train)
+            [sys.executable, "tools/bench_stages.py", "--stage", name],
+            capture_output=True, text=True, timeout=timeout_s, cwd=".")
+    except subprocess.TimeoutExpired:
+        extra[name + "_error"] = f"timeout after {timeout_s:.0f}s"
+        return
+    except OSError as e:
+        extra[name + "_error"] = f"OSError: {e}"
+        return
+    rows = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("NANO_BENCH_RESULT ")]
+    if rows:
+        # a teardown abort AFTER the result line still counts as success
+        try:
+            extra.update(json.loads(rows[-1][len("NANO_BENCH_RESULT "):]))
+            return
+        except json.JSONDecodeError:
+            pass
+    tail = (r.stderr or r.stdout or "").strip()[-200:]
+    extra[name + "_error"] = f"rc={r.returncode}: {tail}"
 
 
 def main():
@@ -465,33 +103,31 @@ def main():
         "vs_baseline": 0.0,
     }
     extra: dict = {}
+    t0 = time.time()
+    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "4500"))
     if not _probe_device():
         extra["error"] = ("device unreachable: the dispatch probe did not "
                           "complete within 180 s (tunnel outage); see "
-                          "PERF.md round-3 status")
+                          "PERF.md round-3/4 status")
         print(json.dumps({**primary, "extra": extra}))
         return
 
-    # The panel runs in a worker thread under a global deadline: if the
-    # tunnel wedges MID-panel (probe passed, later dispatch hangs), print
-    # whatever stages completed instead of dying output-less under the
-    # driver's own timeout.
-    import threading
-    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "4500"))
+    only = os.environ.get("NANO_BENCH_STAGES")       # e.g. "q80,bf16"
+    plan = [(n, t) for n, t in STAGE_PLAN
+            if only is None or n in only.split(",")]
+    for name, cap in plan:
+        left = deadline_s - (time.time() - t0)
+        if left < 120:
+            extra["deadline_note"] = (
+                f"global deadline {deadline_s:.0f}s reached before "
+                f"stage '{name}'; later stages skipped")
+            break
+        _run_stage(name, min(cap, left), extra)
 
-    def guarded():
-        try:
-            _panel(extra, primary)
-        except BaseException as e:                    # noqa: BLE001
-            extra["panel_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-
-    t = threading.Thread(target=guarded, daemon=True)
-    t.start()
-    t.join(deadline_s)
-    if t.is_alive():
-        extra["error"] = (f"panel incomplete: deadline {deadline_s:.0f}s "
-                          "hit (device likely wedged mid-run); partial "
-                          "results above are valid")
+    q80 = extra.get("qwen3_0.6b_q80_tok_s")
+    if q80:
+        primary["value"] = round(q80, 2)
+        primary["vs_baseline"] = round(q80 / 10.0, 2)  # RPi5 midpoint
     print(json.dumps({**primary, "extra": extra}))
 
 

@@ -210,6 +210,14 @@ def _decode_segments(p: int, rem: int, cache_len: int,
     segments merge into the next bucket — each segment is one dispatched
     program (~fixed tunnel cost), so a short tail is not worth its own
     launch.  attn_len None = the full (already right-sized) cache."""
+    if p + rem >= cache_len + 1:
+        # positions written run p .. p+rem-1; the last must fit the cache.
+        # Without this guard the loop below appends zero-length segments
+        # forever (observed: the round-4 bench panel's nano168m stage grew
+        # the list to 130 GB host RSS and got OOM-killed).
+        raise ValueError(
+            f"decode of {rem} steps from position {p} needs "
+            f"{p + rem} cache rows but cache_len={cache_len}")
     segs: List[Tuple[Optional[int], int]] = []
     while rem > 0:
         attn_b = min(_bucket(p + 1), cache_len)
@@ -512,6 +520,14 @@ class Session:
     DECODING = 1
     FINISHED = 2
 
+    # plain steps taken after a fully rejected k=1 probe before spec is
+    # re-probed: starts at _SPEC_PARK_MIN and doubles per consecutive
+    # rejection up to _SPEC_PARK_MAX, resetting on any acceptance — early
+    # misses (thin history) recover fast, sustained-unpredictable text
+    # converges to <= 1 verify per 32 steps of overhead (see _spec_adapt)
+    _SPEC_PARK_MIN = 4
+    _SPEC_PARK_MAX = 32
+
     def __init__(self, ctx: LLMContext, prompt: str,
                  max_new_tokens: Optional[int] = None,
                  template: bool = False):
@@ -548,6 +564,17 @@ class Session:
         self._pending: List[int] = []
         self._hist: Optional[jnp.ndarray] = None
         self._spec_k_cur = 1
+        # k=0 park: on unpredictable text even a k=1 verify (a 2-token
+        # program) loses to a plain step (runbook r4: session adaptive
+        # 17.7 vs plain 28.3 tok/s on trained-56M free text) — a fully
+        # rejected k=1 round parks spec at k=0 for a backoff-doubled
+        # number of plain steps, then re-probes
+        self._spec_park = 0
+        self._spec_park_len = self._SPEC_PARK_MIN
+        # tokens emitted by plain steps while parked, folded into _hist
+        # in ONE device update just before the next probe (per-step
+        # .at[].set() would cost a ~30 ms tunnel dispatch each)
+        self._park_toks: List[int] = []
         self._spec = (ctx.spec_k > 0
                       and ctx.sampler.temperature <= 0.0
                       and ctx.observation is None)
@@ -598,6 +625,23 @@ class Session:
             self._hist = jnp.asarray(hist)
         return first
 
+    def _spec_adapt(self, k: int, n_acc: int) -> None:
+        """Draft-length controller (pow2-bucketed C++ rule + k=0 park):
+        full acceptance doubles toward the cap, a partial miss drops to
+        the accepted-run-length bucket, and a fully rejected k=1 probe
+        parks spec (plain steps) with exponential backoff."""
+        if n_acc > 0:
+            self._spec_park_len = self._SPEC_PARK_MIN
+        if n_acc == k:
+            self._spec_k_cur = min(2 * k, self.ctx.spec_k)
+        elif n_acc == 0 and k == 1:
+            self._spec_k_cur = 0
+            self._spec_park = self._spec_park_len
+            self._spec_park_len = min(2 * self._spec_park_len,
+                                      self._SPEC_PARK_MAX)
+        else:
+            self._spec_k_cur = 1 << (max(1, n_acc).bit_length() - 1)
+
     def step(self) -> Optional[int]:
         """Generate the next token, or None when finished."""
         ctx = self.ctx
@@ -612,9 +656,23 @@ class Session:
                     len(self.output_ids) >= self.max_new_tokens):
                 self.state = Session.FINISHED
                 return None
-            if self._spec and self.pos + 3 <= ctx.max_seq_len:
+            if self._spec and self._spec_k_cur == 0:
+                if self._spec_park > 0:
+                    self._spec_park -= 1      # plain step this round
+                else:
+                    self._spec_k_cur = 1      # park over: re-probe
+            if (self._spec and self._spec_k_cur > 0
+                    and self.pos + 3 <= ctx.max_seq_len):
                 # one verify round refills _pending with >= 1 tokens
                 from nano_tpu.infer import speculative
+                if self._park_toks:
+                    # catch _hist up with the parked plain steps so the
+                    # draft lookup sees the real recent stream
+                    arr = jnp.asarray(np.asarray(self._park_toks, np.int32))
+                    start = self.pos - len(self._park_toks) + 1
+                    self._hist = jax.lax.dynamic_update_slice(
+                        self._hist, arr, (jnp.int32(start),))
+                    self._park_toks = []
                 k = max(1, min(self._spec_k_cur, ctx.spec_k,
                                ctx.max_seq_len - self.pos - 2))
                 ab = _attn_bucket(self.pos + k + 2,
@@ -629,11 +687,7 @@ class Session:
                 self._seen = seen[None]
                 n_out = int(n_out)
                 n_acc = n_out - 1
-                # adaptive draft length (pow2-bucketed C++ rule):
-                # unpredictable text parks at k=1 (a 2-token verify,
-                # ~1 plain step's cost), repetitive text doubles to cap
-                self._spec_k_cur = (min(2 * k, ctx.spec_k) if n_acc == k
-                                    else 1 << (max(1, n_acc).bit_length() - 1))
+                self._spec_adapt(k, n_acc)
                 self._pending = np.asarray(g)[:n_out].tolist()
                 self._cur_tok = g[n_out - 1][None]
                 self.pos += n_out
@@ -664,6 +718,8 @@ class Session:
                 self._cur_tok = next_tok
                 self.pos += 1
                 tok = int(next_tok[0])
+                if self._spec and self._hist is not None:
+                    self._park_toks.append(tok)
 
         if tok in ctx.stop_tokens:
             self.state = Session.FINISHED

@@ -1,72 +1,130 @@
-"""Flow-check the driver bench panel (bench.py) at tiny shapes on CPU.
+"""Flow-check the driver bench panel at tiny shapes on CPU.
 
 The panel is normally only executed on the real TPU at round end, so a
 signature drift in any helper it calls (e.g. spec_decode_loop growing
 seen/rep_penalty args) would otherwise first surface as a silently
-missing metric.  This runs every stage end-to-end and asserts none
-recorded an error.
+missing metric.  Two layers:
+
+  * the stage functions (tools/bench_stages.py) run end-to-end in-process
+    at tiny shapes and must return their metric keys;
+  * the orchestrator (bench.py) is exercised with stubbed stage
+    subprocesses — it must merge stage keys, derive the primary metric,
+    survive a failing stage, and always print one JSON line.
 """
 
+import importlib.util
 import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_panel_all_stages_flow(monkeypatch, capsys):
-    import bench
+def _load(name, rel):
+    spec = importlib.util.spec_from_file_location(name,
+                                                  os.path.join(REPO, rel))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stage_functions_flow(monkeypatch):
+    bs = _load("bench_stages_under_test", "tools/bench_stages.py")
 
     tiny = dict(block_size=64, vocab_size=512, n_layer=2, n_embd=256,
                 n_head=4, n_kv_head=2, n_hidden=256, head_dim=64,
                 use_qk_norm=True, rope_style="half", rope_theta=1e6,
                 norm_eps=1e-6, tie_embeddings=True)
-    monkeypatch.setattr(bench, "QWEN3_06B", tiny)
-    monkeypatch.setattr(bench, "NANO_168M",
+    monkeypatch.setattr(bs, "QWEN3_06B", tiny)
+    monkeypatch.setattr(bs, "NANO_168M",
                         dict(block_size=64, vocab_size=512, n_layer=2,
                              n_embd=256, n_head=4, n_kv_head=2,
                              n_hidden=256))
     # shrink every stage's step counts; keep the real call signatures
-    d = bench.decode_tok_s
-    monkeypatch.setattr(bench, "decode_tok_s",
+    d = bs.decode_tok_s
+    monkeypatch.setattr(bs, "decode_tok_s",
                         lambda p, c, n_steps=None, **kw:
                         d(p, c, n_steps=8, **kw))
-    b = bench.batched_aggregate
-    monkeypatch.setattr(bench, "batched_aggregate",
-                        lambda p, c, s, **kw: b(p, c, s, n_steps=4, reps=1))
-    s = bench.spec_decode_tok_s
-    monkeypatch.setattr(bench, "spec_decode_tok_s",
+    b = bs.batched_aggregate
+    monkeypatch.setattr(bs, "batched_aggregate",
+                        lambda p, c, s, **kw:
+                        b(p, c, s, n_steps=4, reps=1, start_pos=16))
+    s = bs.spec_decode_tok_s
+    monkeypatch.setattr(bs, "spec_decode_tok_s",
                         lambda p, c, **kw: s(p, c, n_tokens=16, reps=1))
-    bs = bench.batched_spec_aggregate
-    monkeypatch.setattr(bench, "batched_spec_aggregate",
+    bsp = bs.batched_spec_aggregate
+    monkeypatch.setattr(bs, "batched_spec_aggregate",
                         lambda p, c, sl, **kw:
-                        bs(p, c, sl, n_steps=4, reps=1, start_pos=16))
-    # the CPU backend trivially passes the device probe
-    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+                        bsp(p, c, sl, n_steps=4, reps=1, start_pos=16))
+    # ppl: point at roots that do not exist -> silent empty result (the
+    # real roots may hold a 56M model whose CPU eval is minutes)
+    monkeypatch.setattr(bs, "PPL_ROOTS", ("/nonexistent-bench-test",))
 
     # train stage: tiny model + 2 steps via the env knobs its subprocess
     # reads (it inherits JAX_PLATFORMS=cpu from this process)
-    import json as _json
-    import os
     import tempfile
     mdir = tempfile.mkdtemp()
     mpath = os.path.join(mdir, "m.json")
     with open(mpath, "w") as f:
-        _json.dump(dict(block_size=64, vocab_size=512, n_layer=2,
-                        n_embd=64, n_head=4, n_kv_head=2, n_hidden=128),
-                   f)
+        json.dump(dict(block_size=64, vocab_size=512, n_layer=2,
+                       n_embd=64, n_head=4, n_kv_head=2, n_hidden=128),
+                  f)
     monkeypatch.setenv("BENCH_TRAIN_MODEL", mpath)
     monkeypatch.setenv("BENCH_TRAIN_BATCH", "2")
     monkeypatch.setenv("BENCH_TRAIN_STEPS", "2")
 
-    bench.main()
-    line = capsys.readouterr().out.strip().splitlines()[-1]
-    rec = json.loads(line)
+    extra = {}
+    for name, fn in bs.STAGES.items():
+        extra.update(fn())
 
-    errors = {k: v for k, v in rec["extra"].items() if k.endswith("error")}
-    assert not errors, errors
-    assert rec["value"] > 0
     for key in ("qwen3_0.6b_bf16_tok_s", "qwen3_0.6b_q80_tok_s",
                 "qwen3_0.6b_q80_kv8_tok_s", "q80_batch8_agg_tok_s",
                 "q80_batch32_agg_tok_s", "q80_spec_tok_s_cyclic",
                 "q80_spec_batch8_agg_tok_s_cyclic", "qwen3_0.6b_q4k_tok_s",
                 "nano168m_bf16_tok_s", "nano168m_train_tok_s"):
-        assert key in rec["extra"], key
-    # ppl stage skips silently without the round's trained exports
-    assert "ppl_error" not in rec["extra"]
+        assert key in extra, key
+    assert extra["qwen3_0.6b_q80_tok_s"] > 0
+
+
+def test_orchestrator_merges_and_survives_stage_failure(monkeypatch, capsys):
+    bench = _load("bench_under_test", "bench.py")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+
+    def fake_stage(name, timeout_s, extra):
+        if name == "q80":
+            extra["qwen3_0.6b_q80_tok_s"] = 500.0
+        elif name == "bf16":
+            extra["bf16_error"] = "rc=-9: simulated OOM kill"
+        else:
+            extra[name + "_done"] = True
+    monkeypatch.setattr(bench, "_run_stage", fake_stage)
+
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "qwen3_0.6b_q80_decode_tok_s_batch1"
+    assert rec["value"] == 500.0            # primary derived from q80 stage
+    assert rec["vs_baseline"] == 50.0
+    assert rec["extra"]["bf16_error"].startswith("rc=-9")
+    assert rec["extra"]["q4k_done"] is True  # later stages still ran
+
+
+def test_orchestrator_emits_error_line_when_device_unreachable(monkeypatch,
+                                                               capsys):
+    bench = _load("bench_under_test2", "bench.py")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: False)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0.0
+    assert "device unreachable" in rec["extra"]["error"]
+
+
+def test_stage_subprocess_protocol(monkeypatch):
+    """One real stage subprocess round-trip: bench._run_stage must parse
+    the NANO_BENCH_RESULT line from a ppl stage pointed at an empty root
+    (quick {} result — no model eval)."""
+    bench = _load("bench_under_test3", "bench.py")
+    monkeypatch.setenv("NANO_BENCH_PPL_ROOTS", "/nonexistent-bench-test")
+    extra = {}
+    bench._run_stage("ppl", 600, extra)
+    assert extra == {}, extra

@@ -321,3 +321,70 @@ def test_on_device_penalized_matches_session():
     spec = engine.generate_on_device(
         dataclasses.replace(ctx, spec_k=7), ctx.encode("abcabcabc"), 24)
     np.testing.assert_array_equal(spec, dev)
+
+
+def test_spec_adapt_controller_parks_and_recovers():
+    """The draft-length controller: doubles on full acceptance, drops to
+    the accepted-run bucket on a partial miss, and a fully rejected k=1
+    probe parks spec at k=0 (plain steps) for _SPEC_PARK_STEPS — on
+    free text even a 2-token verify loses to a plain step (PERF.md r4:
+    session adaptive 17.7 vs plain 28.3 tok/s before the park)."""
+    ctx = make_ctx(spec_k=8)
+    s = engine.Session(ctx, "ab", max_new_tokens=4)
+    s._spec_adapt(k=1, n_acc=1)            # full acceptance at k=1
+    assert s._spec_k_cur == 2
+    s._spec_adapt(k=2, n_acc=2)
+    assert s._spec_k_cur == 4
+    s._spec_adapt(k=4, n_acc=3)            # partial miss -> pow2 bucket
+    assert s._spec_k_cur == 2
+    s._spec_adapt(k=2, n_acc=0)            # full miss at k>1 -> floor 1
+    assert s._spec_k_cur == 1
+    s._spec_adapt(k=1, n_acc=0)            # rejected probe -> park
+    assert s._spec_k_cur == 0
+    assert s._spec_park == engine.Session._SPEC_PARK_MIN
+    s._spec_adapt(k=1, n_acc=0)            # backoff doubles per rejection
+    assert s._spec_park == 2 * engine.Session._SPEC_PARK_MIN
+    for _ in range(8):
+        s._spec_adapt(k=1, n_acc=0)
+    assert s._spec_park == engine.Session._SPEC_PARK_MAX   # capped
+    s._spec_adapt(k=1, n_acc=1)            # acceptance resets the backoff
+    assert s._spec_k_cur == 2
+    assert s._spec_park_len == engine.Session._SPEC_PARK_MIN
+    s._spec_adapt(k=8, n_acc=8)            # cap respected
+    assert s._spec_k_cur == 8
+
+
+def test_session_spec_park_takes_plain_steps_then_reprobes():
+    """While parked the session must emit via plain decode steps (no
+    verify dispatches) and re-probe after the park expires; the token
+    stream stays identical to plain greedy throughout."""
+    ctx = make_ctx(spec_k=8)
+    s = engine.Session(ctx, "ab", max_new_tokens=60)
+    first = s.step()
+    assert first is not None
+    # force a long parked state as if k=1 probes were repeatedly rejected
+    for _ in range(4):
+        s._spec_adapt(k=1, n_acc=0)
+    park0 = s._spec_park
+    calls = {"n": 0}
+    orig = speculative.verify_step
+
+    def counting_verify(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    speculative.verify_step = counting_verify
+    try:
+        emitted = 0
+        while emitted < park0 and s.step() is not None:
+            emitted += 1
+        assert calls["n"] == 0, "verify dispatched while parked"
+        # park expired: the next non-pending step re-probes with k=1
+        while s.step() is not None and calls["n"] == 0:
+            pass
+        assert calls["n"] >= 1, "never re-probed after park expiry"
+    finally:
+        speculative.verify_step = orig
+    plain = engine.generate_sync(make_ctx(), "ab",
+                                 max_new_tokens=60)
+    assert s.output_ids == plain.output_ids[:len(s.output_ids)]

@@ -1,0 +1,467 @@
+"""Worker for bench.py: runs ONE panel stage in this process and prints
+one JSON dict of result keys.
+
+bench.py (the driver-facing orchestrator) launches each stage as
+`python tools/bench_stages.py --stage NAME` with a timeout and lets this
+process die alone on any in-process failure mode: tunnel wedge (timeout),
+host-memory runaway (RLIMIT_AS -> MemoryError), or an axon teardown abort
+(rc 134 after our JSON line is already out).  JAX backend init happens on
+THIS process's main thread — never off-thread (CLAUDE.md: off-thread init
+wedges the axon plugin).
+
+Weights are random (throughput is content-independent); the quantized
+pytrees are built in the exact device layout the .bin loader produces
+(grouped int8-MXU form, binfmt._maybe_int8_layout), so a regression in
+the quantized decode path shows up here.
+
+Methodology (PERF.md, .claude/skills/verify/SKILL.md): the TPU tunnel
+memoizes value-identical dispatches and adds ~30 ms fixed cost per
+dispatched program, so every timed call chains inputs from previous
+outputs, brackets a full host readback, and decodes inside one compiled
+scan long enough to amortize the dispatch cost.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nano_tpu.config import ModelConfig
+from nano_tpu.models import gpt
+from nano_tpu.ops import sampling
+from nano_tpu.ops.qmatmul import Q80Tensor
+from nano_tpu.ops.q4k import Q4KTensor, GROUP_LEN
+from nano_tpu.infer import engine
+from nano_tpu.serve import batching
+
+BASELINE_RPI5_TOK_S = 10.0     # Qwen3-0.6B on Raspberry Pi 5: 8-12 tok/s
+BASELINE_N150_TOK_S = 65.0     # Nano-168M Q80 on Intel N150
+
+QWEN3_06B = dict(block_size=1024, vocab_size=151936, n_layer=28,
+                 n_embd=1024, n_head=16, n_kv_head=8, n_hidden=3072,
+                 head_dim=128, use_qk_norm=True, rope_style="half",
+                 rope_theta=1e6, norm_eps=1e-6, tie_embeddings=True)
+NANO_168M = dict(block_size=512, vocab_size=16384, n_layer=24, n_embd=768,
+                 n_head=16, n_kv_head=8, n_hidden=2048)
+# NANO_BENCH_TINY=1: shrink shapes for an orchestration smoke test (CPU)
+if os.environ.get("NANO_BENCH_TINY"):
+    QWEN3_06B = dict(block_size=256, vocab_size=512, n_layer=2,
+                     n_embd=256, n_head=2, n_kv_head=1, n_hidden=512,
+                     head_dim=128, use_qk_norm=True, rope_style="half",
+                     rope_theta=1e6, norm_eps=1e-6, tie_embeddings=True)
+    NANO_168M = dict(block_size=256, vocab_size=512, n_layer=2, n_embd=256,
+                     n_head=2, n_kv_head=1, n_hidden=512)
+GS = 256   # Q80 group size: the grouped int8-MXU path needs >= 256
+           # (ops/qmatmul.py MIN_GROUPED_GS); our exporters default to it
+
+
+# ---------------------------------------------------------------------
+# random params in the loader's device layouts
+# ---------------------------------------------------------------------
+
+def _norms(cfg, rng):
+    L, E, D = cfg.n_layer, cfg.n_embd, cfg.head_dim
+    b = {"attn_norm": jnp.ones((L, E), jnp.float32),
+         "ffn_norm": jnp.ones((L, E), jnp.float32)}
+    if cfg.use_qk_norm:
+        b["q_norm"] = jnp.ones((L, D), jnp.float32)
+        b["k_norm"] = jnp.ones((L, D), jnp.float32)
+    return b
+
+
+def q80_params(cfg, rng):
+    """Mirrors binfmt.quantized_device_params(fuse=True) + int8 layout."""
+    def qt(*shape, inn):
+        q = rng.randint(-127, 128, shape).astype(np.int8)
+        s = (rng.rand(*shape[:-1], inn // GS).astype(np.float32)
+             * 0.02 + 1e-3)
+        return Q80Tensor(q=jnp.asarray(q), scales=jnp.asarray(s),
+                         group_size=GS)
+
+    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
+    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+    blocks = dict(_norms(cfg, rng))
+    blocks["wqkv"] = qt(L, HD + 2 * KVD, E, inn=E).to_grouped()
+    blocks["wo"] = qt(L, E, HD, inn=HD).to_grouped()
+    blocks["w13"] = qt(L, 2 * F, E, inn=E).to_grouped()
+    blocks["w2"] = qt(L, E, F, inn=F).to_grouped()
+    tok = qt(V, E, inn=E)
+    return {"tok_embeddings": tok, "output_q": tok.to_grouped(),
+            "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
+
+
+def _q4t_packed(rng, shape_out, inn, stack=None, block_weight=True):
+    """Random Q4K tensor in the loader's packed device layout.
+
+    block_weight=True mirrors binfmt._q4k_device_params' layout knob
+    (NANO_TPU_Q4K_LAYOUT=unpacked applies to block weights only; the
+    embedding/head stay packed for the row gather)."""
+    G = inn // GROUP_LEN
+    lead = () if stack is None else (stack,)
+    packed = rng.randint(0, 256, lead + (shape_out, inn // 2)).astype(np.uint8)
+    s = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02 + 1e-3
+    b = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02
+    t = Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
+                  biases=jnp.asarray(b), in_dim=inn)
+    if block_weight and os.environ.get("NANO_TPU_Q4K_LAYOUT") == "unpacked":
+        t = t.to_unpacked()
+    return t
+
+
+# ---------------------------------------------------------------------
+# timed programs
+# ---------------------------------------------------------------------
+
+def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
+    """Single-stream decode on the engine's REAL path semantics:
+    right-sized cache + segmented attn_len scan (what
+    generate_on_device dispatches since the cache-length-bucketing
+    change — the cache covers start+n_steps, not block_size, and each
+    segment attends only its pow2 prefix).  NANO_TPU_DECODE_BUCKET=0
+    measures the pre-bucketing full-cache path instead (the runbook's
+    A/B baseline), exactly as generate_on_device would dispatch it."""
+    s = sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    start = 4
+    # generate_on_device caps n_tokens to the cache room; mirror that or
+    # _decode_segments (rightly) rejects the request.  Positions written
+    # run start .. start+n_steps-1, so the cap is block_size - start.
+    n_steps = min(n_steps, cfg.block_size - start)
+    if engine._bucketing_enabled():
+        cache_len = min(engine._bucket(start + n_steps), cfg.block_size)
+        segs = engine._decode_segments(start, n_steps, cache_len)
+    else:
+        cache_len = cfg.block_size
+        segs = [(None, n_steps)]
+    cache = gpt.KVCache.create(cfg, 1, cache_len, kv_dtype)
+    seen = jnp.zeros((1, cfg.vocab_size), jnp.bool_)
+    key = jax.random.PRNGKey(0)
+    tok = jnp.zeros((1,), jnp.int32)
+
+    def run(tok, cache, seen, key):
+        pos, outs = start, []
+        for attn_b, take in segs:
+            toks, cache, seen, key = engine._decode_scan(
+                params, None, 0.0, tok, jnp.int32(pos), cache, seen, key,
+                jnp.float32(s.temperature), jnp.float32(s.top_p),
+                jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
+                s.top_k, take, True, attn_len=attn_b)
+            tok = toks[-1]
+            outs.append(toks)
+            pos += take
+        return jnp.concatenate(outs, 0), cache, seen, key
+
+    toks, cache, seen, key = run(tok, cache, seen, key)
+    np.asarray(toks)                      # compile + warm
+    best = 0.0
+    for it in range(reps):
+        tok = (toks[-1] + it + 1) % cfg.vocab_size     # chain values
+        t0 = time.time()
+        toks, cache, seen, key = run(tok, cache, seen, key)
+        np.asarray(toks)                  # force full execution
+        best = max(best, n_steps / (time.time() - t0))
+    return best
+
+
+def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
+    cache0 = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
+    ids = np.zeros((1, prompt_len), np.int32)
+    ids[0] = np.arange(prompt_len) % 1000 + 10
+    times = []
+    logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                   cache0, cfg, jnp.bfloat16)
+    first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))  # warm
+    for i in range(reps):
+        ids[0, 0] = 10 + i                # new value -> no memoized hit
+        t0 = time.time()
+        logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                       cache0, cfg, jnp.bfloat16)
+        first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))
+        times.append((time.time() - t0) * 1e3)
+    return float(np.percentile(times, 50))
+
+
+def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
+                      kv_dtype=jnp.int8, start_pos=384):
+    """Aggregate decode throughput at the SERVING defaults: int8 KV
+    cache + per-burst cache-length bucketing (serve/batching.py).
+
+    start_pos models streams that already hold a prompt + some decode
+    history (384 + 128 steps -> a 512 bucket out of the 1024 cache);
+    attn_len mirrors step_burst's bucket choice.
+    """
+    if os.environ.get("NANO_BENCH_TINY"):
+        start_pos = 16
+    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, kv_dtype)
+    pos = jnp.full((slots,), start_pos, jnp.int32)
+    tok = jnp.arange(slots, dtype=jnp.int32) % 997
+    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
+    key = jax.random.PRNGKey(1)
+    temp = jnp.zeros((slots,), jnp.float32)
+    topp = jnp.full((slots,), 0.8, jnp.float32)
+    rp = jnp.ones((slots,), jnp.float32)
+    from nano_tpu.infer.engine import _bucket
+    attn_len = min(cfg.block_size, _bucket(start_pos + n_steps + 1,
+                                           minimum=128))
+    if attn_len >= cfg.block_size:
+        attn_len = None
+
+    def run(tok, pos, cache, seen, key):
+        return batching._batched_scan(
+            params, None, 0.0, tok, pos, cache, seen, key, temp, topp, rp,
+            cfg, jnp.bfloat16, 0, n_steps, attn_len)
+
+    toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
+    np.asarray(toks)
+    best = 0.0
+    for it in range(reps):
+        tok = (tok + it + 1) % cfg.vocab_size
+        pos = jnp.full((slots,), start_pos, jnp.int32)
+        t0 = time.time()
+        toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
+        np.asarray(toks)
+        best = max(best, slots * n_steps / (time.time() - t0))
+    return best
+
+
+def spec_decode_tok_s(params, cfg, n_tokens=256, k=7, reps=3):
+    """Speculative greedy decode on a cyclic stream (infer/speculative.py).
+
+    Random weights decode greedily into a short cycle, so prompt-lookup
+    acceptance approaches 1 — this measures the MECHANISM's ceiling
+    (verify k+1 tokens at ~1 step's cost), not free-text acceptance;
+    reported alongside tokens-per-round so the multiplier is explicit.
+    """
+    from nano_tpu.infer import speculative
+    T = cfg.block_size
+    prompt = ([5, 9, 3, 17, 11, 2, 29, 7] * 4)[:32]
+    cache = gpt.KVCache.create(cfg, 1, T, jnp.bfloat16)
+    ids = np.zeros((1, 32), np.int32)
+    ids[0] = prompt
+    logits, cache, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
+                                       cache, cfg, jnp.bfloat16)
+    tok = jnp.argmax(logits[0, 31]).astype(jnp.int32)
+    hist0 = np.zeros((T,), np.int32)
+    hist0[:32] = prompt
+    hist0[32] = int(tok)
+
+    # plain greedy: empty seen-mask + rep_penalty 1.0 (the no-op values;
+    # signature gained seen/rep_penalty with penalized-greedy support)
+    seen = jnp.zeros((cfg.vocab_size,), jnp.bool_)
+
+    def run(hist):
+        return speculative.spec_decode_loop(
+            params, None, 0.0, tok, jnp.int32(32), cache, hist,
+            seen, jnp.float32(1.0), cfg, jnp.bfloat16, n_tokens, k)
+
+    out, n_em, rounds, _ = run(jnp.asarray(hist0))
+    np.asarray(out)                       # compile + warm
+    best, tpr = 0.0, 0.0
+    for it in range(reps):
+        hist0[0] = 40 + it                # new value -> no memoized hit
+        t0 = time.time()
+        out, n_em, rounds, _ = run(jnp.asarray(hist0))
+        np.asarray(out)                   # force full execution
+        dt = time.time() - t0
+        n = int(n_em)
+        best = max(best, n / dt)
+        tpr = n / max(int(rounds), 1)
+    return best, tpr
+
+
+def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
+                           kv_dtype=jnp.int8, start_pos=256):
+    """Aggregate throughput of the SPECULATIVE batched scan on cyclic
+    per-slot streams (serve/batching.py _batched_spec_scan).  Like
+    spec_decode_tok_s this measures the mechanism's ceiling — every
+    slot's stream is repetitive, so acceptance approaches 1 and each
+    scan step emits ~k+1 tokens per slot at ~1 step's cost."""
+    from nano_tpu.serve.batching import _batched_spec_scan
+    if os.environ.get("NANO_BENCH_TINY"):
+        start_pos = 16
+    T = cfg.block_size
+    cache = gpt.KVCache.create(cfg, slots, T, kv_dtype)
+    pos = jnp.full((slots,), start_pos, jnp.int32)
+    tok = jnp.arange(slots, dtype=jnp.int32) % 997
+    seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
+    temp = jnp.zeros((slots,), jnp.float32)
+    topp = jnp.full((slots,), 0.8, jnp.float32)
+    rp = jnp.ones((slots,), jnp.float32)
+    spec_ok = jnp.ones((slots,), jnp.bool_)
+    hist0 = np.tile(np.arange(T, dtype=np.int32) % 13, (slots, 1))
+
+    def run(hist):
+        return _batched_spec_scan(
+            params, None, 0.0, tok, pos, cache, seen,
+            jax.random.PRNGKey(1), hist, temp, topp, rp, spec_ok,
+            cfg, jnp.bfloat16, 0, k, n_steps, None)
+
+    out = run(jnp.asarray(hist0))
+    np.asarray(out[0])
+    best = 0.0
+    for it in range(reps):
+        hist0[0, 0] = 20 + it             # new value -> no memoized hit
+        t0 = time.time()
+        emits, n_outs, *_ = run(jnp.asarray(hist0))
+        n_em = int(np.asarray(n_outs).sum())
+        np.asarray(emits)
+        best = max(best, n_em / (time.time() - t0))
+    return best
+
+
+# ---------------------------------------------------------------------
+# stages — each returns a dict of result keys
+# ---------------------------------------------------------------------
+
+def stage_bf16():
+    cfg = ModelConfig(**QWEN3_06B)
+    pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
+                         param_dtype=jnp.bfloat16)
+    return {"qwen3_0.6b_bf16_tok_s": round(decode_tok_s(pb, cfg), 1),
+            "ttft_p50_ms_bf16_p64": round(ttft_p50_ms(pb, cfg), 1)}
+
+
+def stage_q80():
+    cfg = ModelConfig(**QWEN3_06B)
+    pq = q80_params(cfg, np.random.RandomState(0))
+    q80 = decode_tok_s(pq, cfg)
+    return {"qwen3_0.6b_q80_tok_s": round(q80, 1),
+            "qwen3_0.6b_q80_kv8_tok_s": round(
+                decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1),
+            "ttft_p50_ms_q80_p64": round(ttft_p50_ms(pq, cfg), 1)}
+
+
+def stage_batched():
+    cfg = ModelConfig(**QWEN3_06B)
+    pq = q80_params(cfg, np.random.RandomState(0))
+    return {"q80_batch8_agg_tok_s": round(batched_aggregate(pq, cfg, 8), 1),
+            "q80_batch32_agg_tok_s": round(
+                batched_aggregate(pq, cfg, 32), 1)}
+
+
+def stage_spec():
+    cfg = ModelConfig(**QWEN3_06B)
+    pq = q80_params(cfg, np.random.RandomState(0))
+    tiny = bool(os.environ.get("NANO_BENCH_TINY"))
+    sp, tpr = spec_decode_tok_s(pq, cfg, n_tokens=64 if tiny else 256)
+    return {"q80_spec_tok_s_cyclic": round(sp, 1),
+            "spec_tokens_per_round": round(tpr, 2),
+            "q80_spec_batch8_agg_tok_s_cyclic": round(
+                batched_spec_aggregate(pq, cfg, 8,
+                                       n_steps=8 if tiny else 64), 1)}
+
+
+def stage_q4k():
+    # Q4K in the loader's packed layout (binfmt._q4k_device_params)
+    cfg = ModelConfig(**QWEN3_06B)
+    rng = np.random.RandomState(0)
+    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_hidden, cfg.vocab_size
+    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+    blocks = dict(_norms(cfg, rng))
+    blocks["wqkv"] = _q4t_packed(rng, HD + 2 * KVD, E, stack=L)
+    blocks["wo"] = _q4t_packed(rng, E, HD, stack=L)
+    blocks["w13"] = _q4t_packed(rng, 2 * F, E, stack=L)
+    blocks["w2"] = _q4t_packed(rng, E, F, stack=L)
+    tok = _q4t_packed(rng, V, E, block_weight=False)
+    # the loader requantizes a Q4K head to grouped Q80-256 at load
+    # (binfmt._maybe_int8_layout) — mirror that here
+    head_q = rng.randint(-127, 128, (V, E)).astype(np.int8)
+    head_s = rng.rand(V, E // 256).astype(np.float32) * 0.02 + 1e-3
+    head = Q80Tensor(q=jnp.asarray(head_q), scales=jnp.asarray(head_s),
+                     group_size=256).to_grouped()
+    p4 = {"tok_embeddings": tok, "output_q": head,
+          "norm": jnp.ones((E,), jnp.float32), "blocks": blocks}
+    return {"qwen3_0.6b_q4k_tok_s": round(decode_tok_s(p4, cfg), 1)}
+
+
+def stage_nano168m():
+    # round-1 continuity: Nano-168M bf16
+    ncfg = ModelConfig(**NANO_168M)
+    pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
+                         param_dtype=jnp.bfloat16)
+    nano = decode_tok_s(pn, ncfg, n_steps=512)
+    return {"nano168m_bf16_tok_s": round(nano, 1),
+            "nano168m_vs_n150_q80": round(nano / BASELINE_N150_TOK_S, 2)}
+
+
+PPL_ROOTS = tuple(os.environ.get("NANO_BENCH_PPL_ROOTS",
+                                 "/tmp/r4:/tmp/r3").split(":"))
+
+
+def stage_ppl():
+    # north-star PPL Δ vs FP32 at 56M — only when the round's trained
+    # exports exist (tools/tpu_runbook*.sh train+export stages);
+    # silently absent otherwise (random-weight PPL is meaningless)
+    root = next((r for r in PPL_ROOTS
+                 if os.path.exists(f"{r}/m56_f32.bin")
+                 and os.path.exists(f"{r}/eval_text.txt")), None)
+    if root is None:
+        return {}
+    import eval as evalmod
+    out = {}
+    text = open(f"{root}/eval_text.txt", encoding="utf-8").read()
+    base = evalmod.model_ppl(f"{root}/m56_f32.bin", text)
+    out["ppl_f32_56m"] = round(base, 4)
+    for q in ("q80", "q4k"):
+        p = f"{root}/m56_{q}.bin"
+        if os.path.exists(p):
+            out[f"ppl_delta_{q}_56m"] = round(
+                evalmod.model_ppl(p, text) - base, 4)
+    return out
+
+
+def stage_train():
+    # training throughput at Nano-168M batch 64 (BASELINE.md:12-13).
+    # Nested subprocess (bench_train.py --one) kept: it already isolates
+    # the ~14 GB training HBM footprint and reports a clean JSON row.
+    import subprocess
+    combo = os.environ.get("NANO_BENCH_TRAIN_COMBO", "full:0")
+    r = subprocess.run(
+        [sys.executable, "tools/bench_train.py", "--one", combo],
+        capture_output=True, text=True, timeout=900, cwd=".")
+    rows = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    rec = json.loads(rows[-1]) if rows else {}
+    if "tok_s" not in rec:
+        raise RuntimeError(rec.get("error") or (r.stderr or r.stdout)[-200:])
+    return {"nano168m_train_tok_s": rec["tok_s"],
+            "nano168m_train_ms_step": rec["ms_step"],
+            "train_remat_policy": combo}
+
+
+STAGES = {
+    "bf16": stage_bf16,
+    "q80": stage_q80,
+    "batched": stage_batched,
+    "spec": stage_spec,
+    "q4k": stage_q4k,
+    "nano168m": stage_nano168m,
+    "ppl": stage_ppl,
+    "train": stage_train,
+}
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True, choices=sorted(STAGES))
+    args = ap.parse_args()
+    # Cap this stage's address space: a runaway stage must die a clean
+    # MemoryError here, not OOM-kill the host (observed: 130 GB RSS).
+    cap = int(os.environ.get("NANO_BENCH_RSS_CAP_GB", "48")) << 30
+    try:
+        soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+        resource.setrlimit(resource.RLIMIT_AS, (cap, hard))
+    except (ValueError, OSError):
+        pass
+    out = STAGES[args.stage]()
+    print("NANO_BENCH_RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
