@@ -1997,8 +1997,21 @@ void Session::spec_round() {
     }
     int n_acc = 0;
     while (n_acc < K && ids[n_acc + 1] == g[n_acc]) n_acc++;
-    k_cur_ = (n_acc == K) ? std::min(2 * K, spec_k_)
-                          : std::max(1, n_acc);
+    // draft-length controller: double on full acceptance, drop to the
+    // accepted run on a partial miss, and PARK (k=0: plain steps, with
+    // exponential backoff) on a fully rejected k=1 probe — a CPU verify
+    // sweep costs ~(K+1)/1 plain steps, so on unpredictable text even
+    // K=1 loses ~2x to plain decode
+    if (n_acc > 0) spec_park_len_ = 4;
+    if (n_acc == K) {
+        k_cur_ = std::min(2 * K, spec_k_);
+    } else if (n_acc == 0 && K == 1) {
+        k_cur_ = 0;
+        spec_park_ = spec_park_len_;
+        spec_park_len_ = std::min(2 * spec_park_len_, 32);
+    } else {
+        k_cur_ = std::max(1, n_acc);
+    }
     int n_out = n_acc + 1;
     for (int i = 0; i < n_out; i++) hist_.push_back(ids[i]);
     pending_.assign(g.begin(), g.begin() + n_out);
@@ -2049,8 +2062,13 @@ int Session::step() {
         return -1;
     }
     if (spec_eligible() && pos_ + spec_k_ + 1 < max_seq_len_) {
-        spec_round();
-        return emit_token(pending_[pending_i_++]);
+        if (k_cur_ == 0 && spec_park_ > 0) {
+            spec_park_--;                  // parked: plain step below
+        } else {
+            if (k_cur_ == 0) k_cur_ = 1;   // park over: re-probe
+            spec_round();
+            return emit_token(pending_[pending_i_++]);
+        }
     }
     hist_.push_back(cur_tok_);
     const float* logits = model_.forward(rt_, cur_tok_, pos_);

@@ -304,7 +304,11 @@ class Session {
     // no observer, int-dot/f32 modes.
     int spec_k_ = 0;               // max draft length (NANO_CPP_SPEC)
     int k_cur_ = 1;                // adaptive: x2 on full acceptance,
-                                   // back to the accepted run on a miss
+                                   // back to the accepted run on a miss;
+                                   // 0 = parked (plain steps) after a
+                                   // fully rejected k=1 probe
+    int spec_park_ = 0;            // plain steps left before re-probing
+    int spec_park_len_ = 4;        // backoff: x2 per rejection, cap 32
     std::vector<int> hist_;        // tokens fed at positions [0, pos_)
     std::vector<int> pending_;     // verified tokens not yet emitted
     std::vector<float> spec_lg_;   // verify-round logits scratch
