@@ -308,6 +308,16 @@ class BatchedEngine:
         # logits), so stale rows are a perf issue, never a correctness one.
         self.hist = (jnp.zeros((n_slots, T), jnp.int32)
                      if ctx.spec_k > 0 else None)
+        # serving-side spec adaptation (mirrors Session._spec_adapt):
+        # the draft length k is STATIC per compiled scan, so it ramps
+        # engine-wide in pow2 buckets; parking is PER-SLOT via the
+        # spec_ok operand (dynamic — no recompile).  A slot whose burst
+        # accepted nothing parks for a backoff-doubled number of bursts;
+        # on free text this keeps slots on the plain path instead of
+        # paying (k+1)-row verifies for ~1 token/round (PERF.md r4).
+        self._spec_k_cur = 1
+        self._spec_park = np.zeros(n_slots, np.int64)   # bursts left
+        self._spec_park_len = np.ones(n_slots, np.int64)  # backoff, cap 8
 
     # ------------------------------------------------------------
     def _build_adapter_stack(self, adapters: Dict[str, str]) -> None:
@@ -540,6 +550,8 @@ class BatchedEngine:
                 row[:n] = prompt_ids
                 row[n] = first
                 self.hist = self.hist.at[slot].set(jnp.asarray(row))
+                self._spec_park[slot] = 0        # fresh stream: re-probe
+                self._spec_park_len[slot] = 1
             self.temperature[slot] = temperature
             self.top_p[slot] = top_p
             self.rep_penalty[slot] = repetition_penalty
@@ -560,6 +572,33 @@ class BatchedEngine:
                 st.active = False
                 st.finished_reason = "length"
             return slot, first
+
+    def _spec_adapt_burst(self, unparked: List[int], n_outs: np.ndarray,
+                          k: int) -> None:
+        """Post-burst controller (mirrors Session._spec_adapt at burst
+        granularity).  n_outs is (n_steps, B) tokens emitted per round;
+        acceptance per round is n_out - 1.
+
+          * a slot whose whole burst accepted nothing parks for a
+            backoff-doubled number of bursts (cap 8), reset on any
+            acceptance;
+          * the engine-wide k doubles (pow2, toward ctx.spec_k) when any
+            slot fully accepted a round, else drops to the pow2 bucket
+            of the best accepted run (floor 1).
+        """
+        best = 0
+        for i in unparked:
+            acc = int(n_outs[:, i].max()) - 1
+            best = max(best, acc)
+            if acc <= 0:
+                self._spec_park[i] = self._spec_park_len[i]
+                self._spec_park_len[i] = min(2 * self._spec_park_len[i], 8)
+            else:
+                self._spec_park_len[i] = 1
+        if best >= k:
+            self._spec_k_cur = min(2 * k, self.ctx.spec_k)
+        else:
+            self._spec_k_cur = 1 << (max(1, best).bit_length() - 1)
 
     def release(self, slot: int) -> None:
         """Return the slot to the free pool (consumer is done with it)."""
@@ -634,9 +673,16 @@ class BatchedEngine:
             max_pos = max((int(pos_np[i]) for i, s in enumerate(self.slots)
                            if s.active), default=0)
 
-            any_spec = self.hist is not None and any(
-                s.active and self.temperature[i] <= 0.0
-                for i, s in enumerate(self.slots))
+            eligible = [i for i, s in enumerate(self.slots)
+                        if s.active and self.temperature[i] <= 0.0]
+            unparked = [i for i in eligible if self._spec_park[i] <= 0]
+            any_spec = self.hist is not None and bool(unparked)
+            if self.hist is not None:
+                # parked slots sit out this burst via spec_ok and count
+                # it toward their backoff
+                for i in eligible:
+                    if self._spec_park[i] > 0:
+                        self._spec_park[i] -= 1
             if any_spec:
                 # speculative burst: every step may advance a slot up to
                 # k+1 positions, so the room/bucket math uses the worst
@@ -645,14 +691,18 @@ class BatchedEngine:
                 # (k+1)-row verify for zero benefit) — fall back to the
                 # plain scan (correct on a spec-touched cache: stale
                 # draft rows sit past each slot's position and are
-                # overwritten as it advances)
-                k = ctx.spec_k
+                # overwritten as it advances).  k ramps engine-wide in
+                # pow2 buckets (static per compiled scan).
+                k = max(1, min(self._spec_k_cur, ctx.spec_k))
                 need = max_pos + n_steps * (k + 1) + 2
                 if need <= T:
                     attn_len = min(T, eng._bucket(need, minimum=128))
                     if attn_len >= T:
                         attn_len = None
-                    spec_ok = jnp.asarray(self.temperature <= 0.0)
+                    spec_ok = jnp.asarray(
+                        (self.temperature <= 0.0)
+                        & np.asarray([self._spec_park[i] <= 0
+                                      for i in range(self.n_slots)]))
                     bl, bs, bi = self._lora_args()
                     (emits, n_outs, self.tok, self.pos, self.cache,
                      self.seen, self.key, self.hist) = _batched_spec_scan(
@@ -665,6 +715,7 @@ class BatchedEngine:
                         lora_idx=bi)
                     emits = np.asarray(emits)
                     n_outs = np.asarray(n_outs)
+                    self._spec_adapt_burst(unparked, n_outs, k)
                     return self._consume_lists(
                         {i: [int(emits[t, i, j]) for t in range(n_steps)
                              for j in range(int(n_outs[t, i]))]

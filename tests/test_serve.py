@@ -1129,3 +1129,57 @@ def test_gateway_midstream_stop_and_legacy_separator():
                 assert len(texts) == 256      # default max_new_tokens
                 assert gw.calls == ["long", "hello"]
     asyncio.run(run())
+
+
+def test_serving_spec_adapt_controller(tmp_path):
+    """The engine-wide k ramp + per-slot park controller
+    (_spec_adapt_burst): doubles on a fully accepted round, drops to the
+    best accepted-run pow2 bucket otherwise, and parks zero-acceptance
+    slots with doubling backoff (cap 8), reset on any acceptance."""
+    ctx = make_ctx(tmp_path, spec_k=8)
+    be = BatchedEngine(ctx, n_slots=3)
+    import numpy as _np
+
+    def outs(*per_slot):          # one burst step, n_out = acc + 1
+        return _np.asarray([[a + 1 for a in per_slot]])
+
+    be._spec_adapt_burst([0, 1, 2], outs(1, 0, 0), k=1)   # slot 0 accepts
+    assert be._spec_k_cur == 2                            # full @ k=1 -> 2
+    assert be._spec_park[0] == 0
+    assert be._spec_park[1] == 1 and be._spec_park[2] == 1
+    assert be._spec_park_len[1] == 2                      # backoff doubled
+
+    be._spec_adapt_burst([0], outs(2, 0, 0), k=2)         # full @ k=2 -> 4
+    assert be._spec_k_cur == 4
+    be._spec_adapt_burst([0], outs(3, 0, 0), k=4)         # partial -> 2
+    assert be._spec_k_cur == 2
+    be._spec_adapt_burst([0], outs(0, 0, 0), k=2)         # nothing -> park
+    assert be._spec_k_cur == 1
+    assert be._spec_park[0] == 1 and be._spec_park_len[0] == 2
+    for _ in range(5):                                    # backoff caps at 8
+        be._spec_adapt_burst([0], outs(0, 0, 0), k=1)
+    assert be._spec_park_len[0] == 8
+    be._spec_adapt_burst([0], outs(1, 0, 0), k=1)         # acceptance resets
+    assert be._spec_park_len[0] == 1
+
+
+def test_serving_spec_parked_slots_match_plain(tmp_path):
+    """Slots forced into the parked state must keep emitting the exact
+    plain-greedy stream (spec_ok=False rows are plain semantics), and a
+    fresh add() resets the slot's park state."""
+    import dataclasses
+    ctx = make_ctx(tmp_path, spec_k=4)
+    want = solo_greedy(dataclasses.replace(ctx, spec_k=0), "abcabc", 12)
+    be = BatchedEngine(ctx, n_slots=2)
+    slot, first = be.add(ctx.encode("abcabc"), max_new_tokens=12,
+                         temperature=0.0, repetition_penalty=1.0)
+    be._spec_park[slot] = 10 ** 6          # park it hard
+    toks = [] if first is None else [first]
+    while be.slots[slot].active:
+        toks.extend(be.step().get(slot, []))
+    be.release(slot)
+    assert toks == want, (toks, want)
+    slot2, _ = be.add(ctx.encode("ab"), max_new_tokens=2,
+                      temperature=0.0, repetition_penalty=1.0)
+    assert be._spec_park[slot2] == 0       # fresh stream re-probes
+    be.release(slot2)
