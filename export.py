@@ -26,8 +26,16 @@ def main():
     g.add_argument("--q4k", help="Q4K export from .npz checkpoint")
     g.add_argument("--lora", help="LoRA export from .npz checkpoint")
     g.add_argument("--repack", help="re-quantize an existing .bin")
-    ap.add_argument("--to", default="q4k", choices=["f32", "q80", "q4k"],
-                    help="target quant for --repack")
+    g.add_argument("--from-gguf", dest="from_gguf",
+                   help="convert a llama.cpp GGUF (dense Qwen2/Qwen3) "
+                        "to .bin; quant via --to")
+    g.add_argument("--to-gguf", dest="to_gguf",
+                   help="export a Qwen-arch .bin to GGUF (f32/f16/q8_0 "
+                        "via --to) for the llama.cpp ecosystem")
+    ap.add_argument("--to", default="q4k",
+                    choices=["f32", "q80", "q4k", "f16", "q8_0"],
+                    help="target quant for --repack / --from-gguf "
+                         "(f32|q80|q4k) and --to-gguf (f32|f16|q8_0)")
     ap.add_argument("--group_size", type=int, default=256,
                     help="Q80 quantization group (largest divisor is "
                          "used if it does not divide the dims; >=256 "
@@ -36,6 +44,31 @@ def main():
     args = ap.parse_args()
 
     from nano_tpu.io import binfmt
+
+    if args.from_gguf:
+        from nano_tpu.io import gguf as gguf_io
+        to = args.to if args.to in ("f32", "q80", "q4k") else "q80"
+        cfg = gguf_io.convert_gguf(args.from_gguf, args.output, quant=to,
+                                   group_size=args.group_size)
+        print(f"converted GGUF -> {args.output} ({to}, "
+              f"{cfg.n_layer}L/{cfg.n_embd}E)")
+        return
+
+    if args.to_gguf:
+        from nano_tpu.io import gguf as gguf_io
+        to = args.to if args.to in ("f32", "f16", "q8_0") else "q8_0"
+        bm = binfmt.read_model(args.to_gguf, dense=True)
+        if bm.header.model_type not in (binfmt.MODEL_TYPE_QWEN2,
+                                        binfmt.MODEL_TYPE_QWEN3):
+            raise SystemExit("--to-gguf maps Qwen-arch .bin files only "
+                             "(llama.cpp has no Nano architecture)")
+        arch = ("qwen2" if bm.header.model_type == binfmt.MODEL_TYPE_QWEN2
+                else "qwen3")
+        gguf_io.write_gguf(args.output, bm.params, bm.config,
+                           bm.tokenizer_config["tokenizer"], arch=arch,
+                           quant=to)
+        print(f"exported GGUF ({arch}, {to}) -> {args.output}")
+        return
 
     if args.repack:
         binfmt.repack(args.repack, args.output, quant=args.to,

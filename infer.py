@@ -92,6 +92,8 @@ def main():
                 state["top"] = None
 
     loader = (engine.LLMContext.from_bin if args.model.endswith(".bin")
+              else engine.LLMContext.from_gguf
+              if args.model.endswith(".gguf")
               else engine.LLMContext.from_checkpoint)
     ctx = loader(args.model, max_seq_len=args.max_seq_len,
                  sampler=sampler, random_seed=args.seed,

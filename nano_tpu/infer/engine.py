@@ -371,6 +371,49 @@ class LLMContext:
                    dtype=dtype, **kw)
 
     @classmethod
+    def from_gguf(cls, path: str, max_seq_len: Optional[int] = None,
+                  dtype=jnp.bfloat16, quantized: Optional[bool] = None,
+                  **kw) -> "LLMContext":
+        """Load a llama.cpp-ecosystem GGUF checkpoint directly (dense
+        Qwen2/Qwen3, io/gguf.py).  quantized=None keeps quantized files
+        (Q8_0 / Q4_K / Q6_K blocks) in OUR quantized decode layouts —
+        the ggml per-group affines map losslessly onto Q80Tensor /
+        Q4KTensor; quantized=False dequantizes everything to `dtype`."""
+        from nano_tpu.io import gguf as _gguf
+        from nano_tpu.tokenizer.bpe import QWEN_STOP_TOKENS
+
+        def _ctx_kw(model_type):
+            kw.setdefault("stop_tokens", QWEN_STOP_TOKENS)
+            kw.setdefault("arch", "qwen2" if model_type ==
+                          binfmt.MODEL_TYPE_QWEN2 else "qwen3")
+            return kw
+
+        g = _gguf.GGUFFile(path)
+        wq0 = g.tensors.get("blk.0.attn_q.weight")
+        q_types = (_gguf.GGML_Q8_0, _gguf.GGML_Q4_K, _gguf.GGML_Q6_K)
+        if quantized is None:
+            quantized = wq0 is not None and wq0.ggml_type in q_types
+        if quantized:
+            arch = g.meta.get("general.architecture", "")
+            if arch not in ("qwen2", "qwen3"):
+                raise ValueError(
+                    f"unsupported GGUF architecture {arch!r}")
+            # reuse load_gguf_qwen's header/tokenizer mapping without
+            # materializing the dense weights
+            cfg, model_type, tok = _gguf.gguf_header_only(g, max_seq_len)
+            params = _gguf.quantized_device_params(g, cfg, arch)
+            return cls(cfg=cfg, params=params, tokenizer=tok,
+                       max_seq_len=max_seq_len or cfg.block_size,
+                       dtype=dtype, **_ctx_kw(model_type))
+        cfg, raw, model_type, tok = _gguf.load_gguf_qwen(path, max_seq_len)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if np.asarray(x).ndim >= 2
+            else jnp.asarray(x, jnp.float32), raw)
+        return cls(cfg=cfg, params=params, tokenizer=tok,
+                   max_seq_len=max_seq_len or cfg.block_size,
+                   dtype=dtype, **_ctx_kw(model_type))
+
+    @classmethod
     def from_checkpoint(cls, path: str, max_seq_len: Optional[int] = None,
                         dtype=jnp.bfloat16, **kw) -> "LLMContext":
         """Load a training checkpoint (.npz) directly, like the reference

@@ -46,6 +46,23 @@ def _to_f32(x: np.ndarray) -> np.ndarray:
         return torch.from_numpy(x).float().numpy()
 
 
+def rope_permute_reverse(w: np.ndarray, n_heads: int, head_dim: int
+                         ) -> np.ndarray:
+    """HF rotate-half row layout -> interleaved-pair layout
+    (reference: infer/tools/export_qwen.py permute_reverse): within
+    each head, rotation pair (i, i + D/2) moves to rows (2i, 2i+1).
+    Qwen2 files use the interleaved engine path; Qwen3 keeps the HF
+    layout (the engines apply half-split RoPE for it).  Shared by the
+    HF-safetensors and GGUF importers (GGUF keeps the HF layout too —
+    llama.cpp applies NEOX rope for qwen archs)."""
+    D = head_dim
+    out = w.reshape(n_heads, D, *w.shape[1:])
+    idx = np.empty(D, np.int64)
+    idx[0::2] = np.arange(D // 2)
+    idx[1::2] = np.arange(D // 2) + D // 2
+    return out[:, idx].reshape(w.shape)
+
+
 def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
                  ) -> tuple[ModelConfig, Dict[str, Any], int]:
     """-> (ModelConfig, params pytree in our layout, model_type)."""
@@ -91,17 +108,8 @@ def load_hf_qwen(hf_dir: str, max_seq_len: Optional[int] = None
     L = cfg.n_layer
     D = cfg.head_dim
 
-    def permute_reverse(w: np.ndarray, n_heads: int) -> np.ndarray:
-        """HF rotate-half row layout -> interleaved-pair layout
-        (reference: infer/tools/export_qwen.py permute_reverse): within
-        each head, rotation pair (i, i + D/2) moves to rows (2i, 2i+1).
-        Qwen2 files use the interleaved engine path; Qwen3 keeps the HF
-        layout (the engines apply half-split RoPE for it)."""
-        out = w.reshape(n_heads, D, *w.shape[1:])
-        idx = np.empty(D, np.int64)
-        idx[0::2] = np.arange(D // 2)
-        idx[1::2] = np.arange(D // 2) + D // 2
-        return out[:, idx].reshape(w.shape)
+    def permute_reverse(w, n_heads):
+        return rope_permute_reverse(w, n_heads, D)
 
     qwen2 = model_type == binfmt.MODEL_TYPE_QWEN2
 

@@ -254,9 +254,65 @@ class HFGateway(_Gateway):
         return streamer, err, stop_event.set
 
 
+class NativeGGUFGateway(_Gateway):
+    """GGUF served on OUR engine: io/gguf.py imports the checkpoint
+    (dense Qwen2/Qwen3, ggml blocks dequantized at load) and requests
+    stream through Session on the session's accelerator — no llama.cpp
+    needed.  Non-Qwen GGUFs raise at load; make_gateway falls back to
+    the llama-cpp-python backend for those."""
+
+    def __init__(self, model_path: str, n_ctx: int = 4096):
+        import jax.numpy as jnp
+        from nano_tpu.infer import engine as neng
+        from nano_tpu.ops import sampling as nsmp
+        self._neng, self._nsmp = neng, nsmp
+        # construction dispatches the first transfers on the MAIN thread
+        # (off-thread backend init wedges the axon plugin — CLAUDE.md);
+        # the per-request executor threads reuse the initialized backend
+        self.ctx = neng.LLMContext.from_gguf(model_path,
+                                             max_seq_len=n_ctx,
+                                             dtype=jnp.bfloat16)
+        self.lock = asyncio.Lock()
+
+    def _generate_stream(self, prompt: str, template: bool,
+                         max_new_tokens: int, temperature: float,
+                         top_p: float, repetition_penalty: float):
+        import dataclasses
+        ctx = dataclasses.replace(
+            self.ctx, sampler=self._nsmp.SamplerConfig(
+                temperature=max(temperature, 0.0), top_p=top_p,
+                repetition_penalty=repetition_penalty))
+        stop_event = threading.Event()
+        err: list = []
+
+        def pieces():
+            try:
+                sess = self._neng.Session(ctx, prompt,
+                                          max_new_tokens=max_new_tokens,
+                                          template=template)
+                dec = ctx.stream_decoder()
+                while not stop_event.is_set():
+                    t = sess.step()
+                    if t is None:
+                        break
+                    piece = dec.feed(t)
+                    if piece:
+                        yield piece
+                tail = dec.flush()
+                if tail:
+                    yield tail
+            except Exception as e:          # surfaced by the handler
+                err.append(e)
+
+        gen = pieces()
+        return gen, err, stop_event.set
+
+
 class GGUFGateway(_Gateway):
     """llama.cpp backend: stream a local GGUF model (reference: the Mio
-    server's llama-cpp-python path, infer/web/server.py:211-256)."""
+    server's llama-cpp-python path, infer/web/server.py:211-256).
+    make_gateway prefers NativeGGUFGateway for Qwen-arch files; this
+    backend covers the rest when llama-cpp-python is installed."""
 
     def __init__(self, model_path: str, n_ctx: int = 4096,
                  n_threads: int = 0, n_gpu_layers: int = 0):
@@ -391,10 +447,25 @@ def parse_model_registry(entries):
 
 
 def make_gateway(model_path: str, backend: str = "auto", **kw):
-    """Pick the backend: explicit --backend wins, else .gguf extension."""
+    """Pick the backend: explicit --backend wins, else .gguf extension.
+    GGUF prefers the native engine (Qwen archs import directly,
+    io/gguf.py) and falls back to llama-cpp-python for other archs."""
     if backend == "auto":
         backend = "gguf" if model_path.endswith(".gguf") else "hf"
     if backend == "gguf":
+        try:
+            return NativeGGUFGateway(model_path,
+                                     n_ctx=kw.get("n_ctx", 4096))
+        except (ValueError, OSError) as e:
+            logger.info("native GGUF import declined (%s); trying "
+                        "llama-cpp-python", e)
+        return GGUFGateway(model_path,
+                           n_ctx=kw.get("n_ctx", 4096),
+                           n_threads=kw.get("n_threads", 0),
+                           n_gpu_layers=kw.get("n_gpu_layers", 0))
+    if backend == "gguf-native":
+        return NativeGGUFGateway(model_path, n_ctx=kw.get("n_ctx", 4096))
+    if backend == "gguf-llama":
         return GGUFGateway(model_path,
                            n_ctx=kw.get("n_ctx", 4096),
                            n_threads=kw.get("n_threads", 0),
@@ -430,7 +501,8 @@ def main():
                          "(optionally as name=path) for a hot-swappable "
                          "registry")
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "hf", "gguf"])
+                    choices=["auto", "hf", "gguf", "gguf-native",
+                             "gguf-llama"])
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8081)
     ap.add_argument("--device", default="cpu", help="hf backend")

@@ -264,13 +264,23 @@ class BpeTokenizer:
             tokens[i] = t
         for added in tok.get("added_tokens", []):
             tokens[added["id"]] = added["content"]
-        for i, m in enumerate(model["merges"]):
+        return cls._from_printable_vocab(tokens, scores, model["merges"],
+                                         model.get("byte_fallback", False))
+
+    @classmethod
+    def _from_printable_vocab(cls, tokens: "List[str]",
+                              scores: "List[float]", merges,
+                              byte_fallback: bool) -> "BpeTokenizer":
+        """Shared tail of the HF-tokenizer.json and GGUF ingestion paths:
+        merge index -> negative score, GPT-2 printable-unicode decoded
+        back to raw bytes."""
+        stoi = {t: i for i, t in enumerate(tokens) if t}
+        for i, m in enumerate(merges):
             t1, t2 = (m[0], m[1]) if isinstance(m, list) else m.split(" ", 1)
-            ti = vocab_map.get(t1 + t2)
+            ti = stoi.get(t1 + t2)
             if ti is not None and scores[ti] == 0:
                 scores[ti] = -(1 + i)
         gpt2_decode = {v: k for k, v in gpt2_bytes_to_unicode().items()}
-        byte_fallback = model.get("byte_fallback", False)
         vocab_bytes: List[bytes] = []
         for t in tokens:
             if not byte_fallback:
@@ -280,3 +290,13 @@ class BpeTokenizer:
             b = b.replace(b"\0", b"\7")
             vocab_bytes.append(b)
         return cls(vocab_bytes, scores)
+
+    @classmethod
+    def from_gguf_metadata(cls, tokens: "List[str]", merges
+                           ) -> "BpeTokenizer":
+        """Build from GGUF tokenizer.ggml.{tokens,merges} arrays — the
+        same GPT-2 printable-unicode vocab strings a HF tokenizer.json
+        carries (llama.cpp's convert writes them through unchanged)."""
+        scores = [0.0] * len(tokens)
+        return cls._from_printable_vocab(list(tokens), scores,
+                                         list(merges or []), False)

@@ -1183,3 +1183,58 @@ def test_serving_spec_parked_slots_match_plain(tmp_path):
                       temperature=0.0, repetition_penalty=1.0)
     assert be._spec_park[slot2] == 0       # fresh stream re-probes
     be.release(slot2)
+
+
+def test_native_gguf_gateway_end_to_end(tmp_path):
+    """A Qwen-arch GGUF file streams through OUR engine (no llama.cpp):
+    make_gateway auto-picks NativeGGUFGateway and the WebSocket protocol
+    round-trips text + stop."""
+    websockets = pytest.importorskip("websockets")
+    from nano_tpu.io import gguf as gguf_io
+    from nano_tpu.tokenizer.bpe import BpeTokenizer
+    from nano_tpu.serve import gateway
+
+    cfg = ModelConfig(block_size=64, vocab_size=256, n_layer=2, n_embd=64,
+                      n_head=2, n_kv_head=1, n_hidden=96, head_dim=32,
+                      use_qk_norm=True, rope_style="half", rope_theta=1e6,
+                      norm_eps=1e-6, tie_embeddings=True)
+    rng = np.random.RandomState(0)
+    E, F, V, L = cfg.n_embd, cfg.n_hidden, cfg.vocab_size, cfg.n_layer
+    HD, KVD = cfg.n_head * cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+
+    def w(*s):
+        return (rng.randn(*s) * 0.05).astype(np.float32)
+
+    params = {"tok_embeddings": w(V, E), "norm": w(E) + 1, "blocks": {
+        "attn_norm": w(L, E) + 1, "ffn_norm": w(L, E) + 1,
+        "wq": w(L, E, HD), "wk": w(L, E, KVD), "wv": w(L, E, KVD),
+        "wo": w(L, HD, E), "w1": w(L, E, F), "w2": w(L, F, E),
+        "w3": w(L, E, F), "q_norm": w(L, cfg.head_dim) + 1,
+        "k_norm": w(L, cfg.head_dim) + 1}}
+    tok = BpeTokenizer([bytes([i]) for i in range(256)], [0.0] * 256)
+    gpath = str(tmp_path / "m.gguf")
+    gguf_io.write_gguf(gpath, params, cfg, tok, arch="qwen3", quant="f32")
+
+    gw = gateway.make_gateway(gpath, n_ctx=64)
+    assert isinstance(gw, gateway.NativeGGUFGateway)
+
+    async def run():
+        async with websockets.serve(gw.handle, "127.0.0.1", 0) as srv:
+            port = list(srv.sockets)[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as c:
+                await c.send(json.dumps({"prompt": "ab", "template": False,
+                                         "max_new_tokens": 8,
+                                         "temperature": 0.0}))
+                text, done = "", None
+                while True:
+                    m = json.loads(await c.recv())
+                    if "text" in m:
+                        text += m["text"]
+                    if m.get("done"):
+                        done = m
+                        break
+                return text, done
+
+    text, done = asyncio.run(run())
+    assert done["reason"] in ("stop", "interrupted")
+    assert isinstance(text, str)           # byte-vocab decodes to text
