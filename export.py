@@ -36,6 +36,12 @@ def main():
                     choices=["f32", "q80", "q4k", "f16", "q8_0"],
                     help="target quant for --repack / --from-gguf "
                          "(f32|q80|q4k) and --to-gguf (f32|f16|q8_0)")
+    ap.add_argument("--merge-lora", dest="merge_lora",
+                    help="fold a LoRA adapter (.npz checkpoint or .bin "
+                         "sidecar) into the base weights before export "
+                         "(composes with --checkpoint/--quant/--q4k; the "
+                         "reference's model.py merge_lora is an "
+                         "unimplemented TODO)")
     ap.add_argument("--group_size", type=int, default=256,
                     help="Q80 quantization group (largest divisor is "
                          "used if it does not divide the dims; >=256 "
@@ -111,6 +117,20 @@ def main():
 
     like = gpt.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(np.asarray, ck.load_params(like))
+    if args.merge_lora:
+        if args.merge_lora.endswith(".bin"):
+            bl = binfmt.read_lora(args.merge_lora, cfg)
+            lora, scale = bl.lora, bl.alpha / bl.rank
+        else:
+            lck = Checkpoint(args.merge_lora)
+            tc = lck.train_config or {}
+            rank = int(tc.get("lora_rank", 16))
+            scale = int(tc.get("lora_alpha", 32)) / rank
+            llike = gpt.init_lora_params(jax.random.PRNGKey(0), cfg, rank)
+            lora = lck.load_lora(llike)
+        params = jax.tree.map(np.asarray,
+                              gpt.merge_lora(params, lora, scale))
+        print(f"merged LoRA {args.merge_lora} (scale {scale:g})")
     binfmt.write_model(args.output, params, cfg, ck.tokenizer_config,
                        quant=quant, group_size=args.group_size)
     print(f"exported {quant} -> {args.output}")

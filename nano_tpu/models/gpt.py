@@ -902,6 +902,25 @@ def init_params(rng: jax.Array, cfg: ModelConfig,
     return params
 
 
+def merge_lora(params: Params, lora: Params, scale: float) -> Params:
+    """Fold a LoRA adapter into the base weights: W' = W + scale·(A@B)
+    for each of wq/wk/wv/wo per layer.  The reference declares this but
+    never implements it (model.py:433-434 `merge_lora` TODO); merged
+    params generate identically to base+adapter (same delta, applied
+    once at fold time instead of per step) and can be exported/quantized
+    like any base model.  Returns a new pytree; inputs are unchanged."""
+    merged = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in params.items()}
+    blocks = merged["blocks"]
+    for name in ("wq", "wk", "wv", "wo"):
+        a, b = lora[f"{name}_a"], lora[f"{name}_b"]
+        w = jnp.asarray(blocks[name], jnp.float32)
+        delta = jnp.einsum("ler,lro->leo", jnp.asarray(a, jnp.float32),
+                           jnp.asarray(b, jnp.float32)) * scale
+        blocks[name] = (w + delta).astype(params["blocks"][name].dtype)
+    return merged
+
+
 def init_lora_params(rng: jax.Array, cfg: ModelConfig, rank: int,
                      param_dtype=jnp.float32) -> Params:
     """LoRA A/B for wq/wk/wv/wo; kaiming-uniform A, zero B (model.py:145-156)."""

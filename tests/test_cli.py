@@ -199,3 +199,36 @@ def test_jsonl2txt_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     lines = out.read_text(encoding="utf-8").splitlines()
     assert lines == ["<|bos|>你好世界<|eos|>", "<|bos|>second doc<|eos|>"]
+
+
+def test_export_merge_lora(pipeline, tmp_path):
+    """export.py --merge-lora folds an adapter .bin into the exported
+    weights; the merged model must load and differ from the base export
+    (the delta is non-zero by construction)."""
+    d = pipeline
+    import jax
+    import numpy as np
+    from nano_tpu.config import ModelConfig
+    from nano_tpu.io import binfmt
+    from nano_tpu.models import gpt
+
+    cfg = ModelConfig(**json.loads((d / "model.json").read_text()))
+    lora = gpt.init_lora_params(jax.random.PRNGKey(3), cfg, rank=2)
+    lora = {k: np.asarray(jax.random.normal(jax.random.PRNGKey(i + 1),
+                                            v.shape) * 0.05)
+            for i, (k, v) in enumerate(sorted(lora.items()))}
+    lpath = tmp_path / "l.bin"
+    binfmt.write_lora(str(lpath), lora, cfg, rank=2, alpha=4)
+
+    merged = tmp_path / "merged.bin"
+    r = run_cli(["export.py", str(merged), "--checkpoint",
+                 str(d / "checkpoint.npz"), "--merge-lora", str(lpath)])
+    assert r.returncode == 0, r.stderr
+    assert "merged LoRA" in r.stdout
+
+    base = binfmt.read_model(str(d / "m.bin"))
+    m = binfmt.read_model(str(merged))
+    assert not np.allclose(np.asarray(m.params["blocks"]["wq"]),
+                           np.asarray(base.params["blocks"]["wq"]))
+    np.testing.assert_allclose(np.asarray(m.params["blocks"]["w1"]),
+                               np.asarray(base.params["blocks"]["w1"]))

@@ -214,3 +214,26 @@ def _params_from_torch(rm, cfg):
             "w3": stack(lambda l: l.feed_forward.w3.weight),
         },
     }
+
+
+def test_merge_lora_matches_runtime_adapter():
+    """merge_lora folds A@B into the base weights: merged-params forward
+    must equal base+adapter forward (the reference's model.py:433-434
+    leaves merge_lora as an unimplemented TODO)."""
+    cfg = tiny_cfg()
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    lora = gpt.init_lora_params(jax.random.PRNGKey(1), cfg, rank=4)
+    # zero-init B would make the test vacuous: randomize both halves
+    lora = {k: (jax.random.normal(jax.random.PRNGKey(i + 2), v.shape,
+                                  jnp.float32) * 0.05)
+            for i, (k, v) in enumerate(sorted(lora.items()))}
+    idx = jnp.array([[1, 5, 9, 2, 7, 3]], jnp.int32)
+    want = gpt.forward(params, idx, cfg, dtype=jnp.float32,
+                       lora=lora, lora_scale=1.5)
+    merged = gpt.merge_lora(params, lora, 1.5)
+    got = gpt.forward(merged, idx, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # base params untouched
+    base_again = gpt.forward(params, idx, cfg, dtype=jnp.float32)
+    assert not np.allclose(np.asarray(base_again), np.asarray(want))
