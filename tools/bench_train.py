@@ -71,9 +71,18 @@ def run_one(policy: str, ce_chunk: int, bf16mu: bool = False,
 def main():
     if sys.argv[1:2] == ["--one"]:
         parts = sys.argv[2].split(":")
-        print(json.dumps(run_one(parts[0], int(parts[1]),
-                                 bf16mu="bf16mu" in parts[2:])),
-              flush=True)
+        rec = run_one(parts[0], int(parts[1]), bf16mu="bf16mu" in parts[2:])
+        if "remote_compile" in str(rec.get("error", "")):
+            # the tunnel's compile helper crashes transiently (observed
+            # runbook r4c: HTTP 500 "tpu_compile_helper subprocess exit
+            # code 1" on configs that compiled in earlier rounds) — one
+            # retry after a pause separates crash-y from genuinely
+            # uncompilable
+            time.sleep(30)
+            rec = run_one(parts[0], int(parts[1]),
+                          bf16mu="bf16mu" in parts[2:])
+            rec["retried"] = True
+        print(json.dumps(rec), flush=True)
         return
     # one subprocess per combo: a fresh process per config releases HBM
     # and compile caches between variants (a single process accumulates
