@@ -22,6 +22,7 @@ def model_ppl(path: str, text: str, block_size: int = 0,
     from nano_tpu.models import gpt
 
     loader = (engine.LLMContext.from_bin if path.endswith(".bin")
+              else engine.LLMContext.from_gguf if path.endswith(".gguf")
               else engine.LLMContext.from_checkpoint)
     ctx = loader(path, dtype=jnp.float32)
     cfg = ctx.cfg

@@ -58,7 +58,10 @@ def build_ctx(args):
     from nano_tpu.infer import engine
     from nano_tpu.ops import sampling
 
-    ctx = engine.LLMContext.from_bin(
+    loader = (engine.LLMContext.from_gguf
+              if args.model.endswith(".gguf")
+              else engine.LLMContext.from_bin)
+    ctx = loader(
         args.model, max_seq_len=args.max_seq_len,
         kv_cache_dtype=jnp.int8 if args.kv_cache == "int8" else None,
         spec_k=args.spec,

@@ -446,3 +446,28 @@ def test_from_gguf_quantized_load_qwen2(tmp_path):
     ctx_d = engine.LLMContext.from_gguf(gpath, dtype=jnp.float32,
                                         quantized=False)
     _logits_close(ctx_q, ctx_d, ctx_d.encode("ab"))
+
+
+def test_server_build_ctx_accepts_gguf(tmp_path):
+    """The shared serving CLI loads .gguf models (wss / openai_http)."""
+    import argparse
+    from nano_tpu.serve.cli import add_engine_args, build_ctx
+
+    cfg = tiny_cfg("qwen3")
+    gpath = str(tmp_path / "m.gguf")
+    gguf.write_gguf(gpath, tiny_params(cfg), cfg, byte_tokenizer(),
+                    arch="qwen3", quant="q8_0")
+    ap = argparse.ArgumentParser()
+    add_engine_args(ap, port=0)
+    args = ap.parse_args(["--model", gpath])
+    ctx, adapters = build_ctx(args)
+    assert ctx.arch == "qwen3"
+    assert adapters is None
+    # and it reaches the engine: one greedy token
+    import dataclasses
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    ctx = dataclasses.replace(ctx, sampler=sampling.SamplerConfig(
+        temperature=0.0, repetition_penalty=1.0))
+    out = engine.generate_on_device(ctx, [1, 2, 3], 4)
+    assert len(out) == 4
