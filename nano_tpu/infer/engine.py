@@ -390,7 +390,8 @@ class LLMContext:
 
         g = _gguf.GGUFFile(path)
         wq0 = g.tensors.get("blk.0.attn_q.weight")
-        q_types = (_gguf.GGML_Q8_0, _gguf.GGML_Q4_K, _gguf.GGML_Q6_K)
+        q_types = (_gguf.GGML_Q8_0, _gguf.GGML_Q4_K, _gguf.GGML_Q6_K,
+                   _gguf.GGML_Q4_0)
         if quantized is None:
             quantized = wq0 is not None and wq0.ggml_type in q_types
         if quantized:

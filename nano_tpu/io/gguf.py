@@ -492,6 +492,25 @@ def q4k_from_q4_k(t: GGUFTensor):
                      biases=jnp_.asarray(biases), in_dim=inn)
 
 
+def q4k_from_q4_0(t: GGUFTensor):
+    """Q4_0 -> Q4KTensor: x = d*(q-8) = q*d - 8d per 32-block, and the
+    block's nibble layout (low nibbles = elems 0..15 of byte j, high =
+    elems 16..31) is byte-identical to our packed group layout — the qs
+    bytes pass through unchanged."""
+    from nano_tpu.ops.q4k import Q4KTensor
+    import jax.numpy as jnp_
+    inn = t.shape[-1]
+    out = int(np.prod(t.shape[:-1]))
+    blk = np.frombuffer(t._raw, dtype=np.dtype([("d", "<f2"),
+                                                ("qs", "u1", 16)]))
+    d = blk["d"].astype(np.float32)
+    packed = np.ascontiguousarray(blk["qs"]).reshape(out, inn // 2)
+    scales = d.reshape(out, inn // 32)
+    return Q4KTensor(packed=jnp_.asarray(packed),
+                     scales=jnp_.asarray(scales),
+                     biases=jnp_.asarray(8.0 * scales), in_dim=inn)
+
+
 def _our_q4k_requant(dense: np.ndarray):
     """f32 (out, in) -> our Q4K tensor via the bit-exact Nano quantizer
     (type-unification fallback for mixed-type layer stacks)."""
@@ -549,6 +568,8 @@ def quantized_device_params(g: GGUFFile, cfg: ModelConfig,
             return q4k_from_q4_k(t)
         if t.ggml_type == GGML_Q6_K:
             return q80_from_q6_k(t)
+        if t.ggml_type == GGML_Q4_0:
+            return q4k_from_q4_0(t)
         return None                      # dense fallback
 
     L = cfg.n_layer

@@ -471,3 +471,13 @@ def test_server_build_ctx_accepts_gguf(tmp_path):
         temperature=0.0, repetition_penalty=1.0))
     out = engine.generate_on_device(ctx, [1, 2, 3], 4)
     assert len(out) == 4
+
+
+def test_q4_0_maps_losslessly_to_q4ktensor():
+    n, out, inn = 32 * 8, 4, 64
+    raw = _sanitize_f16(_random_raw(n // 32 * 18, seed=4), 18, (0,))
+    t = _tensor_from_raw("w", (out, inn), gguf.GGML_Q4_0, raw)
+    q4 = gguf.q4k_from_q4_0(t)
+    import jax.numpy as jnp
+    got = np.asarray(q4.dequantize(jnp.float32))
+    np.testing.assert_allclose(got, t.to_f32(), rtol=0, atol=1e-6)
