@@ -585,7 +585,10 @@ def quantized_device_params(g: GGUFFile, cfg: ModelConfig,
     for ours, theirs in _GGUF_NAMES.items():
         ts = [g.tensors[f"blk.{l}.{theirs}.weight"] for l in range(L)]
         leaves = [leaf(t) for t in ts]
-        kinds = {type(x).__name__ for x in leaves}
+        # group_size participates in the kind: Q8_0 (gs32) and Q6_K
+        # (gs16) both map to Q80Tensor but cannot stack
+        kinds = {(type(x).__name__, getattr(x, "group_size", None))
+                 for x in leaves}
         if None in leaves or len(kinds) > 1:
             # mixed or unsupported types across layers: unify via our
             # Q4K quantizer on the dequantized values
@@ -634,13 +637,21 @@ def quantized_device_params(g: GGUFFile, cfg: ModelConfig,
         params["output"] = (out_leaf if out_leaf is not None else
                             jnp_.asarray(
                                 g.tensors["output.weight"].to_f32().T))
-    # head: mirror the .bin loader — a Q4K head gets requantized to
-    # grouped Q80 host-side (binfmt.q4k_head_requant rationale: XLA
-    # hoists loop-invariant fused dequant into a materialized table)
+    # TIED Q4K-family head: requantize to grouped Q80 — mirroring the
+    # .bin loader exactly: HOST-SIDE from the file bytes (never a
+    # device->host round-trip; binfmt.q4k_head_requant reads 622 MB
+    # through the tunnel otherwise) and ONLY in int8-MXU mode (the
+    # NANO_TPU_QMATMUL=xla value-parity oracle must not see an extra
+    # quantization step).  compute_logits' tok-embeddings-type guard
+    # then applies the Q4K activation fake-quant on the output_q path.
+    # An UNTIED quantized head keeps its original leaf (binfmt conv()
+    # semantics: the quantized matmul applies its own activation
+    # treatment internally).
     from nano_tpu.ops.q4k import Q4KTensor as _Q4K
-    head_src = params.get("output", params["tok_embeddings"])
-    if isinstance(head_src, _Q4K):
-        dense = np.asarray(head_src.dequantize(np.float32))
+    from nano_tpu.ops import qmatmul as _qm
+    if (cfg.tie_embeddings and _qm._IMPL == "int8"
+            and isinstance(params["tok_embeddings"], _Q4K)):
+        dense = emb.to_f32()                    # host-side, from raw blocks
         inn = dense.shape[-1]
         divisors = [gs for gs in (256, 128, 64, 32) if inn % gs == 0]
         if divisors:
@@ -648,11 +659,8 @@ def quantized_device_params(g: GGUFFile, cfg: ModelConfig,
             q, scales, _e = binfmt.quantize_q80(dense, gs)
             from nano_tpu.ops.qmatmul import Q80Tensor as _Q80
             h = _Q80.from_numpy(q.reshape(dense.shape[0], inn), scales, gs)
-            h = h.to_grouped() if gs >= MIN_GROUPED_GS else h
-            if "output" in params and isinstance(params["output"], _Q4K):
-                params["output"] = h
-            else:
-                params["output_q"] = h
+            params["output_q"] = (h.to_grouped()
+                                  if gs >= MIN_GROUPED_GS else h)
     binfmt._maybe_int8_layout(params)
     return params
 
@@ -706,9 +714,10 @@ def write_gguf(path: str, params: Dict[str, Any], cfg: ModelConfig,
     llama.cpp can load.  quant: f32 | f16 | q8_0 (block weights;
     norms/biases stay f32 as llama.cpp expects).
 
-    The tokenizer must expose GPT-2 printable-unicode `tokens` and
-    `merges` lists (BpeTokenizer keeps raw bytes, so pass the lists via
-    a small adapter — see tools/export_gguf.py)."""
+    `tokenizer` is a BpeTokenizer: _tokenizer_lists re-encodes its raw
+    byte vocab through the GPT-2 printable-unicode map and reconstructs
+    a merge list from the pair-score table (best-effort: llama.cpp only
+    needs merges for encoding; decoding works from tokens alone)."""
     wq = {"f32": GGML_F32, "f16": GGML_F16, "q8_0": GGML_Q8_0}[quant]
     tensors: List[Tuple[str, np.ndarray, int]] = []
 

@@ -30,6 +30,7 @@ import gc
 import json
 import logging
 import os
+import struct
 import threading
 
 logger = logging.getLogger("nano_tpu.gateway")
@@ -456,7 +457,10 @@ def make_gateway(model_path: str, backend: str = "auto", **kw):
         try:
             return NativeGGUFGateway(model_path,
                                      n_ctx=kw.get("n_ctx", 4096))
-        except (ValueError, OSError) as e:
+        except (ValueError, OSError, KeyError, struct.error) as e:
+            # ValueError: non-qwen arch / bad container; struct.error:
+            # truncated metadata; KeyError: missing tensors — all mean
+            # "not natively importable", so fall back rather than crash
             logger.info("native GGUF import declined (%s); trying "
                         "llama-cpp-python", e)
         return GGUFGateway(model_path,

@@ -35,7 +35,7 @@ def run_mode(model, prompt, n_tokens):
 
 
 def main():
-    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--child":
         model, prompt_path, n_tokens = sys.argv[2], sys.argv[3], int(sys.argv[4])
         prompt = open(prompt_path, encoding="utf-8").read()
         print(json.dumps(run_mode(model, prompt, n_tokens)))

@@ -86,5 +86,16 @@ else
 fi
 fi
 
-stage "DONE"
-date -u +%FT%TZ > $R/RUNBOOK_D_DONE
+stage "END"
+# DONE only when every stage actually completed — stage 1 deliberately
+# withholds its marker on an empty panel so the watcher relaunches on
+# the next sustained heal; an unconditional DONE here would kill the
+# watcher with the panel still unmeasured
+ok=1
+for n in 1 2 3 4 5 6; do
+  [ -f $R/done_d_$n ] || { echo "stage $n incomplete"; ok=0; }
+done
+if [ $ok -eq 1 ]; then
+  date -u +%FT%TZ > $R/RUNBOOK_D_DONE
+  echo "ALL STAGES DONE"
+fi

@@ -36,7 +36,13 @@ while true; do
     [ $i -lt 3 ] && sleep 20
   done
   if [ $ok -eq 3 ]; then
-    echo "TUNNEL SUSTAINED-UP (d2) $(date -u +%FT%TZ); launching runbook" >> /tmp/r4/watch.log
+    n=$(cat /tmp/r4/launches_d 2>/dev/null || echo 0)
+    if [ "$n" -ge 3 ]; then
+      echo "watcher-d2 exit: launch cap (3) reached $(date -u +%FT%TZ)" >> /tmp/r4/watch.log
+      exit 0
+    fi
+    echo $((n + 1)) > /tmp/r4/launches_d
+    echo "TUNNEL SUSTAINED-UP (d2) $(date -u +%FT%TZ); launching runbook ($((n + 1))/3)" >> /tmp/r4/watch.log
     setsid nohup bash -c 'bash tools/tpu_runbook_r4d.sh >> /tmp/r4/runbook_d.log 2>&1' \
       >/dev/null 2>&1 < /dev/null &
     sleep 60
