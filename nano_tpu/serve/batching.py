@@ -733,6 +733,18 @@ class BatchedEngine:
                     jnp.asarray(self.temperature), jnp.asarray(self.top_p),
                     jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
                     ctx.sampler.top_k, n_steps, attn_len, lora_idx=bi)
+            if self.hist is not None:
+                # keep hist current through plain bursts too (all
+                # eligible slots parked, or no spec room): a re-probe
+                # drafting from stale history would always reject and
+                # re-park — the Session-side park had the same bug.
+                # Token at step t lands at stream position pos+1+t;
+                # mode="drop" discards past-end writes.
+                rows = jnp.arange(self.n_slots)[:, None]
+                cols = (jnp.asarray(pos_np)[:, None] + 1
+                        + jnp.arange(n_steps)[None, :])
+                self.hist = self.hist.at[rows, cols].set(
+                    jnp.transpose(toks), mode="drop")
             return self._consume(np.asarray(toks))
 
     def step(self) -> BurstResult:

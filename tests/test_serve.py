@@ -1238,3 +1238,22 @@ def test_native_gguf_gateway_end_to_end(tmp_path):
     text, done = asyncio.run(run())
     assert done["reason"] in ("stop", "interrupted")
     assert isinstance(text, str)           # byte-vocab decodes to text
+
+
+def test_plain_bursts_keep_spec_history_current(tmp_path):
+    """While all slots are parked the engine takes the PLAIN scan path;
+    hist must still track the stream or every re-probe drafts from
+    stale rows and parks forever (the Session-side park had the same
+    bug)."""
+    ctx = make_ctx(tmp_path, spec_k=4)
+    be = BatchedEngine(ctx, n_slots=2)
+    slot, first = be.add(ctx.encode("abcabc"), max_new_tokens=20,
+                         temperature=0.0, repetition_penalty=1.0)
+    n = be.slots[slot].prompt_len
+    got = [] if first is None else [first]
+    be._spec_park[slot] = 3               # force plain bursts
+    while be.slots[slot].active and len(got) < 12:
+        got.extend(be.step().get(slot, []))
+    hist = np.asarray(be.hist)[slot]
+    # stream positions n .. n+len(got)-1 must hold the emitted tokens
+    assert list(hist[n:n + len(got)]) == got, (list(hist[:16]), got)
