@@ -53,3 +53,13 @@ for t in ("sort", "palindrome", "q"):
     show(f"problem {t}", grep(f"{R}/problem_{t}.log", r"accuracy"))
 done = os.path.exists(f"{R}/RUNBOOK_DONE")
 print("--- runbook:", "DONE" if done else "running")
+
+# --- revision-d stages (tools/tpu_runbook_r4d.sh) ---
+show("bench_r4d", tail_json(f"{R}/bench_r4d.log"))
+show("spec real-text (k=0 park)", grep(f"{R}/spec_realtext_d.log",
+                                       r"tok/s|k_hist|agree", 8))
+show("train sweep d (full:0 baseline)", grep(f"{R}/train_sweep_d.log",
+                                             r"^\{", 8))
+show("0.6B train retry", grep(f"{R}/train_06b_d.log", r"^\{|Error", 4))
+show("verify drive", grep(f"{R}/verify_d.log", r"PASS|FAIL|ok|backend", 6))
+show("C++ spec real-text", grep(f"{R}/spec_cpp_d.log", r"tok/s", 4))
