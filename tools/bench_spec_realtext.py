@@ -30,8 +30,14 @@ import numpy as np                                  # noqa: E402
 from nano_tpu.infer import engine, speculative       # noqa: E402
 from nano_tpu.ops import sampling                    # noqa: E402
 
-MODEL = os.environ.get("SPEC_BENCH_MODEL", "/tmp/r3/m56_q80.bin")
-TEXT = os.environ.get("SPEC_BENCH_TEXT", "/tmp/r3/eval_text.txt")
+def _first_existing(*paths):
+    return next((p for p in paths if os.path.exists(p)), paths[-1])
+
+
+MODEL = os.environ.get("SPEC_BENCH_MODEL", _first_existing(
+    "/tmp/r4/m56_q80.bin", "/tmp/r3/m56_q80.bin"))
+TEXT = os.environ.get("SPEC_BENCH_TEXT", _first_existing(
+    "/tmp/r4/eval_text.txt", "/tmp/r3/eval_text.txt"))
 N_TOKENS = int(os.environ.get("SPEC_BENCH_TOKENS", 200))
 CAP = int(os.environ.get("SPEC_BENCH_K", 7))
 

@@ -28,8 +28,13 @@ params = jax.tree.map(np.asarray, gpt.init_params(jax.random.PRNGKey(3), cfg))
 tok = TrieTokenizer()
 tok.build([chr(ord("a") + i) for i in range(52)] + [" "])
 binfmt.write_model("/tmp/vfy.bin", params, cfg, tok.config, quant="f32")
+import jax.numpy as jnp
+
+# dtype f32: the parity leg compares against the f32 C reference — the
+# bf16 default collapses this tiny random model's near-tie logits and
+# diverges at token 1 (observed runbook r4d stage 5; not an engine bug)
 ctx = engine.LLMContext.from_bin(
-    "/tmp/vfy.bin", max_seq_len=64,
+    "/tmp/vfy.bin", max_seq_len=64, dtype=jnp.float32,
     sampler=sampling.SamplerConfig(temperature=0.0, repetition_penalty=1.0))
 got = []
 engine.generate_sync(ctx, "hello", max_new_tokens=12,
