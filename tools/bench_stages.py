@@ -424,7 +424,10 @@ def stage_train():
     # Nested subprocess (bench_train.py --one) kept: it already isolates
     # the ~14 GB training HBM footprint and reports a clean JSON row.
     import subprocess
-    combo = os.environ.get("NANO_BENCH_TRAIN_COMBO", "full:0")
+    # ffn: the fastest fitting policy under the CURRENT server-side
+    # compiler (r4d sweep: 1272 ms vs full's 1555/1780; full remat was
+    # faster in the r2-era environment — see PERF.md regression notes)
+    combo = os.environ.get("NANO_BENCH_TRAIN_COMBO", "ffn:0")
     r = subprocess.run(
         [sys.executable, "tools/bench_train.py", "--one", combo],
         capture_output=True, text=True, timeout=900, cwd=".")
