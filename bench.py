@@ -40,9 +40,9 @@ STAGE_PLAN = [
     ("q4k", 900),
     ("batched", 900),
     ("spec", 700),
-    ("nano168m", 600),
-    ("ppl", 600),
-    ("train", 1000),
+    ("nano168m", 900),     # 600 s was hit during a slow tunnel window
+    ("ppl", 900),          # (r4d panel) — both stages normally finish
+    ("train", 1000),       # in minutes; headroom over raw retries
 ]
 
 
