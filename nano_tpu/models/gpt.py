@@ -101,6 +101,16 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed * weight.astype(jnp.float32)).astype(dtype)
 
 
+def _prec(dtype):
+    """Matmul precision for the compute dtype: f32 mode is the VALUE
+    ORACLE (cross-engine parity vs the f32 C engines), so its dots must
+    run true f32 — the TPU's DEFAULT precision computes f32 matmuls in
+    bf16 passes, which flips near-tie argmaxes on small models (observed
+    runbook r4d verify stage: token-1 divergence on a tiny random
+    model).  bf16 mode keeps the fast default."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+
 def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
     """x @ w with both operands cast to the compute dtype (MXU-friendly).
 
@@ -112,7 +122,7 @@ def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
     if isinstance(w, Q4KTensor):
         return q4k_matmul(x, w, dtype)
     return jnp.dot(x.astype(dtype), w.astype(dtype),
-                   preferred_element_type=dtype)
+                   preferred_element_type=dtype, precision=_prec(dtype))
 
 
 def embed_tokens(params: Params, idx: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -173,10 +183,12 @@ def compute_logits(h: jnp.ndarray, params: Params, dtype) -> jnp.ndarray:
         if isinstance(w, (Q80Tensor, Q4KTensor)):
             return _dense(h, w, jnp.float32)
         return jnp.dot(h, w.T.astype(dtype),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=_prec(dtype))
     if isinstance(w, (Q80Tensor, Q4KTensor)):
         return _dense(h, w, jnp.float32)
-    return jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
+    return jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32,
+                   precision=_prec(dtype))
 
 
 def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
@@ -194,8 +206,10 @@ def _lora_delta(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
         d = jnp.einsum("bsr,bro->bso", h, b.astype(dtype),
                        preferred_element_type=dtype)
         return d * jnp.asarray(scale, dtype)[:, None, None]
-    h = jnp.dot(x.astype(dtype), a.astype(dtype), preferred_element_type=dtype)
-    return jnp.dot(h, b.astype(dtype), preferred_element_type=dtype) * scale
+    h = jnp.dot(x.astype(dtype), a.astype(dtype),
+                preferred_element_type=dtype, precision=_prec(dtype))
+    return jnp.dot(h, b.astype(dtype), preferred_element_type=dtype,
+                   precision=_prec(dtype)) * scale
 
 
 # =====================================================================
@@ -255,13 +269,15 @@ def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray
     rep = H // kv
     qg = q.reshape(B, S, kv, rep, D)
     scores = jnp.einsum("bskrd,btkd->bkrst", qg, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_prec(k.dtype))
     return scores / math.sqrt(D)
 
 
 def _gqa_out(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """probs: (B, KV, rep, S, T)  v: (B, T, KV, D) -> (B, S, KV*rep*D)."""
-    out = jnp.einsum("bkrst,btkd->bskrd", probs, v)
+    out = jnp.einsum("bkrst,btkd->bskrd", probs, v,
+                     precision=_prec(v.dtype))
     B, S = out.shape[0], out.shape[1]
     return out.reshape(B, S, -1)
 

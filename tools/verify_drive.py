@@ -51,16 +51,29 @@ if not os.path.exists("build/ref_oracle"):
         "-pthread", shell=True, check=True)
 out = subprocess.run(["build/ref_oracle", "/tmp/vfy.bin", "12", "0.0"],
                      input="hello\n", capture_output=True, text=True)
-ref_ids = [int(t) for t in out.stdout.split() if t.lstrip("-").isdigit()]
+# parse the labeled lines (a naive int scrape concatenates PROMPT_IDS
+# with OUTPUT_IDS and fails on correct output — burned runbook r4d)
+fields = dict(l.split(":", 1) for l in out.stdout.splitlines() if ":" in l)
+ref_prompt = [int(x) for x in fields["PROMPT_IDS"].split()]
+ref_ids = [int(x) for x in fields["OUTPUT_IDS"].split()]
+print("ref prompt ids:", ref_prompt)
 print("ref greedy ids:", ref_ids[:12])
+assert ref_prompt == ctx.encode("hello"), (ref_prompt,
+                                           ctx.encode("hello"))
 assert got == ref_ids[:len(got)], (got, ref_ids)
 print("cross-engine greedy parity: OK")
 
-# C++ engine CLI (the build-all fix) on the same .bin
-out = subprocess.run(["build/nano_cpp", "-m", "/tmp/vfy.bin", "-n", "12",
-                      "-t", "0.0", "-r", "1.0", "-p", "hello", "--ids"],
+# C++ engine CLI on the same .bin (positional model path, -q one-shot,
+# -T disables the template to match the raw-prompt jax run)
+out = subprocess.run(["build/nano_cpp", "/tmp/vfy.bin", "-n", "12",
+                      "-t", "0.0", "-r", "1.0", "-T", "-q", "hello"],
                      capture_output=True, text=True)
-print("nano_cpp rc:", out.returncode, out.stdout.strip()[:120])
+print("nano_cpp rc:", out.returncode, out.stdout.strip()[:60])
+assert out.returncode == 0, out.stderr[-300:]
+cpp_text = out.stdout.strip()
+jax_text = ctx.decode(got)
+assert cpp_text.startswith(jax_text[:8]), (cpp_text, jax_text)
+print("C++ CLI three-way greedy agreement: OK")
 
 # trainer window-timing: a short real train on the TPU must report a
 # plausible rate (the old per-dispatch timer printed >1 PFLOP/s here)
@@ -76,8 +89,9 @@ tc = dict(learning_rate=1e-3, max_steps=40, batch_size=8, log_interval=10,
 t = Trainer(mc, tc, max_steps=40)
 t.init()
 buf = io.StringIO()
-h = __import__("logging").StreamHandler(buf)
-t.logger.addHandler(h)
+import logging as _logging
+h = _logging.StreamHandler(buf)
+_logging.getLogger("nano_tpu.train.trainer").addHandler(h)
 t.train()
 log = buf.getvalue()
 print(log)
