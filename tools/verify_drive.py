@@ -92,7 +92,7 @@ buf = io.StringIO()
 import logging as _logging
 h = _logging.StreamHandler(buf)
 _logging.getLogger("nano_tpu.train.trainer").addHandler(h)
-t.train()
+t.start()
 log = buf.getvalue()
 print(log)
 import re
