@@ -85,13 +85,14 @@ np.savez("/tmp/vfy_tr.npz", ids=ids)
 tc = dict(learning_rate=1e-3, max_steps=40, batch_size=8, log_interval=10,
           eval_interval=1000, dataset_path=[["/tmp/vfy_tr.npz",
                                              "/tmp/vfy_tr.npz"]],
-          save_checkpoint_to=None, dtype="bfloat16")
+          save_checkpoint_to="/tmp/vfy_ckpt", dtype="bfloat16")
 t = Trainer(mc, tc, max_steps=40)
 t.init()
 buf = io.StringIO()
 import logging as _logging
 h = _logging.StreamHandler(buf)
 _logging.getLogger("nano_tpu.train.trainer").addHandler(h)
+t.load_data()
 t.start()
 log = buf.getvalue()
 print(log)
