@@ -105,8 +105,35 @@ def test_orchestrator_merges_and_survives_stage_failure(monkeypatch, capsys):
     assert rec["metric"] == "qwen3_0.6b_q80_decode_tok_s_batch1"
     assert rec["value"] == 500.0            # primary derived from q80 stage
     assert rec["vs_baseline"] == 50.0
-    assert rec["extra"]["bf16_error"].startswith("rc=-9")
+    # a persistently failing stage is retried once and both attempts
+    # are recorded (tunnel-flap insurance)
+    assert rec["extra"]["bf16_error"] == (
+        "attempt1: rc=-9: simulated OOM kill; "
+        "attempt2: rc=-9: simulated OOM kill")
     assert rec["extra"]["q4k_done"] is True  # later stages still ran
+
+
+def test_orchestrator_retry_recovers_transient_failure(monkeypatch,
+                                                       capsys):
+    bench = _load("bench_under_test_retry", "bench.py")
+    monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: True)
+    calls = {"bf16": 0}
+
+    def fake_stage(name, timeout_s, extra):
+        if name == "bf16":
+            calls["bf16"] += 1
+            if calls["bf16"] == 1:
+                extra["bf16_error"] = "timeout after 60s"
+            else:
+                extra["qwen3_0.6b_bf16_tok_s"] = 123.0
+        elif name == "q80":
+            extra["qwen3_0.6b_q80_tok_s"] = 500.0
+    monkeypatch.setattr(bench, "_run_stage", fake_stage)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls["bf16"] == 2
+    assert "bf16_error" not in rec["extra"]         # retry cleared it
+    assert rec["extra"]["qwen3_0.6b_bf16_tok_s"] == 123.0
 
 
 def test_orchestrator_emits_error_line_when_device_unreachable(monkeypatch,
