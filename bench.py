@@ -104,7 +104,10 @@ def main():
     }
     extra: dict = {}
     t0 = time.time()
-    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "4500"))
+    # must print the JSON line BEFORE any outer kill: the runbook wraps
+    # bench in `timeout 3600` and the driver likely similar — leave
+    # probe time (180 s) + margin
+    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "3100"))
     if not _probe_device():
         extra["error"] = ("device unreachable: the dispatch probe did not "
                           "complete within 180 s (tunnel outage); see "
