@@ -1,56 +1,99 @@
 """Benchmark: the north-star metrics (BASELINE.json).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-Primary metric: Qwen3-0.6B-shape Q80 single-stream greedy decode tok/s on
-one chip, vs the reference C engine's 8-12 tok/s on a Raspberry Pi 5
+Prints the JSON line {"metric", "value", "unit", "vs_baseline", "extra"}
+— CUMULATIVELY: one line immediately at startup, then an updated line
+after every completed stage (same schema, superset extra).  The driver
+keeps the last parsable line, so an outer kill at ANY point records all
+stages completed so far.  Round 4's lesson: a single print at the end
+lost the whole panel to the driver's outer timeout (BENCH_r04 was
+rc=124 with zero bytes of output).
+
+Primary metric: Qwen3-0.6B-shape Q80 single-stream greedy decode tok/s
+on one chip, vs the reference C engine's 8-12 tok/s on a Raspberry Pi 5
 (reference doc/nano-pod.md:14; BASELINE.md) — midpoint 10 tok/s.
 
-"extra" carries the full panel: bf16 / Q80-int8 / Q4K-int8 decode tok/s at
-the 0.6B shape, p50 TTFT, continuous-batching aggregate throughput
-(slots=8/32, Q80), the round-1 continuity number (Nano-168M bf16), PPL
-deltas at 56M when the round's trained exports exist, and Nano-168M
-training throughput.
+"extra" carries the full panel: bf16 / Q80-int8 / Q4K-int8 decode tok/s
+at the 0.6B shape, p50 TTFT, continuous-batching aggregate throughput
+(slots=8/32, Q80), speculative-decode metrics on a TRAINED fixture,
+the round-1 continuity number (Nano-168M bf16), PPL deltas on the
+trained fixture, Nano-168M training throughput, and environment canary
+keys (raw-matmul TFLOP/s, per-dispatch ms) so environment drift is
+attributable at a glance.
 
 This file is the ORCHESTRATOR and never imports jax.  Every stage runs
-in its own subprocess (`python tools/bench_stages.py --stage NAME`) with
-a timeout and an address-space cap, because three distinct in-process
+in its own PROCESS GROUP (`python tools/bench_stages.py --stage NAME`,
+start_new_session=True) with a timeout, stdout/stderr redirected to
+files (never pipes), and a killpg on timeout, because four distinct
 failure modes have each killed a whole panel before:
   * JAX backend init on a non-main thread wedges the axon plugin and
     aborts the process at teardown (rc 134, "FATAL: exception not
     rethrown") — burned the round-3 driver bench;
   * one stage ballooning host RSS (observed: 130 GB -> host OOM-kill)
     — burned the round-4 runbook's first panel;
-  * a tunnel wedge mid-stage hanging the panel with zero output.
-With per-stage subprocesses each of those costs ONE stage's keys; the
-final JSON line always prints.
+  * a tunnel wedge mid-stage hanging the panel with zero output;
+  * an orphaned grandchild (the train stage's nested bench_train.py)
+    holding a stdout PIPE open after the stage's timeout-kill, hanging
+    subprocess.run(capture_output=True) FOREVER — the likely killer of
+    the round-4 driver run itself.
+With per-stage process groups + file IO each of those costs ONE stage's
+keys, and the cumulative protocol means the keys already printed can
+never be lost.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 # (stage name, timeout seconds).  Timeouts are generous per-stage caps;
 # the global deadline (NANO_BENCH_DEADLINE_S) trims the tail if the
-# earlier stages ran long.
+# earlier stages ran long.  Primary metric first: always gets budget.
 STAGE_PLAN = [
-    ("q80", 1200),        # primary metric first: always gets full budget
-    ("bf16", 900),
-    ("q4k", 900),
-    ("batched", 900),
-    ("spec", 700),
-    ("nano168m", 900),     # 600 s was hit during a slow tunnel window
-    ("ppl", 900),          # (r4d panel) — both stages normally finish
-    ("train", 1000),       # in minutes; headroom over raw retries
+    ("q80", 900),
+    ("bf16", 700),
+    ("q4k", 700),
+    ("batched", 700),
+    ("spec", 600),
+    ("nano168m", 600),
+    ("ppl", 600),
+    ("train", 800),
 ]
 
+STAGE_LOG_DIR = os.environ.get("NANO_BENCH_LOG_DIR", "/tmp/nano_bench_r5")
 
-def _probe_device(timeout_s: float = 180.0) -> bool:
+
+def _stage_cmd(name):
+    ov = os.environ.get("NANO_BENCH_STAGE_CMD")  # test hook
+    if ov:
+        return ov.split() + ["--stage", name]
+    return [sys.executable, "tools/bench_stages.py", "--stage", name]
+
+
+def _kill_group(p):
+    """SIGKILL the stage's whole process group (grandchildren included);
+    never block on it for more than a moment."""
+    try:
+        os.killpg(p.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        try:
+            p.kill()
+        except OSError:
+            pass
+    try:
+        p.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass  # zombie with no pipes held — harmless
+
+
+def _probe_device(timeout_s: float = 120.0) -> bool:
     """One tiny dispatched program with a full readback, bounded by a
     timeout: if the TPU tunnel is wedged (observed outage: trivial
     matmuls hang forever), the bench must still emit its JSON line
     rather than hang until the driver kills it."""
+    if os.environ.get("NANO_BENCH_SKIP_PROBE"):
+        return True
     # import nano_tpu first: the axon plugin overrides JAX_PLATFORMS
     # during registration, and nano_tpu re-asserts it — without this a
     # CPU-forced smoke run probes the tunneled TPU instead (CLAUDE.md).
@@ -59,30 +102,56 @@ def _probe_device(timeout_s: float = 180.0) -> bool:
             "x = jnp.ones((128, 128), jnp.float32)\n"
             "assert float(np.asarray(x @ x)[0, 0]) == 128.0\n"
             "print('probe-ok')\n")
+    os.makedirs(STAGE_LOG_DIR, exist_ok=True)
+    out_path = os.path.join(STAGE_LOG_DIR, "probe.out")
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s, cwd=".")
-        return "probe-ok" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
+        with open(out_path, "wb") as out_f:
+            p = subprocess.Popen([sys.executable, "-c", code],
+                                 stdout=out_f, stderr=subprocess.DEVNULL,
+                                 cwd=".", start_new_session=True)
+            try:
+                p.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                _kill_group(p)
+                return False
+        with open(out_path, errors="replace") as f:
+            return "probe-ok" in f.read()
+    except OSError:
         return False
 
 
 def _run_stage(name: str, timeout_s: float, extra: dict) -> None:
-    """Run one stage subprocess; merge its result keys into extra.
-    Any failure (timeout, OOM, compile error, teardown abort after the
-    result line) costs only this stage's keys."""
+    """Run one stage in its own process group with file-redirected IO;
+    merge its result keys into extra.  Any failure (timeout, OOM,
+    compile error, teardown abort after the result line) costs only
+    this stage's keys — and can never hang the orchestrator: there are
+    no pipes for orphaned grandchildren to hold open, and a timeout
+    kills the whole group."""
+    os.makedirs(STAGE_LOG_DIR, exist_ok=True)
+    out_path = os.path.join(STAGE_LOG_DIR, f"stage_{name}.out")
+    err_path = os.path.join(STAGE_LOG_DIR, f"stage_{name}.err")
     try:
-        r = subprocess.run(
-            [sys.executable, "tools/bench_stages.py", "--stage", name],
-            capture_output=True, text=True, timeout=timeout_s, cwd=".")
-    except subprocess.TimeoutExpired:
-        extra[name + "_error"] = f"timeout after {timeout_s:.0f}s"
-        return
+        with open(out_path, "wb") as out_f, open(err_path, "wb") as err_f:
+            p = subprocess.Popen(_stage_cmd(name), stdout=out_f,
+                                 stderr=err_f, cwd=".",
+                                 start_new_session=True)
+            try:
+                rc = p.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                _kill_group(p)
+                extra[name + "_error"] = f"timeout after {timeout_s:.0f}s"
+                return
     except OSError as e:
         extra[name + "_error"] = f"OSError: {e}"
         return
-    rows = [ln for ln in r.stdout.splitlines()
+    try:
+        with open(out_path, errors="replace") as f:
+            stdout = f.read()
+        with open(err_path, errors="replace") as f:
+            stderr = f.read()
+    except OSError:
+        stdout = stderr = ""
+    rows = [ln for ln in stdout.splitlines()
             if ln.startswith("NANO_BENCH_RESULT ")]
     if rows:
         # a teardown abort AFTER the result line still counts as success
@@ -91,8 +160,18 @@ def _run_stage(name: str, timeout_s: float, extra: dict) -> None:
             return
         except json.JSONDecodeError:
             pass
-    tail = (r.stderr or r.stdout or "").strip()[-200:]
-    extra[name + "_error"] = f"rc={r.returncode}: {tail}"
+    tail = (stderr or stdout or "").strip()[-200:]
+    extra[name + "_error"] = f"rc={rc}: {tail}"
+
+
+def _emit(primary: dict, extra: dict) -> None:
+    """Print the full cumulative JSON line (the driver keeps the last
+    parsable line, so each emission supersedes the previous)."""
+    q80 = extra.get("qwen3_0.6b_q80_tok_s")
+    if q80:
+        primary["value"] = round(q80, 2)
+        primary["vs_baseline"] = round(q80 / 10.0, 2)  # RPi5 midpoint
+    print(json.dumps({**primary, "extra": extra}), flush=True)
 
 
 def main():
@@ -104,19 +183,22 @@ def main():
     }
     extra: dict = {}
     t0 = time.time()
-    # must print the JSON line BEFORE any outer kill: the runbook wraps
-    # bench in `timeout 3600` and the driver likely similar — leave
-    # probe time (180 s) + margin
-    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "3100"))
+    # the real outer budget proved tighter than the assumed 3600 s
+    # (round 4: rc=124).  2100 s default + 120 s probe leaves wide
+    # margin, and the cumulative protocol makes even that deadline soft:
+    # any kill keeps the stages already printed.
+    deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "2100"))
+    _emit(primary, {**extra, "status": "probing device"})
     if not _probe_device():
         extra["error"] = ("device unreachable: the dispatch probe did not "
-                          "complete within 180 s (tunnel outage); see "
+                          "complete within 120 s (tunnel outage); see "
                           "PERF.md round-3/4 status")
-        print(json.dumps({**primary, "extra": extra}))
+        _emit(primary, extra)
         return
 
     only = os.environ.get("NANO_BENCH_STAGES")       # e.g. "q80,bf16"
-    plan = [(n, t) for n, t in STAGE_PLAN
+    cap_ov = os.environ.get("NANO_BENCH_STAGE_TIMEOUT_S")  # test hook
+    plan = [(n, float(cap_ov) if cap_ov else t) for n, t in STAGE_PLAN
             if only is None or n in only.split(",")]
     failed = []
     for name, cap in plan:
@@ -129,6 +211,7 @@ def main():
         _run_stage(name, min(cap, left), extra)
         if name + "_error" in extra:
             failed.append((name, cap))
+        _emit(primary, extra)
     # one retry pass for failed stages: the tunnel FLAPS (observed:
     # minutes-long wedges between healthy windows), so a stage that died
     # early may succeed later in the run — budget permitting
@@ -142,12 +225,10 @@ def main():
             extra[name + "_error"] = (
                 f"attempt1: {first_err}; attempt2: "
                 f"{extra[name + '_error']}")
+        _emit(primary, extra)
 
-    q80 = extra.get("qwen3_0.6b_q80_tok_s")
-    if q80:
-        primary["value"] = round(q80, 2)
-        primary["vs_baseline"] = round(q80 / 10.0, 2)  # RPi5 midpoint
-    print(json.dumps({**primary, "extra": extra}))
+    extra["panel_elapsed_s"] = round(time.time() - t0, 1)
+    _emit(primary, extra)
 
 
 if __name__ == "__main__":

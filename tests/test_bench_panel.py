@@ -146,6 +146,77 @@ def test_orchestrator_emits_error_line_when_device_unreachable(monkeypatch,
     assert "device unreachable" in rec["extra"]["error"]
 
 
+def _bench_env(tmp_path, stages):
+    env = dict(os.environ)
+    env.update({
+        "NANO_BENCH_SKIP_PROBE": "1",
+        "NANO_BENCH_STAGE_CMD":
+            f"{sys.executable} {os.path.join(REPO, 'tests', 'fake_bench_stage.py')}",
+        "NANO_BENCH_STAGES": stages,
+        "NANO_BENCH_LOG_DIR": str(tmp_path),
+    })
+    return env
+
+
+def test_orchestrator_survives_sigkill_mid_panel(tmp_path):
+    """The round-4 failure: the driver's outer timeout killed bench.py
+    before it printed anything.  The cumulative protocol must leave the
+    completed stages' keys on stdout no matter when the kill lands:
+    SIGKILL the orchestrator while a stage is wedged and assert the last
+    already-emitted line parses and carries the fast stage's key."""
+    import signal
+    import subprocess
+    import time as _time
+    env = _bench_env(tmp_path, "q80,bf16")
+    env["NANO_BENCH_STAGE_TIMEOUT_S"] = "300"   # bf16 wedge outlives us
+    p = subprocess.Popen([sys.executable, os.path.join(REPO, "bench.py")],
+                         stdout=subprocess.PIPE, text=True, cwd=REPO,
+                         env=env)
+    lines = []
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            line = p.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            rec = json.loads(line)
+            if "qwen3_0.6b_q80_tok_s" in rec.get("extra", {}):
+                break                           # q80 done, bf16 wedged
+        else:
+            raise AssertionError("q80 line never appeared")
+    finally:
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+        # the wedged fake bf16 stage is in its own process group and
+        # cannot be killpg'd once bench is dead; it self-expires (the
+        # fake stage sleeps a bounded 120 s)
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "qwen3_0.6b_q80_decode_tok_s_batch1"
+    assert rec["value"] == 555.0
+    assert rec["extra"]["qwen3_0.6b_q80_tok_s"] == 555.0
+
+
+def test_orchestrator_not_hung_by_orphaned_grandchild(tmp_path):
+    """A timed-out stage whose grandchild survives must cost ONE stage's
+    keys and a prompt return — never an indefinite pipe-read hang (the
+    likely round-4 root cause).  Stage timeout 3 s, orchestrator must
+    finish well under a minute with the timeout recorded."""
+    import subprocess
+    import time as _time
+    env = _bench_env(tmp_path, "q80,q4k")
+    env["NANO_BENCH_STAGE_TIMEOUT_S"] = "3"
+    t0 = _time.time()
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, cwd=REPO,
+                       timeout=120, env=env)
+    elapsed = _time.time() - t0
+    assert elapsed < 60, f"orchestrator took {elapsed:.0f}s"
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["extra"]["qwen3_0.6b_q80_tok_s"] == 555.0
+    assert "timeout" in rec["extra"]["q4k_error"]
+
+
 def test_stage_subprocess_protocol(monkeypatch):
     """One real stage subprocess round-trip: bench._run_stage must parse
     the NANO_BENCH_RESULT line from a ppl stage pointed at an empty root
