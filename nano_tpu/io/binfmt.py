@@ -667,13 +667,22 @@ def _q4k_device_params(bm: "BinModel", fuse: bool,
     else:
         blocks.update({n: Q4KTensor.stack(layers[n])
                        for n in ("wq", "wk", "wv", "w1", "w3")})
-    if _os.environ.get("NANO_TPU_Q4K_LAYOUT", "") == "unpacked":
+    layout_env = _os.environ.get("NANO_TPU_Q4K_LAYOUT", "")
+    if layout_env == "unpacked":
         # pre-unpack nibbles to int8 values at load: bit-identical
         # weights, 2x weight HBM, zero per-step unpack ops (the
         # embedding/head stay packed — row gather wants the small form)
         for name, t in list(blocks.items()):
             if isinstance(t, Q4KTensor):
                 blocks[name] = t.to_unpacked()
+    elif layout_env == "grouped":
+        # int8-MXU layout: group-batched int8xint8->int32 dots with the
+        # affine correction folded into one precombined dot
+        # (ops/q4k.py q4k_matmul_int8) — quantization decisions stay
+        # bit-exact with the C engine, float combine order differs
+        for name, t in list(blocks.items()):
+            if isinstance(t, Q4KTensor) and t.in_dim % 32 == 0:
+                blocks[name] = t.to_grouped()
     V, E = bm.config.vocab_size, bm.config.n_embd
     tok = Q4KTensor.from_blocks(bm.qparams["tok_embeddings"].blocks, V, E)
     params = {"tok_embeddings": tok,

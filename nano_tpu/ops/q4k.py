@@ -590,12 +590,72 @@ def _act_quant_aligned(x2d: jnp.ndarray
             s_eff.reshape(B, G), b_eff.reshape(B, G))
 
 
+def _fround(x: jnp.ndarray) -> jnp.ndarray:
+    """Float-domain nearest_int: bit-identical to
+    ``nearest_int_jnp(x).astype(f32)`` for |x| < 2**22 (all 4-/6-bit
+    quantization ratios qualify).  The f32 addition of the magic
+    constant rounds to integer at ULP=1 exactly like the C mantissa
+    trick (same add, same round-to-nearest-even hardware mode), and
+    subtracting the magic back is exact (the result is an integer
+    < 2**23).  Two elementwise ops instead of bitcast/and/sub/convert —
+    decode is per-op-latency-bound."""
+    return (x + _MAGIC) - _MAGIC
+
+
+def _fake_quant_aligned_lean(x2d: jnp.ndarray) -> jnp.ndarray:
+    """Minimal-op fused quantize->dequantize for n % 256 == 0, staying in
+    the float domain end to end (no int round-trips on the big array).
+
+    Value-identical to the act_quant_q4k + dequant composition — the
+    same reductions and float ops in the same order, with _fround
+    replacing the integer mantissa extraction (see _fround) — pinned by
+    tests/test_q4k.py::test_fake_quant_act_matches_host_quantizer and
+    ::test_fake_quant_lean_matches_int_path."""
+    B, n = x2d.shape
+    nbpl = n // BLOCK_LEN
+    vals = x2d.astype(jnp.float32).reshape(B, nbpl, GROUPS_PER_BLOCK,
+                                           GROUP_LEN)
+    # one reduce for both extrema: max over [vals, -vals]
+    both = jnp.max(jnp.stack([vals, -vals], axis=3), axis=-1)
+    vmax = jnp.maximum(both[..., 0], _FLT_TRUE_MIN)
+    b = jnp.maximum(both[..., 1], 0.0)          # relu(-vmin)
+    s = jnp.maximum((vmax + b) / 15.0, _FLT_TRUE_MIN)
+    # XLA flushes the _FLT_TRUE_MIN clamp to 0 (FTZ), so an all-zero
+    # group reaches s == 0; guard the divisor on the SMALL array (when
+    # s == 0 every |val + b| is sub-denormal, so _fround gives the same
+    # 0 the int path's NaN/inf mantissa wrap produces)
+    safe_s = jnp.where(s == 0.0, 1.0, s)
+    vf = _fround((vals + b[..., None]) / safe_s[..., None])
+    # 6-bit second level (tiny (B, nbpl, 8) arrays).  s >= FLT_TRUE_MIN,
+    # but FLT_TRUE_MIN/63 underflows to 0, so the zero guards stay.
+    s_scale = jnp.max(s, -1, keepdims=True) / 63.0
+    b_scale = jnp.maximum(jnp.max(b, -1, keepdims=True),
+                          _FLT_TRUE_MIN) / 63.0
+    sq = jnp.where(s_scale == 0.0, 0.0,
+                   _fround(s / jnp.where(s_scale == 0.0, 1.0, s_scale)))
+    bq = jnp.where(b_scale == 0.0, 0.0,
+                   _fround(b / jnp.where(b_scale == 0.0, 1.0, b_scale)))
+    s_eff = sq * s_scale
+    b_eff = bq * b_scale
+    deq = vf * s_eff[..., None] - b_eff[..., None]
+    return deq.reshape(B, n)
+
+
 def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
-    """Quantize-dequantize the last axis with Q4K semantics -> f32."""
+    """Quantize-dequantize the last axis with Q4K semantics -> f32.
+
+    Block-aligned inputs default to the all-float lean path
+    (_fake_quant_aligned_lean); NANO_TPU_Q4K_FQ=int/max/tree forces the
+    integer-form path (act_quant_q4k + dequant) — all modes are
+    bit-identical, the knob exists for speed A/Bs on hardware."""
+    import os as _os
     *lead, n = x.shape
     B = 1
     for d in lead:
         B *= d
+    if (n % BLOCK_LEN == 0
+            and _os.environ.get("NANO_TPU_Q4K_FQ", "lean") == "lean"):
+        return _fake_quant_aligned_lean(x.reshape(B, n)).reshape(*lead, n)
     v, s_eff, b_eff = act_quant_q4k(x.reshape(B, n))
     deq = v.astype(jnp.float32) * s_eff[..., None] - b_eff[..., None]
     npad = deq.shape[1] * GROUP_LEN

@@ -152,6 +152,33 @@ def test_act_quant_fq_modes_bit_identical(monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_fake_quant_lean_matches_int_path(monkeypatch):
+    """The all-float lean fake-quant (default for aligned dims) must be
+    BIT-identical to the integer-form path on random and edge inputs
+    (zeros, all-negative, tiny denormal-adjacent values)."""
+    cases = [rnd((4, 512), seed=5),
+             np.zeros((2, 256), np.float32),
+             -np.abs(rnd((2, 256), seed=6)),
+             rnd((2, 256), seed=7) * 1e-40,
+             np.where(rnd((3, 512), seed=8) > 0, 0.0,
+                      rnd((3, 512), seed=9)).astype(np.float32)]
+    for i, x in enumerate(cases):
+        monkeypatch.setenv("NANO_TPU_Q4K_FQ", "lean")
+        lean = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
+        monkeypatch.setenv("NANO_TPU_Q4K_FQ", "int")
+        ints = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
+        np.testing.assert_array_equal(lean, ints, err_msg=f"case {i}")
+        if i == 3:
+            # denormal inputs: XLA flushes subnormals (both device paths
+            # agree above; the -Ofast-built C engine flushes too), numpy
+            # does not — skip the host comparison for this edge case
+            continue
+        # and both equal the host (C-parity) quantizer round-trip
+        host = q4k.dequantize_lines_np(q4k.quantize_lines_np(x),
+                                       x.shape[0], x.shape[1])
+        np.testing.assert_array_equal(lean, host, err_msg=f"case {i} host")
+
+
 def test_matmul_ref_equals_kernel_fallback():
     """q4k_matmul == explicit fake-quant dot (f32-exact in parity mode,
     bf16-bounded in the fast default)."""
@@ -173,6 +200,67 @@ def test_matmul_ref_equals_kernel_fallback():
     y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt, jnp.float32))
     np.testing.assert_allclose(y, expect, rtol=3e-2,
                                atol=0.03 * np.abs(expect).max())
+
+
+def test_matmul_grouped_int8_matches_ref():
+    """q4k_matmul on a grouped-layout weight (int8-MXU expansion) equals
+    the f32 parity path's values: identical integer decisions, the four
+    affine terms recombined — only f32 multiply/sum order differs, so a
+    tight tolerance (not bit-equality) is the contract."""
+    d, n = 128, 512
+    w = rnd((d, n), seed=31, scale=0.05)
+    x = rnd((2, n), seed=32)
+    wt = q4k.Q4KTensor.from_blocks(q4k.quantize_lines_np(w), d, n)
+    xq = np.asarray(q4k.fake_quant_act(jnp.asarray(x)))
+    expect = xq @ np.asarray(wt.dequantize()).T
+    y = np.asarray(q4k.q4k_matmul(jnp.asarray(x), wt.to_grouped(),
+                                  jnp.float32))
+    np.testing.assert_allclose(y, expect, rtol=2e-4,
+                               atol=2e-4 * np.abs(expect).max())
+
+
+def test_grouped_layout_partial_in_dim_stays_packed_in_loader(monkeypatch):
+    """NANO_TPU_Q4K_LAYOUT=grouped through the loader: block weights a
+    multiple of 32 convert; the model still decodes to the same greedy
+    tokens as the packed default (end-to-end value check)."""
+    import tempfile
+    from nano_tpu.config import ModelConfig
+    from nano_tpu.models import gpt as gptmod
+    from nano_tpu.tokenizer.trie import TrieTokenizer
+    from nano_tpu.io import binfmt
+    from nano_tpu.infer import engine
+    from nano_tpu.ops import sampling
+    import jax
+
+    cfg = ModelConfig(block_size=64, vocab_size=96, n_layer=2, n_embd=64,
+                      n_head=4, n_kv_head=2, n_hidden=128)
+    params = jax.tree.map(np.asarray,
+                          gptmod.init_params(jax.random.PRNGKey(5), cfg))
+    tok = TrieTokenizer()
+    tok.build([chr(ord("a") + i) for i in range(26)] + [" "])
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/m.bin"
+        binfmt.write_model(path, params, cfg, tok.config, quant="q4k")
+
+        def decode(layout):
+            if layout:
+                monkeypatch.setenv("NANO_TPU_Q4K_LAYOUT", layout)
+            else:
+                monkeypatch.delenv("NANO_TPU_Q4K_LAYOUT", raising=False)
+            ctx = engine.LLMContext.from_bin(
+                path, max_seq_len=64,
+                sampler=sampling.SamplerConfig(temperature=0.0,
+                                               repetition_penalty=1.0))
+            out = []
+            engine.generate_sync(
+                ctx, "abc", max_new_tokens=8,
+                on_decoding=lambda s, t, txt: out.append(t))
+            return out
+
+        base = decode(None)
+        grouped = decode("grouped")
+    assert len(base) == 8
+    assert base == grouped, (base, grouped)
 
 
 def test_pallas_kernel_interpret():

@@ -110,8 +110,11 @@ def _q4t_packed(rng, shape_out, inn, stack=None, block_weight=True):
     b = rng.rand(*lead, shape_out, G).astype(np.float32) * 0.02
     t = Q4KTensor(packed=jnp.asarray(packed), scales=jnp.asarray(s),
                   biases=jnp.asarray(b), in_dim=inn)
-    if block_weight and os.environ.get("NANO_TPU_Q4K_LAYOUT") == "unpacked":
+    layout = os.environ.get("NANO_TPU_Q4K_LAYOUT", "")
+    if block_weight and layout == "unpacked":
         t = t.to_unpacked()
+    elif block_weight and layout == "grouped":
+        t = t.to_grouped()
     return t
 
 
