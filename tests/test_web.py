@@ -163,6 +163,40 @@ def test_js_runtime_parity():
     assert b"ALL PASS" in res.stdout
 
 
+def test_js_harness_schema_in_sync():
+    """Every fixture key run_parity.mjs dereferences must exist in the
+    committed expected.json, and every unit fixture must be consumed by
+    the harness — so schema drift on either side fails HERE, in the
+    Python suite, instead of only in an environment that has a JS
+    runtime (none exists in this image)."""
+    mjs = (FIXDIR.parent / "run_parity.mjs").read_text()
+    expected = json.loads((FIXDIR / "expected.json").read_text())
+
+    # forward: expected.a.b / U.x literal dereferences -> keys exist
+    for path in set(re.findall(r"expected\.([a-zA-Z_0-9.]+)", mjs)):
+        node = expected
+        for part in path.rstrip(".").split("."):
+            if part == "json":          # the filename "expected.json"
+                break
+            assert isinstance(node, dict) and part in node, \
+                f"run_parity.mjs uses expected.{path}, missing in fixture"
+            node = node[part]
+    for name in set(re.findall(r"U\.([a-zA-Z_0-9]+)", mjs)):
+        assert name in expected["units"], f"U.{name} missing in fixture"
+
+    # reverse: every unit vector is consumed (templated keys like
+    # quant_q4k_act_${n} count via their base name)
+    for key in expected["units"]:
+        base = re.sub(r"_\d+$", "", key)
+        assert key in mjs or base in mjs, \
+            f"unit fixture {key} is not referenced by run_parity.mjs"
+
+    # the greedy table's variant names must match what the harness loads
+    for variant in expected["greedy"]:
+        assert variant in mjs, \
+            f"greedy variant {variant} not exercised by run_parity.mjs"
+
+
 def test_js_internals_exported_for_harness():
     """run_parity.mjs drives these internals; keep them exported."""
     js = read("nano_infer.js")
