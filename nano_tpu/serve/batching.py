@@ -31,14 +31,23 @@ from nano_tpu.infer import engine as eng
 from nano_tpu.ops import sampling
 
 
-def _sample_rows(key, logits, temperature, top_p, top_k):
+def _sample_rows(key, logits, temperature, top_p, top_k, greedy=False):
     """Per-slot sampling over penalized (B, V) logits -> (key', tok).
 
     Shared by _batched_step and _batched_spec_step so the key-split
     order and op sequence stay identical — the spec engine's
     bit-identical-stochastic-slots guarantee rests on this.
+
+    `greedy` (static) compiles the every-active-slot-greedy burst to a
+    bare argmax: the traced path pays a 152k-vocab top_k sort, a full-
+    vocab logsumexp AND a full-vocab categorical (B*V gumbel draws) per
+    step even when every temperature is 0.  The key still advances by
+    the exact same split so the engine's key trajectory — and therefore
+    any later stochastic slot's draws — is bit-identical either way.
     """
     greedy_tok = jnp.argmax(logits, axis=-1)
+    if greedy:
+        return jax.random.split(key, 3)[0], greedy_tok.astype(jnp.int32)
     window = min(top_k if top_k else eng.NUCLEUS_WINDOW, logits.shape[-1])
     l = logits / jnp.maximum(temperature, 1e-6)[:, None]
     top_logits, top_idx = jax.lax.top_k(l, window)
@@ -71,10 +80,11 @@ def _sample_rows(key, logits, temperature, top_p, top_k):
     return key_out, tok
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "attn_len"))
+@partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "attn_len",
+                                   "greedy"))
 def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
                   temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                  attn_len=None):
+                  attn_len=None, greedy=False):
     """One decode step for all B slots (per-slot positions + samplers)."""
     logits, cache = gpt.forward_decode_batched(
         params, tok, cache, pos, cfg, dtype=dtype,
@@ -83,7 +93,7 @@ def _batched_step(params, lora, lora_scale, tok, pos, cache, seen, key,
     logits = jnp.where(seen, logits / rep_penalty[:, None], logits)
 
     key_out, next_tok = _sample_rows(key, logits, temperature, top_p,
-                                     top_k)
+                                     top_k, greedy)
     seen = seen.at[jnp.arange(tok.shape[0]), next_tok].set(True)
     return next_tok, pos + 1, cache, seen, key_out
 
@@ -99,10 +109,10 @@ def _select_adapters(lora, lora_scale, lora_idx):
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
-                                   "attn_len"))
+                                   "attn_len", "greedy"))
 def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
                   temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                  n_steps, attn_len=None, lora_idx=None):
+                  n_steps, attn_len=None, lora_idx=None, greedy=False):
     """n_steps batched decode steps in ONE dispatched program.
 
     Multi-step scheduling: the per-dispatch fixed cost (30 ms through
@@ -126,7 +136,8 @@ def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
         tok, pos, cache, seen, key = carry
         tok, pos, cache, seen, key = _batched_step(
             params, lora, lora_scale, tok, pos, cache, seen, key,
-            temperature, top_p, rep_penalty, cfg, dtype, top_k, attn_len)
+            temperature, top_p, rep_penalty, cfg, dtype, top_k, attn_len,
+            greedy)
         return (tok, pos, cache, seen, key), tok
 
     (tok, pos, cache, seen, key), toks = jax.lax.scan(
@@ -135,10 +146,11 @@ def _batched_scan(params, lora, lora_scale, tok, pos, cache, seen, key,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "k",
-                                   "attn_len"))
+                                   "attn_len", "greedy"))
 def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
                        key, hist, temperature, top_p, rep_penalty,
-                       spec_ok, cfg, dtype, top_k, k, attn_len=None):
+                       spec_ok, cfg, dtype, top_k, k, attn_len=None,
+                       greedy=False):
     """One speculative decode step for all B slots.
 
     Eligible slots (spec_ok: greedy, any repetition penalty — the
@@ -178,10 +190,16 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
 
     # plain per-slot sampling on row 0 (shared helper => same ops/order
     # and key-split sequence as _batched_step)
-    logits = jnp.where(seen, logits_all[:, 0] / rep_penalty[:, None],
-                       logits_all[:, 0])
-    key_out, row0_tok = _sample_rows(key, logits, temperature, top_p,
-                                     top_k)
+    if greedy:
+        # every active slot is greedy: row 0's penalized argmax is
+        # already g[:, 0] (prefix_masks row 0 == seen).  Key advances by
+        # the same split as _sample_rows — trajectory unchanged.
+        key_out, row0_tok = jax.random.split(key, 3)[0], g[:, 0]
+    else:
+        logits = jnp.where(seen, logits_all[:, 0] / rep_penalty[:, None],
+                           logits_all[:, 0])
+        key_out, row0_tok = _sample_rows(key, logits, temperature, top_p,
+                                         top_k)
 
     n_out = jnp.where(spec_ok, n_acc + 1, 1).astype(jnp.int32)
     emit = jnp.where(spec_ok[:, None], g,
@@ -208,11 +226,11 @@ def _batched_spec_step(params, lora, lora_scale, tok, pos, cache, seen,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "k", "n_steps",
-                                   "attn_len"))
+                                   "attn_len", "greedy"))
 def _batched_spec_scan(params, lora, lora_scale, tok, pos, cache, seen,
                        key, hist, temperature, top_p, rep_penalty,
                        spec_ok, cfg, dtype, top_k, k, n_steps,
-                       attn_len=None, lora_idx=None):
+                       attn_len=None, lora_idx=None, greedy=False):
     """n_steps speculative batched steps in ONE dispatched program;
     emits (n_steps, B, k+1) token slabs + (n_steps, B) valid counts.
     `lora_idx`: per-slot adapters, as in _batched_scan."""
@@ -224,7 +242,7 @@ def _batched_spec_scan(params, lora, lora_scale, tok, pos, cache, seen,
         tok, pos, cache, seen, key, hist, emit, n_out = _batched_spec_step(
             params, lora, lora_scale, tok, pos, cache, seen, key, hist,
             temperature, top_p, rep_penalty, spec_ok, cfg, dtype, top_k,
-            k, attn_len)
+            k, attn_len, greedy)
         return (tok, pos, cache, seen, key, hist), (emit, n_out)
 
     (tok, pos, cache, seen, key, hist), (emits, n_outs) = jax.lax.scan(
@@ -420,20 +438,25 @@ class BatchedEngine:
         f = jnp.zeros((self.n_slots,), jnp.float32)
         wl, ws, wi = self._lora_args()
         for attn_len in buckets:
-            _batched_scan(ctx.params, wl, ws, zs, zs,
-                          cache, seen, jax.random.PRNGKey(0), f, f + 0.8,
-                          f + 1.0, cfg, ctx.dtype, ctx.sampler.top_k,
-                          n_steps, attn_len, lora_idx=wi)
-            n += 1
-            if self.hist is not None:
-                _batched_spec_scan(
-                    ctx.params, wl, ws, zs, zs, cache,
-                    seen, jax.random.PRNGKey(0),
-                    jnp.zeros((self.n_slots, T), jnp.int32), f, f + 0.8,
-                    f + 1.0, jnp.zeros((self.n_slots,), jnp.bool_), cfg,
-                    ctx.dtype, ctx.sampler.top_k, ctx.spec_k, n_steps,
-                    attn_len, lora_idx=wi)
+            # both sampler variants: all-greedy bursts compile to a bare
+            # argmax (static `greedy`), mixed traffic to the full path
+            for greedy in (True, False):
+                _batched_scan(ctx.params, wl, ws, zs, zs,
+                              cache, seen, jax.random.PRNGKey(0), f,
+                              f + 0.8, f + 1.0, cfg, ctx.dtype,
+                              ctx.sampler.top_k, n_steps, attn_len,
+                              lora_idx=wi, greedy=greedy)
                 n += 1
+                if self.hist is not None:
+                    _batched_spec_scan(
+                        ctx.params, wl, ws, zs, zs, cache,
+                        seen, jax.random.PRNGKey(0),
+                        jnp.zeros((self.n_slots, T), jnp.int32), f,
+                        f + 0.8, f + 1.0,
+                        jnp.zeros((self.n_slots,), jnp.bool_), cfg,
+                        ctx.dtype, ctx.sampler.top_k, ctx.spec_k, n_steps,
+                        attn_len, lora_idx=wi, greedy=greedy)
+                    n += 1
         return n
 
     # ------------------------------------------------------------
@@ -675,6 +698,13 @@ class BatchedEngine:
 
             eligible = [i for i, s in enumerate(self.slots)
                         if s.active and self.temperature[i] <= 0.0]
+            # static all-greedy specialization: compiles the burst's
+            # sampler to a bare argmax (no 152k top_k sort / full-vocab
+            # categorical per step).  Inactive slots compute garbage
+            # either way; the key trajectory is identical, so a
+            # stochastic slot joining later reproduces the same draws.
+            greedy = all(self.temperature[i] <= 0.0
+                         for i, s in enumerate(self.slots) if s.active)
             unparked = [i for i in eligible if self._spec_park[i] <= 0]
             any_spec = self.hist is not None and bool(unparked)
             if self.hist is not None:
@@ -712,7 +742,7 @@ class BatchedEngine:
                         jnp.asarray(self.top_p),
                         jnp.asarray(self.rep_penalty), spec_ok, ctx.cfg,
                         ctx.dtype, ctx.sampler.top_k, k, n_steps, attn_len,
-                        lora_idx=bi)
+                        lora_idx=bi, greedy=greedy)
                     emits = np.asarray(emits)
                     n_outs = np.asarray(n_outs)
                     self._spec_adapt_burst(unparked, n_outs, k)
@@ -732,7 +762,8 @@ class BatchedEngine:
                     self.cache, self.seen, self.key,
                     jnp.asarray(self.temperature), jnp.asarray(self.top_p),
                     jnp.asarray(self.rep_penalty), ctx.cfg, ctx.dtype,
-                    ctx.sampler.top_k, n_steps, attn_len, lora_idx=bi)
+                    ctx.sampler.top_k, n_steps, attn_len, lora_idx=bi,
+                    greedy=greedy)
             if self.hist is not None:
                 # keep hist current through plain bursts too (all
                 # eligible slots parked, or no spec room): a re-probe

@@ -219,9 +219,11 @@ def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
         attn_len = None
 
     def run(tok, pos, cache, seen, key):
+        # greedy=True mirrors step_burst's static choice for this all-
+        # temp-0 burst (compiles the sampler to a bare argmax)
         return batching._batched_scan(
             params, None, 0.0, tok, pos, cache, seen, key, temp, topp, rp,
-            cfg, jnp.bfloat16, 0, n_steps, attn_len)
+            cfg, jnp.bfloat16, 0, n_steps, attn_len, greedy=True)
 
     toks, tok, pos, cache, seen, key = run(tok, pos, cache, seen, key)
     np.asarray(toks)
@@ -306,7 +308,7 @@ def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
         return _batched_spec_scan(
             params, None, 0.0, tok, pos, cache, seen,
             jax.random.PRNGKey(1), hist, temp, topp, rp, spec_ok,
-            cfg, jnp.bfloat16, 0, k, n_steps, None)
+            cfg, jnp.bfloat16, 0, k, n_steps, None, greedy=True)
 
     out = run(jnp.asarray(hist0))
     np.asarray(out[0])
