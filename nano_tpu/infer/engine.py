@@ -59,7 +59,7 @@ def _bucket(n: int, minimum: int = 16) -> int:
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "observed", "attn_len"))
 def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype,
-             observed=False, attn_len=None):
+             observed=False, attn_len=None, last_idx=None):
     """Run the whole (padded) prompt through the model, fill the cache.
 
     `observed` is a cache-busting static flag: attaching an observer
@@ -69,12 +69,17 @@ def _prefill(params, lora, lora_scale, ids, cache, cfg, dtype,
     `attn_len` (static): prompt queries never attend past the padded
     prompt itself, so attending only ids.shape[1] rows of a longer cache
     is value-identical (causal; global attention masks at start+S too).
+    `last_idx` (traced): compute the LM head only at that position and
+    return logits (B, 1, V) — all generation callers sample from the
+    last prompt position, and the padded-width head dominated quantized
+    prefill latency (see gpt.forward_with_cache).
     """
     del observed
     observe.start_capture()
     logits, cache = gpt.forward_with_cache(
         params, ids, cache, jnp.int32(0), cfg, dtype=dtype,
-        lora=lora, lora_scale=lora_scale, attn_len=attn_len)
+        lora=lora, lora_scale=lora_scale, attn_len=attn_len,
+        last_idx=last_idx)
     return logits, cache, observe.end_capture()
 
 
@@ -641,7 +646,8 @@ class Session:
             jnp.asarray(ids), self._cache, cfg, ctx.dtype,
             observed=observe.trace_token(),
             attn_len=(pad_len if _bucketing_enabled()
-                      and pad_len < ctx.max_seq_len else None))
+                      and pad_len < ctx.max_seq_len else None),
+            last_idx=jnp.int32(n - 1))
         if observe.fallback_active():
             observe.deliver(np.asarray(obs_rows))
         # seen mask over prompt tokens (repetition penalty scope:
@@ -649,7 +655,8 @@ class Session:
         self._seen = sampling.seen_mask_from_ids(
             jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)
         # sample the first generated token from the last prompt position
-        last = jnp.asarray(logits[:, n - 1].astype(jnp.float32))
+        # (the head ran only there — last_idx)
+        last = jnp.asarray(logits[:, 0].astype(jnp.float32))
         last = jnp.where(self._seen, last / ctx.sampler.repetition_penalty, last)
         self._key, tok = _sample_windowed(
             self._key, last, jnp.float32(ctx.sampler.temperature),
@@ -851,10 +858,11 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
                                 jnp.asarray(ids), cache, cfg, ctx.dtype,
                                 attn_len=(pad_len if bucketed
                                           and pad_len < cache_len
-                                          else None))
+                                          else None),
+                                last_idx=jnp.int32(n - 1))
     seen = sampling.seen_mask_from_ids(jnp.asarray(ids), jnp.asarray([n]),
                                        cfg.vocab_size)
-    last = logits[:, n - 1].astype(jnp.float32)
+    last = logits[:, 0].astype(jnp.float32)
     last = jnp.where(seen, last / s.repetition_penalty, last)
     # first token through the SAME sampler as Session._do_prefill (was:
     # unconditional argmax, which silently made token 1 greedy even for

@@ -705,6 +705,7 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
                        dtype=jnp.bfloat16,
                        lora: Optional[Params] = None, lora_scale: float = 0.0,
                        attn_len: Optional[int] = None,
+                       last_idx: Optional[jnp.ndarray] = None,
                        ) -> Tuple[jnp.ndarray, KVCache]:
     """Forward S new tokens at absolute position start_pos using the cache.
 
@@ -714,6 +715,15 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
     `attn_len` (static) attends only the first attn_len cache rows —
     cache-length bucketing for the single-stream decode scan; the caller
     guarantees start_pos + S <= attn_len.
+
+    `last_idx` (traced int32): compute the LM head for ONLY that
+    sequence position and return logits (B, 1, V).  Prefill callers all
+    sample from the last prompt position; the full-width head is pure
+    waste there — at the 0.6B shape a 64-token padded prompt pays a
+    64x152k logits block plus (on the int8 path) ~150 MB of int32 group
+    partials.  Traced (not static) so programs stay keyed on the pad
+    bucket, not the prompt length.  The selected row's values are
+    identical math (norm and head are per-row).
     """
     B, S = idx.shape
     T = cache.max_seq
@@ -759,6 +769,8 @@ def forward_with_cache(params: Params, idx: jnp.ndarray, cache: KVCache,
 
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     observe.tap(Phase.FINAL_NORM, -1, h)
+    if last_idx is not None:
+        h = jax.lax.dynamic_slice_in_dim(h, last_idx, 1, axis=1)
     logits = compute_logits(h, params, dtype)
     observe.tap(Phase.LOGITS, -1, logits)
     return logits, KVCache(k=new_k, v=new_v, k_scale=new_ks,

@@ -250,6 +250,21 @@ def _batched_spec_scan(params, lora, lora_scale, tok, pos, cache, seen,
     return emits, n_outs, tok, pos, cache, seen, key, hist
 
 
+@partial(jax.jit, static_argnames=("new_len",))
+def _grow_cache(cache: gpt.KVCache, new_len: int) -> gpt.KVCache:
+    """Zero-extend the cache's sequence axis to new_len (capacity
+    bucketing).  One dispatch; existing rows are preserved in place."""
+    def pad(x):
+        if x is None:
+            return None
+        w = [(0, 0)] * x.ndim
+        w[2] = (0, new_len - x.shape[2])
+        return jnp.pad(x, w)
+    return gpt.KVCache(k=pad(cache.k), v=pad(cache.v),
+                       k_scale=pad(cache.k_scale),
+                       v_scale=pad(cache.v_scale))
+
+
 @dataclass
 class Slot:
     """Slot lifecycle: FREE -> attached (claimed by add(), survives the
@@ -310,7 +325,19 @@ class BatchedEngine:
                 raise ValueError("use either a base-attached LoRA or "
                                  "named adapters, not both")
             self._build_adapter_stack(adapters)
-        self.cache = ctx.new_cache(n_slots)
+        # CACHE CAPACITY BUCKETING: allocate the cache at a small pow2
+        # and grow it as streams advance.  The decode scan cannot alias
+        # per-slot scatter updates through the layer scan, so XLA copies
+        # the WHOLE cache buffer every layer every step — at the 0.6B
+        # shape a full 1024-row 32-slot int8 cache costs ~6-7 ms/step of
+        # pure dead-tail copying (measured: right-sizing 1024 -> 512 took
+        # a 32-slot step from 13.7 to 7.9 ms, -> 128 to 3.7 ms).  Growth
+        # is one cheap pad dispatch per pow2 boundary; capacity resets
+        # when the engine goes fully idle.
+        self._bucketed = eng._bucketing_enabled()
+        self.cache = ctx.new_cache(
+            n_slots, seq_len=(self._min_cache_len() if self._bucketed
+                              else None))
         self.pos = jnp.zeros((n_slots,), jnp.int32)
         self.tok = jnp.zeros((n_slots,), jnp.int32)
         self.seen = jnp.zeros((n_slots, cfg.vocab_size), jnp.bool_)
@@ -336,6 +363,24 @@ class BatchedEngine:
         self._spec_k_cur = 1
         self._spec_park = np.zeros(n_slots, np.int64)   # bursts left
         self._spec_park_len = np.ones(n_slots, np.int64)  # backoff, cap 8
+
+    # ------------------------------------------------------------
+    def _min_cache_len(self) -> int:
+        return min(128, self.ctx.max_seq_len)
+
+    def _cache_len(self) -> int:
+        return self.cache.k.shape[2]
+
+    def _ensure_capacity(self, need: int) -> None:
+        """Grow the cache's sequence capacity to cover `need` rows
+        (pow2-bucketed, capped at max_seq_len).  Caller holds the lock."""
+        if not self._bucketed:
+            return
+        want = min(eng._bucket(max(need, 1),
+                               minimum=self._min_cache_len()),
+                   self.ctx.max_seq_len)
+        if want > self._cache_len():
+            self.cache = _grow_cache(self.cache, want)
 
     # ------------------------------------------------------------
     def _build_adapter_stack(self, adapters: Dict[str, str]) -> None:
@@ -414,7 +459,7 @@ class BatchedEngine:
             tmp = ctx.new_cache(1, seq_len=pad)
             eng._prefill(ctx.params, ctx.lora, ctx.lora_scale,
                          jnp.zeros((1, pad), jnp.int32), tmp, cfg,
-                         ctx.dtype)
+                         ctx.dtype, last_idx=jnp.int32(0))
             n += 1
             if self.lora_stack is not None:
                 # adapter streams prefill with an UNSTACKED adapter
@@ -426,25 +471,28 @@ class BatchedEngine:
                              jnp.zeros((1, pad), jnp.int32), tmp, cfg,
                              ctx.dtype)
                 n += 1
-        buckets = []
-        b = 128
-        while b < T:                         # decode cache-length buckets
-            buckets.append(b)
-            b *= 2
-        buckets.append(None)                 # full-T program
-        cache = ctx.new_cache(self.n_slots)
+        caps = []                            # cache CAPACITY buckets:
+        b = self._min_cache_len()            # the cache is allocated
+        while b < T and self._bucketed:      # right-sized and grown as
+            caps.append(b)                   # streams advance, so the
+            b *= 2                           # program keys on capacity
+        caps.append(T)
         zs = jnp.zeros((self.n_slots,), jnp.int32)
         seen = jnp.zeros((self.n_slots, cfg.vocab_size), jnp.bool_)
         f = jnp.zeros((self.n_slots,), jnp.float32)
         wl, ws, wi = self._lora_args()
-        for attn_len in buckets:
+        for cap in caps:
+            cache = ctx.new_cache(self.n_slots, seq_len=cap)
             # both sampler variants: all-greedy bursts compile to a bare
-            # argmax (static `greedy`), mixed traffic to the full path
+            # argmax (static `greedy`), mixed traffic to the full path.
+            # attn_len=None covers the steady state (capacity == bucket);
+            # transient attn_len<cap programs (big-capacity leftovers
+            # after releases) compile lazily if hit.
             for greedy in (True, False):
                 _batched_scan(ctx.params, wl, ws, zs, zs,
                               cache, seen, jax.random.PRNGKey(0), f,
                               f + 0.8, f + 1.0, cfg, ctx.dtype,
-                              ctx.sampler.top_k, n_steps, attn_len,
+                              ctx.sampler.top_k, n_steps, None,
                               lora_idx=wi, greedy=greedy)
                 n += 1
                 if self.hist is not None:
@@ -455,7 +503,7 @@ class BatchedEngine:
                         f + 0.8, f + 1.0,
                         jnp.zeros((self.n_slots,), jnp.bool_), cfg,
                         ctx.dtype, ctx.sampler.top_k, ctx.spec_k, n_steps,
-                        attn_len, lora_idx=wi, greedy=greedy)
+                        None, lora_idx=wi, greedy=greedy)
                     n += 1
         return n
 
@@ -518,10 +566,11 @@ class BatchedEngine:
             plora, pscale = self._adapter_prefill[aidx]
             logits, tmp, _ = eng._prefill(
                 ctx.params, plora, pscale,
-                jnp.asarray(ids), tmp, cfg, ctx.dtype)
+                jnp.asarray(ids), tmp, cfg, ctx.dtype,
+                last_idx=jnp.int32(n - 1))
             seen_row = sampling.seen_mask_from_ids(
                 jnp.asarray(ids), jnp.asarray([n]), cfg.vocab_size)[0]
-            last = logits[0, n - 1].astype(jnp.float32)
+            last = logits[0, 0].astype(jnp.float32)
             last = jnp.where(seen_row, last / repetition_penalty, last)
         except BaseException:
             with self.lock:
@@ -546,6 +595,9 @@ class BatchedEngine:
         ctx = self.ctx
         with self.lock:
             self.adapter_idx[slot] = adapter_idx
+            # the spliced prompt rows (and the first decode write at n)
+            # must fit the current capacity
+            self._ensure_capacity(max(pad, n + 1))
             self.cache = gpt.KVCache(
                 k=self.cache.k.at[:, slot, :pad].set(tmp.k[:, 0]),
                 v=self.cache.v.at[:, slot, :pad].set(tmp.v[:, 0]),
@@ -630,6 +682,15 @@ class BatchedEngine:
             self.slots[slot].attached = False
             self.slots[slot].sink = None
             self.adapter_idx[slot] = 0
+            # fully idle: reset the cache capacity (positions only grow
+            # while streams live, so this is the one safe shrink point —
+            # a long-lived engine otherwise converges to max_seq_len and
+            # keeps paying the dead-tail copy forever)
+            if (self._bucketed
+                    and not any(s.active or s.attached for s in self.slots)
+                    and self._cache_len() > self._min_cache_len()):
+                self.cache = self.ctx.new_cache(
+                    self.n_slots, seq_len=self._min_cache_len())
 
     # ------------------------------------------------------------
     def _consume(self, toks_2d: np.ndarray) -> BurstResult:
@@ -726,8 +787,10 @@ class BatchedEngine:
                 k = max(1, min(self._spec_k_cur, ctx.spec_k))
                 need = max_pos + n_steps * (k + 1) + 2
                 if need <= T:
-                    attn_len = min(T, eng._bucket(need, minimum=128))
-                    if attn_len >= T:
+                    self._ensure_capacity(need)
+                    C = self._cache_len()
+                    attn_len = min(C, eng._bucket(need, minimum=128))
+                    if attn_len >= C:
                         attn_len = None
                     spec_ok = jnp.asarray(
                         (self.temperature <= 0.0)
@@ -752,8 +815,10 @@ class BatchedEngine:
                          for i, s in enumerate(self.slots) if s.active})
 
             need = 1 + n_steps + max_pos
-            attn_len = min(T, eng._bucket(need, minimum=128))
-            if attn_len >= T:
+            self._ensure_capacity(need)
+            C = self._cache_len()
+            attn_len = min(C, eng._bucket(need, minimum=128))
+            if attn_len >= C:
                 attn_len = None          # full cache — no slicing program
             bl, bs, bi = self._lora_args()
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \

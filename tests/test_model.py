@@ -50,6 +50,7 @@ def test_loss_mask_changes_loss():
     assert not np.isclose(float(l_all), float(l_masked))
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_chunked_ce_matches_full_loss_and_grads():
     """ce_chunk must reproduce the one-shot CE (values to f32 summation
     order, grads close) — masked and unmasked, incl. a chunk size that
@@ -74,6 +75,7 @@ def test_chunked_ce_matches_full_loss_and_grads():
                                            rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_named_remat_policies_match_full():
     """"ffn"/"heads"/"dots" remat policies change memory scheduling only —
     loss and grads must match the unrematerialized forward."""

@@ -138,6 +138,7 @@ def test_pp_remat_matches():
                                    rtol=3e-4, atol=2e-5)
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_pp_trainer_two_steps_match_dp():
     """Trainer on data=2 x pipe=4 vs pure-DP: same losses step for step."""
     from nano_tpu.train.trainer import Trainer

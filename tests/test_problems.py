@@ -34,6 +34,7 @@ def test_gen_sample_shapes():
     assert len(ids) == 33 and sum(mask) == 2
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_sort_task_end_to_end(tmp_path):
     """Train the sort model to >=90% exact match (reference trains to ~100%
     at larger scale; we use seq_length=4 for CPU runtime)."""
@@ -44,6 +45,7 @@ def test_sort_task_end_to_end(tmp_path):
     assert acc >= 0.9, acc
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_palindrome_task_end_to_end(tmp_path):
     acc = problems.run_problem(
         "palindrome", str(tmp_path), seq_length=4, max_steps=800,

@@ -83,6 +83,42 @@ def test_continuous_batching_join_midflight(tmp_path):
     assert out2 == solo_greedy(ctx, "qrs", 10)
 
 
+def test_cache_capacity_growth_and_idle_reset(tmp_path):
+    """Cache CAPACITY bucketing: the engine allocates a small cache and
+    grows it as streams advance (the decode scan copies the whole buffer
+    per layer, so a max-size allocation pays a dead-tail copy every
+    step).  Tokens must match solo greedy across every growth boundary,
+    and after all slots release, the capacity resets and fresh streams
+    still match."""
+    from nano_tpu.serve.batching import BatchedEngine
+    ctx = make_ctx(tmp_path, max_seq_len=512)
+    be = BatchedEngine(ctx, n_slots=2)
+    assert be._cache_len() == 128                       # starts small
+
+    # stream crossing 128 -> 256 -> 512: prompt 100 + 300 new tokens
+    prompt = "ab" * 50
+    want = solo_greedy(ctx, prompt, 300)
+    slot, first = be.add(ctx.encode(prompt), max_new_tokens=300,
+                         temperature=0.0, repetition_penalty=1.0)
+    toks = [first]
+    while be.slots[slot].active:
+        toks.extend(be.step_burst(16).get(slot, []))
+    assert toks == want
+    assert be._cache_len() == 512                       # grew twice
+
+    be.release(slot)
+    assert be._cache_len() == 128                       # idle reset
+
+    # fresh stream after the reset still matches
+    slot2, f2 = be.add(ctx.encode("qrs"), max_new_tokens=12,
+                       temperature=0.0, repetition_penalty=1.0)
+    toks2 = [f2]
+    while be.slots[slot2].active:
+        toks2.extend(be.step_burst(4).get(slot2, []))
+    be.release(slot2)
+    assert toks2 == solo_greedy(ctx, "qrs", 12)
+
+
 def test_cache_length_bucketing_matches_full_attention(tmp_path):
     """With max_seq_len > 128 and short streams, step_burst slices the
     attended cache to a 128-row bucket — tokens must be IDENTICAL to the
@@ -806,6 +842,7 @@ def test_wss_no_join_stall(tmp_path):
     assert max(gaps) <= max(2.0, 40 * med), (max(gaps), med)
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_wss_data_parallel_replicas(tmp_path):
     """replicas=N: the model is copied to N devices, each with its own
     continuous-batching engine; concurrent greedy streams all match the
@@ -875,6 +912,7 @@ def test_warmup_compiles_all_buckets(tmp_path):
     assert e._prefill._cache_size() == prefills
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_warmup_covers_adapter_prefill(tmp_path):
     """--lora name=path --warmup: the first adapter-routed stream pays
     no XLA compile — warmup also traces the adapter-structured prefill

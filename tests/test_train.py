@@ -263,6 +263,7 @@ def test_pretrain_parts_two_level_shuffle(tmp_path):
     assert x.shape == (8, 16) and y.shape == (8, 16)
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_denoise_training_end_to_end(tmp_path):
     """Denoise objective (reference: train.py:101-108, model.py:581-638):
     train a tiny model to reconstruct masked tokens, then denoise-generate."""
@@ -310,6 +311,7 @@ def test_denoise_training_end_to_end(tmp_path):
     assert len(out) > 0
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_trained_lora_export_and_hotswap(corpus_shards, tmp_path):
     """The full reference LoRA workflow: pretrain -> LoRA fine-tune ->
     export both .bins -> hot-swap in the JAX and C++ engines with
@@ -370,6 +372,7 @@ def test_trained_lora_export_and_hotswap(corpus_shards, tmp_path):
         assert cpp_out == trimmed[:len(cpp_out)]
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_sft_end_to_end_learns_answers(tmp_path):
     """Full SFT workflow (reference: config/sft.json lifecycle): JSONL ->
     masked shards -> fine-tune from a pretrained checkpoint -> the model

@@ -173,13 +173,18 @@ def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
 
 
 def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
+    # mirrors Session._do_prefill: the LM head runs only at the last
+    # prompt position (last_idx) — the padded-width head dominated
+    # quantized prefill latency (int32 group partials at 64x152k)
     cache0 = gpt.KVCache.create(cfg, 1, cfg.block_size, jnp.bfloat16)
     ids = np.zeros((1, prompt_len), np.int32)
     ids[0] = np.arange(prompt_len) % 1000 + 10
+    last = jnp.int32(prompt_len - 1)
     times = []
     logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
-                                   cache0, cfg, jnp.bfloat16)
-    first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))  # warm
+                                   cache0, cfg, jnp.bfloat16,
+                                   last_idx=last)
+    first = np.asarray(jnp.argmax(logits[0, 0]))               # warm
     for i in range(reps):
         # start at 11: the warm call used ids[0,0]=10, and a value-
         # identical dispatch would be memoized by the tunnel (a ~0 ms
@@ -187,24 +192,31 @@ def ttft_p50_ms(params, cfg, prompt_len=64, reps=9):
         ids[0, 0] = 11 + i                # new value -> no memoized hit
         t0 = time.time()
         logits, _, _ = engine._prefill(params, None, 0.0, jnp.asarray(ids),
-                                       cache0, cfg, jnp.bfloat16)
-        first = np.asarray(jnp.argmax(logits[0, prompt_len - 1]))
+                                       cache0, cfg, jnp.bfloat16,
+                                       last_idx=last)
+        first = np.asarray(jnp.argmax(logits[0, 0]))
         times.append((time.time() - t0) * 1e3)
     return float(np.percentile(times, 50))
 
 
 def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
-                      kv_dtype=jnp.int8, start_pos=384):
+                      kv_dtype=jnp.int8, start_pos=380):
     """Aggregate decode throughput at the SERVING defaults: int8 KV
-    cache + per-burst cache-length bucketing (serve/batching.py).
+    cache + CAPACITY bucketing (serve/batching.py: the engine allocates
+    the cache at the streams' pow2 bucket and grows it — the decode scan
+    copies the whole buffer per layer, so dead tail rows cost ~6 ms/step
+    at 32 slots x 1024 rows).
 
     start_pos models streams that already hold a prompt + some decode
-    history (384 + 128 steps -> a 512 bucket out of the 1024 cache);
-    attn_len mirrors step_burst's bucket choice.
+    history (380 + 128 steps + 1 -> the 512 capacity bucket, exactly
+    what step_burst would be running with).
     """
     if os.environ.get("NANO_BENCH_TINY"):
         start_pos = 16
-    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, kv_dtype)
+    from nano_tpu.infer.engine import _bucket
+    cache_len = min(cfg.block_size, _bucket(start_pos + n_steps + 1,
+                                            minimum=128))
+    cache = gpt.KVCache.create(cfg, slots, cache_len, kv_dtype)
     pos = jnp.full((slots,), start_pos, jnp.int32)
     tok = jnp.arange(slots, dtype=jnp.int32) % 997
     seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
@@ -212,11 +224,7 @@ def batched_aggregate(params, cfg, slots, n_steps=128, reps=2,
     temp = jnp.zeros((slots,), jnp.float32)
     topp = jnp.full((slots,), 0.8, jnp.float32)
     rp = jnp.ones((slots,), jnp.float32)
-    from nano_tpu.infer.engine import _bucket
-    attn_len = min(cfg.block_size, _bucket(start_pos + n_steps + 1,
-                                           minimum=128))
-    if attn_len >= cfg.block_size:
-        attn_len = None
+    attn_len = None          # capacity == bucket: attend the whole cache
 
     def run(tok, pos, cache, seen, key):
         # greedy=True mirrors step_burst's static choice for this all-
@@ -291,10 +299,14 @@ def batched_spec_aggregate(params, cfg, slots, n_steps=64, k=7, reps=2,
     slot's stream is repetitive, so acceptance approaches 1 and each
     scan step emits ~k+1 tokens per slot at ~1 step's cost."""
     from nano_tpu.serve.batching import _batched_spec_scan
+    from nano_tpu.infer.engine import _bucket
     if os.environ.get("NANO_BENCH_TINY"):
         start_pos = 16
     T = cfg.block_size
-    cache = gpt.KVCache.create(cfg, slots, T, kv_dtype)
+    # capacity bucketing like step_burst's spec branch
+    cache_len = min(T, _bucket(start_pos + n_steps * (k + 1) + 2,
+                               minimum=128))
+    cache = gpt.KVCache.create(cfg, slots, cache_len, kv_dtype)
     pos = jnp.full((slots,), start_pos, jnp.int32)
     tok = jnp.arange(slots, dtype=jnp.int32) % 997
     seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)

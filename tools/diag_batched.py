@@ -33,7 +33,10 @@ from nano_tpu.serve import batching
 
 def run_variant(params, cfg, slots, attn_len, kv_dtype, top_p_val,
                 n_steps=64, start_pos=384, reps=2, greedy=False):
-    cache = gpt.KVCache.create(cfg, slots, cfg.block_size, kv_dtype)
+    if os.environ.get("DIAG_START_POS"):
+        start_pos = int(os.environ["DIAG_START_POS"])
+    cache_len = int(os.environ.get("DIAG_CACHE_LEN", cfg.block_size))
+    cache = gpt.KVCache.create(cfg, slots, cache_len, kv_dtype)
     pos = jnp.full((slots,), start_pos, jnp.int32)
     tok = jnp.arange(slots, dtype=jnp.int32) % 997
     seen = jnp.zeros((slots, cfg.vocab_size), jnp.bool_)
@@ -79,6 +82,15 @@ def main():
         ("b16_a512_int8",      16, 512, jnp.int8, 0.8, False),
         ("b64_a512_int8",      64, 512, jnp.int8, 0.8, False),
         ("b64_a512_int8_GREEDY", 64, 512, jnp.int8, 0.8, True),
+        ("b32_a256_GREEDY",    32, 256, jnp.int8, 0.8, True),
+        ("b32_aNone_GREEDY",   32, None, jnp.int8, 0.8, True),
+        ("b32_a512_bf16_GREEDY", 32, 512, jnp.bfloat16, 0.8, True),
+        ("b8_a512_GREEDY",     8, 512, jnp.int8, 0.8, True),
+        ("b16_a512_GREEDY",    16, 512, jnp.int8, 0.8, True),
+        # with DIAG_START_POS=16: near-zero attended prefix — isolates
+        # the attention+cache share of the step
+        ("b32_a128_GREEDY",    32, 128, jnp.int8, 0.8, True),
+        ("b8_a128_GREEDY",     8, 128, jnp.int8, 0.8, True),
     ]
     print(f"{'variant':24s} {'ms/step':>8s} {'agg tok/s':>10s}", flush=True)
     for name, slots, attn, kvd, tp, gr in variants:
