@@ -92,10 +92,12 @@ NUCLEUS_WINDOW = 128
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "greedy",
-                                   "exact", "observed", "attn_len"))
+                                   "exact", "observed", "attn_len",
+                                   "penalized"))
 def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k,
-                 greedy=False, exact=False, observed=False, attn_len=None):
+                 greedy=False, exact=False, observed=False, attn_len=None,
+                 penalized=True):
     """One decode step: forward 1 token, sample the next, update state.
 
     `greedy` is a static flag so the temperature==0 path compiles to a
@@ -113,7 +115,11 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
         lora=lora, lora_scale=lora_scale, attn_len=attn_len)
     logits = logits[:, 0].astype(jnp.float32)
 
-    logits = jnp.where(seen_mask, logits / rep_penalty, logits)
+    # `penalized` (static): with repetition_penalty == 1.0 the penalty is
+    # numerically a no-op, but the traced where + V-sized seen scatter
+    # still cost two full-vocab ops per step — skip them from the graph
+    if penalized:
+        logits = jnp.where(seen_mask, logits / rep_penalty, logits)
 
     # single sampling implementation for every token — the first token
     # after prefill (Session) and all decode-scan tokens share this exact
@@ -121,7 +127,9 @@ def _decode_step(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
     key_out, next_tok = _sample_windowed(key, logits, temperature, top_p,
                                          top_k, greedy, exact)
     observe.tap(observe.Phase.SAMPLE, -1, next_tok)
-    seen_mask = seen_mask.at[jnp.arange(tok.shape[0]), next_tok].set(True)
+    if penalized:
+        seen_mask = seen_mask.at[jnp.arange(tok.shape[0]),
+                                 next_tok].set(True)
     return next_tok, cache, seen_mask, key_out, logits, observe.end_capture()
 
 
@@ -169,10 +177,11 @@ def _sample_windowed(key, logits, temperature, top_p, top_k, greedy,
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype", "top_k", "n_steps",
-                                   "greedy", "exact", "attn_len"))
+                                   "greedy", "exact", "attn_len",
+                                   "penalized"))
 def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
                  temperature, top_p, rep_penalty, cfg, dtype, top_k, n_steps,
-                 greedy=False, exact=False, attn_len=None):
+                 greedy=False, exact=False, attn_len=None, penalized=True):
     """On-device decode of n_steps tokens via lax.scan (no host roundtrips).
 
     `attn_len` (static) bounds the attended cache prefix for the whole
@@ -183,7 +192,7 @@ def _decode_scan(params, lora, lora_scale, tok, pos, cache, seen_mask, key,
         next_tok, cache, seen_mask, key, _, _ = _decode_step(
             params, lora, lora_scale, tok, pos, cache, seen_mask, key,
             temperature, top_p, rep_penalty, cfg, dtype, top_k, greedy,
-            exact, attn_len=attn_len)
+            exact, attn_len=attn_len, penalized=penalized)
         return (next_tok, pos + 1, cache, seen_mask, key), next_tok
 
     (tok, pos, cache, seen_mask, key), toks = jax.lax.scan(
@@ -763,7 +772,8 @@ class Session:
                         ctx.dtype, s.top_k, s.temperature <= 0.0,
                         exact=_exact_multinomial(s),
                         observed=observe.trace_token(),
-                        attn_len=attn_b)
+                        attn_len=attn_b,
+                        penalized=s.repetition_penalty != 1.0)
                 if observe.fallback_active():
                     observe.deliver(np.asarray(obs_rows))
                 self._cur_tok = next_tok
@@ -905,7 +915,8 @@ def generate_on_device(ctx: LLMContext, prompt_ids: List[int],
             key, jnp.float32(s.temperature),
             jnp.float32(s.top_p), jnp.float32(s.repetition_penalty),
             cfg, ctx.dtype, s.top_k, take, s.temperature <= 0.0,
-            _exact_multinomial(s), attn_len=attn_b)
+            _exact_multinomial(s), attn_len=attn_b,
+            penalized=s.repetition_penalty != 1.0)
         pieces.append(toks.T)           # (n_steps, B) -> (B, n_steps)
         tok = toks[-1]
         pos = pos + take

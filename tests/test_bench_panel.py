@@ -13,6 +13,8 @@ missing metric.  Two layers:
 """
 
 import importlib.util
+
+import pytest
 import json
 import os
 import sys
@@ -28,6 +30,7 @@ def _load(name, rel):
     return mod
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_stage_functions_flow(monkeypatch):
     bs = _load("bench_stages_under_test", "tools/bench_stages.py")
 

@@ -219,6 +219,7 @@ def test_matmul_grouped_int8_matches_ref():
                                atol=2e-4 * np.abs(expect).max())
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_grouped_layout_partial_in_dim_stays_packed_in_loader(monkeypatch):
     """NANO_TPU_Q4K_LAYOUT=grouped through the loader: block weights a
     multiple of 32 convert; the model still decodes to the same greedy

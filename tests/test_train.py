@@ -218,6 +218,7 @@ def test_lora_training_only_updates_lora(corpus_shards, tmp_path):
     assert ck.has("lora") and not ck.has("model")
 
 
+@pytest.mark.soak   # long e2e; fast tier covers the feature (pytest.ini)
 def test_trainer_uses_all_8_devices(corpus_shards, tmp_path):
     d, tok_path, train_p, val_p = corpus_shards
     assert jax.device_count() == 8

@@ -154,7 +154,8 @@ def decode_tok_s(params, cfg, n_steps=256, reps=3, kv_dtype=jnp.bfloat16):
                 params, None, 0.0, tok, jnp.int32(pos), cache, seen, key,
                 jnp.float32(s.temperature), jnp.float32(s.top_p),
                 jnp.float32(s.repetition_penalty), cfg, jnp.bfloat16,
-                s.top_k, take, True, attn_len=attn_b)
+                s.top_k, take, True, attn_len=attn_b,
+                penalized=s.repetition_penalty != 1.0)
             tok = toks[-1]
             outs.append(toks)
             pos += take
