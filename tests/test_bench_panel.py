@@ -144,6 +144,43 @@ def test_orchestrator_retry_recovers_transient_failure(monkeypatch,
     assert rec["extra"]["qwen3_0.6b_bf16_tok_s"] == 123.0
 
 
+def test_orchestrator_outage_guard_waits_and_reruns(monkeypatch, capsys):
+    """A stage timeout against a DEAD tunnel must not feed the following
+    stages to the outage (the first full-panel run burned 1981 s of its
+    deadline on three consecutive timeouts): after a timeout the
+    orchestrator probes, waits for the heal, and re-runs the stage."""
+    bench = _load("bench_under_test_outage", "bench.py")
+    probes = {"n": 0}
+
+    def fake_probe(timeout_s=120.0):
+        probes["n"] += 1
+        return probes["n"] not in (2, 3)   # startup ok; dead after the
+        #                                    timeout; healed on probe 4
+
+    runs = {"q80": 0}
+
+    def fake_stage(name, timeout_s, extra):
+        if name == "q80":
+            runs["q80"] += 1
+            if runs["q80"] == 1:
+                extra["q80_error"] = "timeout after 1s"
+            else:
+                extra["qwen3_0.6b_q80_tok_s"] = 600.0
+        else:
+            extra[name + "_done"] = True
+    monkeypatch.setattr(bench, "_probe_device", fake_probe)
+    monkeypatch.setattr(bench, "_run_stage", fake_stage)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert runs["q80"] == 2                       # re-ran after the heal
+    assert rec["value"] == 600.0
+    assert "q80_error" not in rec["extra"]
+    assert "healed" in rec["extra"]["outage_note"]
+    assert rec["extra"]["bf16_done"] is True      # panel continued
+
+
 def test_orchestrator_emits_error_line_when_device_unreachable(monkeypatch,
                                                                capsys):
     bench = _load("bench_under_test2", "bench.py")

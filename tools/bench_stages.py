@@ -344,18 +344,30 @@ def stage_bf16():
     cfg = ModelConfig(**QWEN3_06B)
     pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
                          param_dtype=jnp.bfloat16)
-    return {"qwen3_0.6b_bf16_tok_s": round(decode_tok_s(pb, cfg), 1),
-            "ttft_p50_ms_bf16_p64": round(ttft_p50_ms(pb, cfg), 1)}
+    return {"qwen3_0.6b_bf16_tok_s": round(decode_tok_s(pb, cfg), 1)}
 
 
 def stage_q80():
+    # the PRIMARY metric's stage: decode only (TTFT measures in its own
+    # stage) so the headline number lands as early as possible even in a
+    # flaky-tunnel window
     cfg = ModelConfig(**QWEN3_06B)
     pq = q80_params(cfg, np.random.RandomState(0))
     q80 = decode_tok_s(pq, cfg)
     return {"qwen3_0.6b_q80_tok_s": round(q80, 1),
             "qwen3_0.6b_q80_kv8_tok_s": round(
-                decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1),
-            "ttft_p50_ms_q80_p64": round(ttft_p50_ms(pq, cfg), 1)}
+                decode_tok_s(pq, cfg, kv_dtype=jnp.int8), 1)}
+
+
+def stage_ttft():
+    cfg = ModelConfig(**QWEN3_06B)
+    pq = q80_params(cfg, np.random.RandomState(0))
+    out = {"ttft_p50_ms_q80_p64": round(ttft_p50_ms(pq, cfg), 1)}
+    del pq
+    pb = gpt.init_params(jax.random.PRNGKey(0), cfg,
+                         param_dtype=jnp.bfloat16)
+    out["ttft_p50_ms_bf16_p64"] = round(ttft_p50_ms(pb, cfg), 1)
+    return out
 
 
 def stage_batched():
@@ -621,6 +633,7 @@ def stage_train():
 
 STAGES = {
     "bf16": stage_bf16,
+    "ttft": stage_ttft,
     "q80": stage_q80,
     "batched": stage_batched,
     "spec": stage_spec,
