@@ -466,6 +466,28 @@ def stage_spec():
         p = session_tok_s(0, rep)
         ratios.append(s / p)
     out["toy_q80_spec_free_ratio"] = round(max(ratios), 2)
+
+    # park guarantee on genuinely UNSEEN text: the corpus reversed is
+    # encodable (same charset) but never occurred in training, so
+    # drafts reject and the adaptive Session must park to >= ~0.93x
+    # plain (free_ratio above can exceed 1 because the toy memorized
+    # its corpus — n-gram matches accept even on "free" prompts)
+    def session_unseen_tok_s(spec_k, rep):
+        ctx.spec_k = spec_k
+        prompt = corpus[rep * 5:rep * 5 + 100][::-1]
+        sess = engine.Session(ctx, prompt, max_new_tokens=n_new)
+        t0 = time.time()
+        n_toks = 0
+        while sess.step() is not None:
+            n_toks += 1
+        return max(n_toks, 1) / (time.time() - t0)
+
+    ratios = []
+    for rep in range(2):
+        s = session_unseen_tok_s(7, rep)
+        p = session_unseen_tok_s(0, rep)
+        ratios.append(s / p)
+    out["toy_q80_spec_unseen_ratio"] = round(max(ratios), 2)
     return out
 
 
