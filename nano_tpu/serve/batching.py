@@ -469,7 +469,7 @@ class BatchedEngine:
                 plora, pscale = self._adapter_prefill[1]
                 eng._prefill(ctx.params, plora, pscale,
                              jnp.zeros((1, pad), jnp.int32), tmp, cfg,
-                             ctx.dtype)
+                             ctx.dtype, last_idx=jnp.int32(0))
                 n += 1
         caps = []                            # cache CAPACITY buckets:
         b = self._min_cache_len()            # the cache is allocated
@@ -789,8 +789,13 @@ class BatchedEngine:
                 if need <= T:
                     self._ensure_capacity(need)
                     C = self._cache_len()
-                    attn_len = min(C, eng._bucket(need, minimum=128))
-                    if attn_len >= C:
+                    # attn slicing only in bucketed mode (covers the
+                    # big-capacity-leftover case; compiles lazily).
+                    # NANO_TPU_DECODE_BUCKET=0 means full-cache
+                    # attention — also what warmup() compiled.
+                    attn_len = (min(C, eng._bucket(need, minimum=128))
+                                if self._bucketed else None)
+                    if attn_len is not None and attn_len >= C:
                         attn_len = None
                     spec_ok = jnp.asarray(
                         (self.temperature <= 0.0)
@@ -817,8 +822,9 @@ class BatchedEngine:
             need = 1 + n_steps + max_pos
             self._ensure_capacity(need)
             C = self._cache_len()
-            attn_len = min(C, eng._bucket(need, minimum=128))
-            if attn_len >= C:
+            attn_len = (min(C, eng._bucket(need, minimum=128))
+                        if self._bucketed else None)
+            if attn_len is not None and attn_len >= C:
                 attn_len = None          # full cache — no slicing program
             bl, bs, bi = self._lora_args()
             toks, self.tok, self.pos, self.cache, self.seen, self.key = \
