@@ -521,13 +521,19 @@ def stage_q4k():
 
 
 def stage_nano168m():
-    # round-1 continuity: Nano-168M bf16
+    # round-1 continuity: Nano-168M bf16, plus Q80 for the apples-to-
+    # apples bar (the N150 reference number IS Q80, BASELINE.md)
     ncfg = ModelConfig(**NANO_168M)
     pn = gpt.init_params(jax.random.PRNGKey(0), ncfg,
                          param_dtype=jnp.bfloat16)
     nano = decode_tok_s(pn, ncfg, n_steps=512)
+    del pn
+    pq = q80_params(ncfg, np.random.RandomState(0))
+    nano_q80 = decode_tok_s(pq, ncfg, n_steps=512)
     return {"nano168m_bf16_tok_s": round(nano, 1),
-            "nano168m_vs_n150_q80": round(nano / BASELINE_N150_TOK_S, 2)}
+            "nano168m_q80_tok_s": round(nano_q80, 1),
+            "nano168m_vs_n150_q80": round(
+                nano_q80 / BASELINE_N150_TOK_S, 2)}
 
 
 PPL_ROOTS = tuple(os.environ.get("NANO_BENCH_PPL_ROOTS",
