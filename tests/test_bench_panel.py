@@ -185,6 +185,11 @@ def test_orchestrator_emits_error_line_when_device_unreachable(monkeypatch,
                                                                capsys):
     bench = _load("bench_under_test2", "bench.py")
     monkeypatch.setattr(bench, "_probe_device", lambda *a, **k: False)
+    # a permanently-dead device now waits for a heal inside the deadline
+    # budget; shrink the budget below the wait threshold and neuter
+    # sleep so the test observes the final error line promptly
+    monkeypatch.setenv("NANO_BENCH_DEADLINE_S", "300")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 0.0
