@@ -189,7 +189,11 @@ def main():
     # margin, and the cumulative protocol makes even that deadline soft:
     # any kill keeps the stages already printed.
     deadline_s = float(os.environ.get("NANO_BENCH_DEADLINE_S", "2100"))
-    waited = [0.0]     # outage-wait seconds; excluded from the deadline
+    # outage-wait seconds: excluded from the deadline (the cumulative
+    # protocol makes an outer kill harmless) but capped so a permanent
+    # outage still ends the panel gracefully
+    waited = [0.0]
+    wait_cap = float(os.environ.get("NANO_BENCH_WAIT_CAP_S", "1800"))
     _emit(primary, {**extra, "status": "probing device"})
     if not _probe_device():
         # startup outage: WAIT for the heal instead of giving up — the
@@ -202,7 +206,7 @@ def main():
         _emit(primary, extra)
         healed = False
         wait0 = time.time()
-        while time.time() - wait0 < max(deadline_s - 360, 0):
+        while time.time() - wait0 < min(wait_cap, max(deadline_s - 360, 0)):
             if _probe_device(60):
                 healed = True
                 del extra["error"]
@@ -242,7 +246,7 @@ def main():
                                 f"'{name}' timeout; waiting for heal")
         _emit(primary, extra)
         wait0 = time.time()
-        while left() > 240:
+        while left() > 240 and waited[0] + (time.time() - wait0) < wait_cap:
             if _probe_device(60):
                 waited[0] += time.time() - wait0
                 extra["outage_note"] = (f"tunnel healed with "
