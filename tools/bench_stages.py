@@ -375,7 +375,12 @@ def stage_batched():
     pq = q80_params(cfg, np.random.RandomState(0))
     return {"q80_batch8_agg_tok_s": round(batched_aggregate(pq, cfg, 8), 1),
             "q80_batch32_agg_tok_s": round(
-                batched_aggregate(pq, cfg, 32), 1)}
+                batched_aggregate(pq, cfg, 32), 1),
+            # 64 slots kept scaling once capacity bucketing removed the
+            # B-proportional dead-tail copy (pre-fix it was SLOWER than
+            # 32: 1636 vs 2049 agg)
+            "q80_batch64_agg_tok_s": round(
+                batched_aggregate(pq, cfg, 64), 1)}
 
 
 TRAINED_FIXTURE = os.path.join(
